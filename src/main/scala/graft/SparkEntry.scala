@@ -1,13 +1,111 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.RunClock
+import graft.marts._
+import graft.sources.{Entities, OracleCtes}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a pure function (SparkSession, sfDir) →
+  * DataFrame; entries with an [[oracleSql]] twin are hash-compared against
+  * DuckDB running that SQL over the same parquet tables. Results carry an
+  * explicit ORDER BY on a unique key in both engines so the comparison is
+  * row-order deterministic.
+  */
 object SparkEntry {
+  private val clock = RunClock.fixed
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("m_supplier_performance")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── mart pipelines (reference parity) ────────────────────────────
+    "m_supplier_performance" -> ((s, d) =>
+      SupplierPerformance.build(
+        Entities.suppliers(s, d), Entities.products(s, d),
+        Entities.sales(s, d), clock)
+        .orderBy("SUPPLIER_ID")),
+    "m_product_performance" -> ((s, d) =>
+      ProductPerformance.build(
+        Entities.products(s, d), Entities.sales(s, d), clock)
+        .orderBy("PRODUCT_ID")),
+    "m_customer_metrics" -> ((s, d) =>
+      CustomerMetrics.build(
+        Entities.customers(s, d), Entities.products(s, d),
+        Entities.sales(s, d), clock)
+        .orderBy("CUSTOMER_ID")),
+    "m_customer_sales_report" -> ((s, d) =>
+      CustomerSalesReport.build(
+        Entities.customers(s, d), Entities.products(s, d),
+        Entities.sales(s, d),
+        SupplierPerformance.build(
+          Entities.suppliers(s, d), Entities.products(s, d),
+          Entities.sales(s, d), clock),
+        clock)
+        // sale_id is non-unique in the testdata (duplicate (orderkey,
+        // linenumber) pairs), so total-order on value columns for the
+        // row-deterministic oracle compare.
+        .orderBy("SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME", "QUANTITY",
+          "PRICE", "SALE_AMOUNT")),
+
+    // ── operator coverage: aggregation (A2/A4, TPC-H Q1 shape) ───────
+    "q1_agg" -> ((s, d) => {
+      val li = sources.Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          core.Money.round2(core.Money.moneySum(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ── operator coverage: multi-way join + agg (J15 shape) ──────────
+    "q_revenue_by_region" -> ((s, d) => {
+      import sources.Tables._
+      val li = lineitem(s, d); val o = orders(s, d); val c = customer(s, d)
+      val n = nation(s, d); val r = region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          core.Money.round2(core.Money.moneySum(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "m_supplier_performance" -> SupplierPerformance.oracleSql,
+    "m_product_performance" -> ProductPerformance.oracleSql,
+    "m_customer_metrics" -> CustomerMetrics.oracleSql,
+    "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |       ${core.Money.Sql.round2(core.Money.Sql.moneySum("l_extendedprice * (1 - l_discount)"))} AS sum_disc_price,
+         |       COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_region" ->
+      s"""SELECT r_name,
+         |       ${core.Money.Sql.round2(core.Money.Sql.moneySum("l_extendedprice * (1 - l_discount)"))} AS revenue,
+         |       COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name
+         |ORDER BY r_name""".stripMargin)
 }

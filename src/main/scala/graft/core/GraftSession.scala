@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults follow the 100 TB-scale posture (SURVEY.md §7.4(9)): AQE on
+  * (runtime re-planning, skew-join splitting, shuffle coalescing), UTC
+  * session timezone for deterministic date semantics (the reference pins
+  * Asia/Kolkata at `ETL-Airflow/dags/tasks/utils.py:139`; we pin UTC and
+  * take the run date as an explicit parameter instead — see [[RunClock]]).
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

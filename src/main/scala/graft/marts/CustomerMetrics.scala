@@ -1,0 +1,166 @@
+package graft.marts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Money, RunClock}
+
+/** Customer metrics mart (the staging side of the MERGE upsert).
+  *
+  * Semantics from `ETL-Airflow/dags/tasks/m_customer_metrics_task.py`:
+  * customers ⟕ sales (:77-98, no status filter — cancelled orders DO
+  * count here) ⟕ products (:102-122), 8-way aggregate at customer grain
+  * (:126-156): TOTAL_ORDERS is `sum(quantity)` (sic, :134), min/max
+  * purchase dates, shipping cost, expenditure `sum(qty*price)`, savings
+  * `sum(qty*price*disc/100)`, conditional Delivered/Cancelled counts
+  * (:148-155); post-agg derived AVERAGE_ORDER_VALUE and the 4-day-recency
+  * ACTIVE_CUSTOMER_FLAG (:157-170); most-used payment mode as a
+  * count-per-(customer, mode) + row_number window, ties broken
+  * alphabetically (:176-195); final left join + projection (:198-263).
+  *
+  * Scale: one shuffle on customer_id for the big aggregate; the payment-
+  * mode window runs on the (customer × ≤4 modes) pre-aggregate, not raw
+  * sales. Products is broadcast into the fact join.
+  */
+object CustomerMetrics {
+
+  def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
+            clock: RunClock): DataFrame = {
+    val cust = customers.select("customer_id", "name", "city", "email",
+      "phone_number")
+    val prod = products.select("product_id", "selling_price")
+    val sal = sales.select("sale_id", "product_id", "customer_id",
+      "order_status", "payment_mode", "shipping_cost", "quantity",
+      "discount", "sale_date")
+
+    val jnrMaster = cust.alias("c")
+      .join(sal.alias("s"),
+        col("s.customer_id") === col("c.customer_id"), "left")
+      .select(
+        col("c.customer_id"), col("c.name"), col("s.product_id"),
+        col("s.order_status"), col("s.payment_mode"), col("s.shipping_cost"),
+        col("s.quantity"), col("s.discount"), col("s.sale_date"),
+        col("c.city"), col("c.email"), col("c.phone_number"))
+
+    val jnrFull = jnrMaster.alias("m")
+      .join(broadcast(prod.alias("p")),
+        col("p.product_id") === col("m.product_id"), "left")
+      .select(
+        col("m.customer_id"), col("m.name"), col("m.order_status"),
+        col("m.payment_mode"), col("m.shipping_cost"), col("m.quantity"),
+        col("m.discount"), col("m.sale_date"), col("m.city"), col("m.email"),
+        col("m.phone_number"), col("p.product_id"), col("p.selling_price"))
+
+    val aggTrans = jnrFull
+      .groupBy("customer_id", "name", "city", "email", "phone_number")
+      .agg(
+        sum(col("quantity")).as("agg_total_orders"),
+        max(col("sale_date")).as("agg_last_purchase_date"),
+        min(col("sale_date")).as("agg_first_purchase_date"),
+        coalesce(Money.moneySum(col("shipping_cost")), lit(0).cast(Money.SumDec))
+          .as("agg_total_shipping_cost"),
+        coalesce(Money.moneySum(col("quantity") * col("selling_price")),
+          lit(0).cast(Money.SumDec)).as("agg_expenditure"),
+        coalesce(
+          Money.moneySum(
+            col("quantity") * col("selling_price") * col("discount") / lit(100)),
+          lit(0).cast(Money.SumDec)).as("agg_total_amount_savings"),
+        sum(when(col("order_status") === "Delivered", lit(1)).otherwise(lit(0)))
+          .as("agg_delivered_orders_count"),
+        sum(when(col("order_status") === "Cancelled", lit(1)).otherwise(lit(0)))
+          .as("agg_cancelled_orders_count"))
+      .withColumn("average_order_value",
+        coalesce(Money.ratio2(col("agg_expenditure"), col("agg_total_orders")),
+          lit(0.0)))
+      .withColumn("active_customer_flag",
+        when(col("agg_last_purchase_date") >= date_sub(clock.runDateCol, 4),
+          lit("TRUE")).otherwise(lit("FALSE")))
+
+    val w = Window.partitionBy("customer_id")
+      .orderBy(desc("agg_cnt"), asc_nulls_first("payment_mode"))
+    val rnkPaymentMode = jnrFull
+      .groupBy("customer_id", "payment_mode")
+      .agg(count(lit(1)).as("agg_cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .drop("rnk")
+
+    aggTrans.alias("agg")
+      .join(rnkPaymentMode.alias("rnk"),
+        col("agg.customer_id") === col("rnk.customer_id"), "left")
+      .select(
+        col("agg.customer_id").as("CUSTOMER_ID"),
+        col("agg.name").as("CUSTOMER_NAME"),
+        coalesce(col("agg.agg_total_orders"), lit(0L)).as("TOTAL_ORDERS"),
+        Money.round2(col("agg.agg_total_amount_savings"))
+          .as("TOTAL_AMOUNT_SAVINGS"),
+        Money.round2(col("agg.agg_total_shipping_cost"))
+          .as("TOTAL_SHIPPING_COST"),
+        Money.round2(col("agg.agg_expenditure")).as("EXPENDITURE"),
+        col("agg.average_order_value").as("AVERAGE_ORDER_VALUE"),
+        col("agg.agg_first_purchase_date").as("FIRST_PURCHASE_DATE"),
+        col("agg.agg_last_purchase_date").as("LAST_PURCHASE_DATE"),
+        col("rnk.payment_mode").as("MOST_USED_PAYMENT_MODE"),
+        col("agg.agg_delivered_orders_count").as("DELIVERED_ORDERS_COUNT"),
+        col("agg.agg_cancelled_orders_count").as("CANCELLED_ORDERS_COUNT"),
+        col("agg.active_customer_flag").as("ACTIVE_CUSTOMER_FLAG"),
+        col("agg.city").as("CITY"),
+        col("agg.email").as("EMAIL"),
+        col("agg.phone_number").as("PHONE_NUMBER"),
+        clock.loadTsCol.as("LOAD_TIMESTAMP"),
+        clock.loadTsCol.as("UPDATE_TIMESTAMP"))
+  }
+
+  val oracleSql: String = {
+    import graft.sources.OracleCtes
+    OracleCtes.withEntities("customers", "products", "sales") +
+      s"""
+, jnr_full AS (
+  SELECT c.customer_id, c.name, s.order_status, s.payment_mode,
+         s.shipping_cost, s.quantity, s.discount, s.sale_date,
+         c.city, c.email, c.phone_number, p.product_id, p.selling_price
+  FROM customers c
+  LEFT JOIN sales s ON s.customer_id = c.customer_id
+  LEFT JOIN products p ON p.product_id = s.product_id)
+, agg AS (
+  SELECT customer_id, name, city, email, phone_number,
+         SUM(quantity) AS agg_total_orders,
+         MAX(sale_date) AS agg_last_purchase_date,
+         MIN(sale_date) AS agg_first_purchase_date,
+         COALESCE(${Money.Sql.moneySum("shipping_cost")}, 0) AS agg_total_shipping_cost,
+         COALESCE(${Money.Sql.moneySum("quantity * selling_price")}, 0) AS agg_expenditure,
+         COALESCE(${Money.Sql.moneySum("quantity * selling_price * discount / 100")}, 0) AS agg_total_amount_savings,
+         CAST(SUM(CASE WHEN order_status = 'Delivered' THEN 1 ELSE 0 END) AS BIGINT) AS agg_delivered,
+         CAST(SUM(CASE WHEN order_status = 'Cancelled' THEN 1 ELSE 0 END) AS BIGINT) AS agg_cancelled
+  FROM jnr_full
+  GROUP BY customer_id, name, city, email, phone_number)
+, mode_rnk AS (
+  SELECT customer_id, payment_mode FROM (
+    SELECT customer_id, payment_mode,
+           ROW_NUMBER() OVER (PARTITION BY customer_id
+             ORDER BY count(*) DESC, payment_mode ASC NULLS FIRST) AS rnk
+    FROM jnr_full GROUP BY customer_id, payment_mode) r WHERE rnk = 1)
+SELECT a.customer_id AS "CUSTOMER_ID",
+       a.name AS "CUSTOMER_NAME",
+       CAST(COALESCE(a.agg_total_orders, 0) AS BIGINT) AS "TOTAL_ORDERS",
+       ${Money.Sql.round2("a.agg_total_amount_savings")} AS "TOTAL_AMOUNT_SAVINGS",
+       ${Money.Sql.round2("a.agg_total_shipping_cost")} AS "TOTAL_SHIPPING_COST",
+       ${Money.Sql.round2("a.agg_expenditure")} AS "EXPENDITURE",
+       COALESCE(${Money.Sql.ratio2("a.agg_expenditure", "a.agg_total_orders")}, 0.0) AS "AVERAGE_ORDER_VALUE",
+       a.agg_first_purchase_date AS "FIRST_PURCHASE_DATE",
+       a.agg_last_purchase_date AS "LAST_PURCHASE_DATE",
+       m.payment_mode AS "MOST_USED_PAYMENT_MODE",
+       a.agg_delivered AS "DELIVERED_ORDERS_COUNT",
+       a.agg_cancelled AS "CANCELLED_ORDERS_COUNT",
+       CASE WHEN a.agg_last_purchase_date >= ${RunClock.runDateSql} - 4
+            THEN 'TRUE' ELSE 'FALSE' END AS "ACTIVE_CUSTOMER_FLAG",
+       a.city AS "CITY",
+       a.email AS "EMAIL",
+       a.phone_number AS "PHONE_NUMBER",
+       ${RunClock.loadTsSql} AS "LOAD_TIMESTAMP",
+       ${RunClock.loadTsSql} AS "UPDATE_TIMESTAMP"
+FROM agg a
+LEFT JOIN mode_rnk m ON a.customer_id = m.customer_id
+ORDER BY a.customer_id"""
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Raw testdata readers (TPC-H-ish star schema, see TESTDATA.md).
+  *
+  * Parquet scans are the engine's S4 source (SURVEY.md §2.1); Catalyst
+  * pushes predicates and prunes columns into these scans, so downstream
+  * code just composes lazily.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view (S7, `Raptor.py:95-99`) so the
+    * SQL front door (`spark.sql`) serves the same relations the DataFrame
+    * API does.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
