@@ -21,7 +21,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("m_supplier_performance")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.CoverageQueries.queries ++ baseQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── mart pipelines (reference parity) ────────────────────────────
     "m_supplier_performance" -> ((s, d) =>
       SupplierPerformance.build(
@@ -83,7 +86,10 @@ object SparkEntry {
         .orderBy("r_name")
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    operators.CoverageQueries.oracles ++ baseOracles
+
+  private def baseOracles: Map[String, String] = Map(
     "m_supplier_performance" -> SupplierPerformance.oracleSql,
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,

@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Money
+import graft.quality.{DuplicateChecker, Raptor}
+import graft.sources.Tables
+
+/** Operator-coverage queries: one verifiable query per operator class in
+  * SURVEY.md §2 that the mart pipelines don't already exercise. Each
+  * query has a DuckDB oracle twin and ends in a deterministic ORDER BY.
+  */
+object CoverageQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ── Raptor fixture: deterministic source/target derived from orders ──
+  // (SURVEY §2.11 Q2-Q6). Mutations/deletions keyed on o_orderkey modulo.
+  private def raptorPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val proj = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_orderpriority"))
+    val src = proj.filter(col("o_orderkey") % 89 =!= 0)
+    val tgt = proj.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") +
+        when(col("o_orderkey") % 100 === 0, 1).otherwise(0))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 101 === 0, lit("MUTATED"))
+          .otherwise(col("o_orderpriority")))
+    (src, tgt)
+  }
+
+  private def raptor(s: SparkSession, d: String): Raptor.Result = {
+    val (src, tgt) = raptorPair(s, d)
+    Raptor.compare(src, tgt, Seq("o_orderkey"),
+      sourceSystem = "source", targetSystem = "target",
+      datasetName = "orders_diff")
+  }
+
+  // Shared oracle CTEs for the raptor fixture: string-normalized sides.
+  private val raptorCtes: String =
+    """WITH src0 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 89 != 0),
+      |tgt0 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) +
+      |           CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END AS o_totalprice,
+      |         CAST(o_orderdate AS DATE) AS o_orderdate,
+      |         CASE WHEN o_orderkey % 101 = 0 THEN 'MUTATED'
+      |              ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 != 0),
+      |srcs AS (
+      |  SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '') AS o_orderkey,
+      |         COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS c_status,
+      |         COALESCE(CAST(o_totalprice AS VARCHAR), '') AS c_price,
+      |         COALESCE(CAST(o_orderdate AS VARCHAR), '') AS c_date,
+      |         COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS c_prio
+      |  FROM src0),
+      |tgts AS (
+      |  SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '') AS o_orderkey,
+      |         COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS c_status,
+      |         COALESCE(CAST(o_totalprice AS VARCHAR), '') AS c_price,
+      |         COALESCE(CAST(o_orderdate AS VARCHAR), '') AS c_date,
+      |         COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS c_prio
+      |  FROM tgt0),
+      |common AS (
+      |  SELECT s.o_orderkey,
+      |         s.c_status AS ss, t.c_status AS ts,
+      |         s.c_price AS sp, t.c_price AS tp,
+      |         s.c_date AS sd, t.c_date AS td,
+      |         s.c_prio AS spr, t.c_prio AS tpr
+      |  FROM srcs s JOIN tgts t USING (o_orderkey)),
+      |mis AS (
+      |  SELECT o_orderkey, ss AS source_value, ts AS target_value,
+      |         'o_orderstatus' AS mismatch_column_name FROM common WHERE ss != ts
+      |  UNION ALL
+      |  SELECT o_orderkey, sp, tp, 'o_totalprice' FROM common WHERE sp != tp
+      |  UNION ALL
+      |  SELECT o_orderkey, sd, td, 'o_orderdate' FROM common WHERE sd != td
+      |  UNION ALL
+      |  SELECT o_orderkey, spr, tpr, 'o_orderpriority' FROM common WHERE spr != tpr)
+      |""".stripMargin
+
+  private val sep = "chr(1)"
+
+  def queries: Map[String, Q] = Map(
+    // Q2/Q3: column-level mismatch attribution
+    "raptor_col_mismatch" -> ((s, d) =>
+      raptor(s, d).colMismatch
+        .orderBy("o_orderkey", "mismatch_column_name", "source_value")),
+    // Q4: extras each side (left_anti)
+    "raptor_src_extra" -> ((s, d) =>
+      raptor(s, d).sourceExtra.orderBy("o_orderkey")),
+    "raptor_tgt_extra" -> ((s, d) =>
+      raptor(s, d).targetExtra.orderBy("o_orderkey")),
+    // Q5: run summary
+    "raptor_summary" -> ((s, d) => raptor(s, d).summary.orderBy("ord")),
+    // Q6: per-column mismatch summary
+    "raptor_col_summary" -> ((s, d) => raptor(s, d).columnSummary),
+
+    // K4: MERGE upsert rewrite on a deterministic stage/target pair
+    "k4_merge_upsert" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val target = c.filter(col("c_custkey") % 3 =!= 0)
+        .withColumn("load_ts", lit(java.sql.Timestamp.valueOf("2001-11-01 00:00:00")))
+        .withColumn("update_ts", lit(java.sql.Timestamp.valueOf("2001-11-01 00:00:00")))
+      val stage = c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("bal", col("bal") + 10)
+        .withColumn("load_ts", lit(java.sql.Timestamp.valueOf("2001-11-05 00:00:00")))
+        .withColumn("update_ts", lit(java.sql.Timestamp.valueOf("2001-11-05 00:00:00")))
+      MergeUpsert.merge(target, stage, keys = Seq("c_custkey"),
+        preserved = Seq("load_ts"))
+        .orderBy("c_custkey")
+    }),
+
+    // W1-family: top-1 part per supplier by revenue (window + rnk=1)
+    "q_window_topk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy("l_suppkey", "l_partkey")
+        .agg(Money.round2(Money.moneySum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc_nulls_last("rev"), asc("l_partkey"))
+      perPart.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1).drop("rnk")
+        .orderBy("l_suppkey")
+    }),
+
+    // W2-family: mode of event_type per user (count + window, tie asc)
+    "q_mode_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cnts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("cnt"), asc("event_type"))
+      cnts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1).drop("rnk")
+        .orderBy("user_id")
+    }),
+
+    // J12/J13: anti join — customers with no orders
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J14: semi join — customers with at least one delivered ('F') order
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // O1/O3: global sort + limit (TakeOrderedAndProject top-k)
+    "q_sort_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    // A12: distinct on a projection
+    "q_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // A1/Q1: duplicate detection groups (the dup-check gate's inner query)
+    "q_dup_check" -> ((s, d) =>
+      DuplicateChecker.duplicates(
+        Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P8-P11: compound/range/membership/null predicates
+    "q_filters" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate").isNotNull &&
+          col("l_linestatus") =!= "X")
+        .filter("l_tax > 0.02")  // SQL-string predicate (P11)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("double").as("qty"))
+        .orderBy("l_returnflag")),
+
+    // §2.9 scalar functions: string/conditional/math family
+    "q_scalar_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("type_trim"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_underscored"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        round(col("p_retailprice")).cast("double").as("price_round0"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"),
+        coalesce(when(col("p_brand") === "Brand#1", lit(null))
+          .otherwise(col("p_brand")), lit("(top)")).as("brand_or_top"))
+        .orderBy("p_partkey")),
+
+    // §2.9 date/time functions
+    "q_scalar_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit(java.sql.Date.valueOf("2001-11-05")),
+          col("o_orderdate").cast("date")).as("age_days"))
+        .orderBy("o_orderkey")),
+
+    // §2.8 set operations (free from Spark; absent in the reference)
+    "q_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val evens = o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
+      val byFour = o.filter(col("o_orderkey") % 4 === 0).select("o_orderkey")
+      val threes = o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      evens.except(byFour).intersect(threes)
+        .union(o.filter(col("o_orderkey") % 1000 === 0).select("o_orderkey"))
+        .distinct()
+        .orderBy("o_orderkey")
+    }),
+
+    // A3/A6: conditional aggregation + guarded ratio-of-sums
+    "q_conditional_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          count(lit(1)).as("n"),
+          Money.ratio2(Money.moneySum(col("o_totalprice")), count(lit(1)))
+            .as("avg_price"))
+        .orderBy("o_orderpriority")))
+
+  def oracles: Map[String, String] = Map(
+    "raptor_col_mismatch" -> (raptorCtes +
+      """SELECT * FROM mis
+        |ORDER BY o_orderkey, mismatch_column_name, source_value""".stripMargin),
+    "raptor_src_extra" -> (raptorCtes +
+      s"""SELECT o_orderkey,
+         |       concat_ws($sep, o_orderkey, c_status, c_price, c_date, c_prio) AS "Source_Record"
+         |FROM srcs WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgts)
+         |ORDER BY o_orderkey""".stripMargin),
+    "raptor_tgt_extra" -> (raptorCtes +
+      s"""SELECT o_orderkey,
+         |       concat_ws($sep, o_orderkey, c_status, c_price, c_date, c_prio) AS "Target_Record"
+         |FROM tgts WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srcs)
+         |ORDER BY o_orderkey""".stripMargin),
+    "raptor_summary" -> (raptorCtes +
+      """, cnts AS (
+        |  SELECT (SELECT count(*) FROM srcs) AS sc,
+        |         (SELECT count(*) FROM tgts) AS tc,
+        |         (SELECT count(*) FROM common) AS cc,
+        |         (SELECT count(*) FROM common
+        |          WHERE ss != ts OR sp != tp OR sd != td OR spr != tpr) AS mc_rows,
+        |         (SELECT count(*) FROM srcs WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgts)) AS se,
+        |         (SELECT count(*) FROM tgts WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srcs)) AS te)
+        |SELECT ord, "Description", "Value" FROM (
+        |  SELECT 0 AS ord, 'Source System Name  ' AS "Description", 'source' AS "Value" FROM cnts
+        |  UNION ALL SELECT 1, 'Target System Name  ', 'target' FROM cnts
+        |  UNION ALL SELECT 2, 'DataSet Compared b/w Source & Target  ', 'orders_diff' FROM cnts
+        |  UNION ALL SELECT 3, 'Primary Keys used to Compare b/w Source & Target  ', '[o_orderkey]' FROM cnts
+        |  UNION ALL SELECT 4, 'Number of rows in Source [source]', format('{:,}', sc) FROM cnts
+        |  UNION ALL SELECT 5, 'Number of rows in Target [target]', format('{:,}', tc) FROM cnts
+        |  UNION ALL SELECT 6, 'Number of rows in common ', format('{:,}', cc) FROM cnts
+        |  UNION ALL SELECT 7, 'Number of rows mismatch ', format('{:,}', mc_rows) FROM cnts
+        |  UNION ALL SELECT 8, 'Row Mismatch Percentage ',
+        |    CAST(((mc_rows*10000 + cc//2)//cc)//100 AS VARCHAR) || '.' ||
+        |    lpad(CAST(((mc_rows*10000 + cc//2)//cc)%100 AS VARCHAR), 2, '0') || '%' FROM cnts
+        |  UNION ALL SELECT 9, 'Number of rows in Source source but not in Target target', format('{:,}', se) FROM cnts
+        |  UNION ALL SELECT 10, 'Number of rows in Target target but not in Source source', format('{:,}', te) FROM cnts
+        |  UNION ALL SELECT 11, 'Column Level Mismatch DataSet            ', 'work.col_orders_diff' FROM cnts
+        |  UNION ALL SELECT 12, 'Column Level Mismatch Percentage Summary ', 'work.col_lvl_orders_diff' FROM cnts
+        |  UNION ALL SELECT 13, 'Source Extra DataSet                     ', 'work.src_orders_diff' FROM cnts
+        |  UNION ALL SELECT 14, 'Target Extra DataSet                     ', 'work.tgt_orders_diff' FROM cnts
+        |) t ORDER BY ord""".stripMargin),
+    "raptor_col_summary" -> (raptorCtes +
+      """, cc AS (SELECT count(*) AS n FROM common)
+        |SELECT mismatch_column_name AS "Mismatch_Column_Name",
+        |       count(*) AS "Mismatch_Record_Count_Column_Level",
+        |       CAST(((count(*)*10000 + (SELECT n FROM cc)//2)//(SELECT n FROM cc))//100 AS VARCHAR) || '.' ||
+        |       lpad(CAST(((count(*)*10000 + (SELECT n FROM cc)//2)//(SELECT n FROM cc))%100 AS VARCHAR), 2, '0') || '%'
+        |         AS "Percentage_Of_Mismatch"
+        |FROM mis GROUP BY mismatch_column_name
+        |ORDER BY "Percentage_Of_Mismatch" DESC, "Mismatch_Column_Name" ASC""".stripMargin),
+    "k4_merge_upsert" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |tgt AS (
+        |  SELECT *, TIMESTAMP '2001-11-01 00:00:00' AS load_ts,
+        |         TIMESTAMP '2001-11-01 00:00:00' AS update_ts
+        |  FROM c WHERE c_custkey % 3 != 0),
+        |stg AS (
+        |  SELECT c_custkey, c_name, bal + 10 AS bal,
+        |         TIMESTAMP '2001-11-05 00:00:00' AS load_ts,
+        |         TIMESTAMP '2001-11-05 00:00:00' AS update_ts
+        |  FROM c WHERE c_custkey % 2 = 0)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |       CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+        |       CASE WHEN t.c_custkey IS NOT NULL THEN t.load_ts ELSE s.load_ts END AS load_ts,
+        |       CASE WHEN s.c_custkey IS NOT NULL THEN s.update_ts ELSE t.update_ts END AS update_ts
+        |FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topk" ->
+      s"""WITH per_part AS (
+         |  SELECT l_suppkey, l_partkey,
+         |         ${Money.Sql.round2(Money.Sql.moneySum("l_extendedprice * (1 - l_discount)"))} AS rev
+         |  FROM lineitem GROUP BY l_suppkey, l_partkey)
+         |SELECT l_suppkey, l_partkey, rev FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+         |    ORDER BY rev DESC NULLS LAST, l_partkey ASC) AS rnk
+         |  FROM per_part) r
+         |WHERE rnk = 1 ORDER BY l_suppkey""".stripMargin,
+    "q_mode_window" ->
+      """SELECT user_id, event_type, cnt FROM (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY count(*) DESC, event_type ASC) AS rnk
+        |  FROM events GROUP BY user_id, event_type) r
+        |WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_dup_check" ->
+      """SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem
+        |GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filters" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A', 'N')
+        |  AND l_shipdate IS NOT NULL
+        |  AND l_linestatus != 'X'
+        |  AND l_tax > 0.02
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       lower(p_brand) AS brand_lower,
+        |       trim('  ' || p_type || ' ') AS type_trim,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       replace(p_name, ' ', '_') AS name_underscored,
+        |       split_part(p_name, ' ', 1) AS first_word,
+        |       substring(p_name, 1, 5) AS name_prefix,
+        |       CAST(length(p_name) AS INT) AS name_len,
+        |       CAST(round(p_retailprice) AS DOUBLE) AS price_round0,
+        |       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+        |       COALESCE(nullif(p_brand, 'Brand#1'), '(top)') AS brand_or_top
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS od,
+        |       CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       strftime(o_orderdate, '%B') AS month_name,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       CAST(DATE '2001-11-05' - CAST(o_orderdate AS DATE) AS INT) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT o_orderkey FROM (
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |   EXCEPT
+        |   SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0)
+        |  INTERSECT
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0
+        |) t ORDER BY o_orderkey""".stripMargin,
+    "q_conditional_agg" ->
+      s"""SELECT o_orderpriority,
+         |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         |       count(*) AS n,
+         |       ${Money.Sql.ratio2(Money.Sql.moneySum("o_totalprice"), "count(*)")} AS avg_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}
