@@ -22,7 +22,8 @@ object SparkEntry {
     queries("m_supplier_performance")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoverageQueries.queries ++ baseQueries
+    operators.CoverageQueries.queries ++
+      functions.TrainingQueries.queries ++ baseQueries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── mart pipelines (reference parity) ────────────────────────────
@@ -87,7 +88,8 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] =
-    operators.CoverageQueries.oracles ++ baseOracles
+    operators.CoverageQueries.oracles ++
+      functions.TrainingQueries.oracles ++ baseOracles
 
   private def baseOracles: Map[String, String] = Map(
     "m_supplier_performance" -> SupplierPerformance.oracleSql,

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Five families, in increasing fuzziness:
+  *   1. exact       — hash-groupBy on a normalized-content fingerprint;
+  *   2. ngramJaccard — word-shingle Jaccard over an inverted-index join
+  *                     (candidate pairs share ≥1 shingle — never O(n²));
+  *   3. minhash+LSH — per-doc signature of k min-hashes, banded into
+  *                    buckets; only bucket-mates become candidates;
+  *   4. simhash     — 64-bit weighted bit-vote fingerprint, near-dups =
+  *                    small hamming distance within band buckets;
+  *   5. embedding   — cosine near-dup with sign-LSH blocking (see
+  *                    [[Similarity]] for the shared primitives).
+  *
+  * Everything is built from codegen'd native functions. Min-hashes use
+  * md5 (identical hex rendering in Spark and DuckDB) so the LSH pipeline
+  * itself is oracle-comparable end-to-end; simhash uses xxhash64 +
+  * bitwise aggregation, verified by unit tests instead.
+  *
+  * Scale: the shuffles are (a) explode-shingles → groupBy shingle/bucket
+  * (skew-guard: frequent shingles capped via a document-frequency
+  * filter), (b) candidate-pair self-join co-partitioned on doc id. No
+  * driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** 3-word shingles of the normalized text (w1 w2 w3 windows). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalized(text), " ")
+    // transform over the index range, concat n consecutive tokens
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+      x => x.isNotNull)
+  }
+
+  /** Exact dedup groups: normalized-md5 fingerprint → group, keeper =
+    * min doc_id, group size. Downstream `filter(n_docs > 1)` is the
+    * "drop duplicates" set; emitting all groups keeps the operator pure.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (doc_id, shingle) pairs, with very frequent shingles
+    * dropped (document frequency > maxDf) — the classic stop-shingle
+    * skew guard: a shingle appearing in half the corpus would otherwise
+    * generate a quadratic candidate blow-up on one key.
+    */
+  def docShingles(docs: DataFrame, n: Int = 3, maxDf: Long = 1000): DataFrame = {
+    val ds = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    val df = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    ds.join(df, "shingle").select("doc_id", "shingle")
+  }
+
+  /** N-gram Jaccard near-dup pairs via inverted-index candidate join:
+    * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
+    * Emits pairs (a < b) with jaccard ≥ threshold.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Long = 1000): DataFrame = {
+    val ds = docShingles(docs, n, maxDf).cache()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = ds.toDF("doc_a", "shingle")
+    val b = ds.toDF("doc_b", "shingle")
+    val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("doc_a", "size_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signature component i: min over shingles of
+    * md5(i || '|' || shingle). String min over fixed-width hex = numeric
+    * min of the 128-bit hash; identical in any engine with md5.
+    */
+  private def minhashCol(i: Int): Column =
+    min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
+
+  /** Per-doc MinHash signatures (k components). */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 3,
+                        maxDf: Long = 1000): DataFrame =
+    docShingles(docs, n, maxDf)
+      .groupBy("doc_id")
+      .agg(minhashCol(0), (1 until k).map(minhashCol): _*)
+
+  /** MinHash-LSH candidate pairs: signatures banded (rowsPerBand hashes
+    * per band); docs sharing any band bucket become candidates; then the
+    * estimated similarity = fraction of matching signature components.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                 n: Int = 3, minEstSim: Double = 0.5,
+                 maxDf: Long = 1000): DataFrame = {
+    val sigs = minhashSignatures(docs, k, n, maxDf).cache()
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("|", cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val cand = bands.toDF("doc_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val simExpr = (0 until k)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.alias("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("est_jaccard", simExpr.cast("double") / k)
+      .filter(col("est_jaccard") >= minEstSim)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, each bit votes +1/−1, the
+    * fingerprint takes the sign of each bit's vote sum. Near-dups have
+    * small hamming distance. (xxhash64 has no DuckDB twin — unit-tested,
+    * not oracle-compared.)
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = explode(split(TextAnalysis.normalized(col("text")), " "))
+    val hashed = docs.select(col("doc_id"), tok.as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$b")
+    }
+    val votes = hashed.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
+    * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
+    * least one of the 4 bands — standard pigeonhole blocking).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs).cache()
+    val bands = (0 until 4).map { b =>
+      sh.select(col("doc_id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+    }.reduce(_ union _)
+    val cand = bands.toDF("doc_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

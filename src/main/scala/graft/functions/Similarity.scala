@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Primitives are native higher-order functions (`zip_with` +
+  * `aggregate`) — codegen-friendly, no UDF. Accumulation is a
+  * left-to-right double fold, so the same value is computed by any engine
+  * folding sequentially; similarity values are additionally rounded
+  * through a decimal cast ([[roundSim]]) before ranking/thresholding so
+  * last-ulp noise can never flip an ordering across engines.
+  *
+  * Three strategies:
+  *   - [[bruteTopK]]: exact cosine top-k (the baseline; one scan, one
+  *     TakeOrderedAndProject — no shuffle of the full corpus);
+  *   - [[ivfTopK]]: IVF-style — vectors pre-assigned to their nearest
+  *     centroid; queries probe only the nprobe nearest cells. At 100 TB
+  *     the assignment is a materialized, partition-pruned column;
+  *   - sign-LSH near-dup pairs ([[signLshPairs]]): random-hyperplane-
+  *     style blocking on the sign pattern of the leading dimensions.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Round a similarity to 9 decimals via decimal space (cross-engine
+    * deterministic; see graft.core.Money for the rationale).
+    */
+  def roundSim(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+      .cast("double")
+
+  /** Exact cosine top-k against a single query vector (1-row frame). */
+  def bruteTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
+    embeddings.crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+      .select(col("vec_id"), col("label"),
+        roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+
+  /** Assign every vector to its nearest centroid (argmax cosine,
+    * centroid_id tie-break). Centroids must be a small frame
+    * (centroid_id, cvec) — broadcast.
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+        roundSim(cosine(col("embedding"), col("cvec"))).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "embedding", "centroid_id")
+  }
+
+  /** IVF top-k: probe the nprobe centroids nearest to the query, then
+    * exact top-k within their cells only.
+    */
+  def ivfTopK(embeddings: DataFrame, centroids: DataFrame, query: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = assign(embeddings, centroids)
+    val probes = centroids
+      .crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+      .select(col("centroid_id"),
+        roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
+      .orderBy(desc("csim"), asc("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(probes), "centroid_id")
+      .crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+      .select(col("vec_id"), col("label"),
+        roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket of the first `dims` dimensions: 'PNNP…' pattern. */
+  def signBucket(vec: Column, dims: Int): Column =
+    concat((0 until dims).map(i =>
+      when(element_at(vec, i + 1) >= 0, "P").otherwise("N")): _*)
+
+  /** Embedding-cosine near-dup pairs, blocked by sign-LSH bucket:
+    * pairs (a < b) in the same bucket with cosine ≥ threshold.
+    */
+  def signLshPairs(embeddings: DataFrame, threshold: Double,
+                   dims: Int = 8): DataFrame = {
+    val withBucket = embeddings
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), dims).as("bucket"))
+    withBucket.toDF("vec_a", "emb_a", "bucket")
+      .join(withBucket.toDF("vec_b", "emb_b", "bucket"), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

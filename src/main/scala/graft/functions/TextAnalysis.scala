@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, language ID, fingerprinting.
+  * All built from codegen'd native functions (no UDFs) so they stay
+  * inside whole-stage codegen on the 100 TB path; every computed value is
+  * reproducible in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Small multilingual stopword marker sets for the n-gram/stopword
+    * language-ID heuristic (public common-word lists).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人"))
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexical tokens: word pieces or single non-space symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Per-document quality metrics (length / punctuation / stopword
+    * ratios), one row per doc. Ratios are exact-rational-free doubles but
+    * every operand is integer-derived, so cross-engine equality holds.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(englishStopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(regexTokens(col("text"))).as("n_lex_tokens"),
+      (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+        length(col("text"))).as("punct_ratio"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        length(col("text"))).as("alpha_ratio"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks)).as("stopword_ratio"),
+      (length(col("text")).cast("double") / size(toks)).as("avg_token_len"))
+  }
+
+  /** Stopword-marker language ID: score = marker hits per language,
+    * argmax with alphabetical tie-break, 'und' (undetermined) when no
+    * marker hits at all.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("text") +:
+        markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+          val arr = array(ws.map(lit): _*)
+          size(filter(toks, t => array_contains(arr, t))).as(s"score_$lang")
+        }): _*)
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    // argmax; the when-chain runs in alphabetical order so the first
+    // language hitting the max wins ties deterministically
+    val pick = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      (col("doc_id") +: langs.map(l => col(s"score_$l")) :+
+        pick.as("predicted_lang")): _*)
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish lexical tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexTokens(col("text"))).as("lex_tokens"))
+
+  /** Content fingerprints: md5 of the whitespace-normalized text (the
+    * canonical exact-dedup key) plus a 64-bit FNV-1a rolling hash
+    * computed natively (xxhash64 is Spark-only, so the oracle-comparable
+    * fingerprint is the md5; fnv is exercised by unit tests).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = normalized(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("md5_fp"),
+      xxhash64(norm).as("xx64_fp"))
+  }
+
+  /** lower + collapse whitespace + trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Verifiable queries for the training-data operators (text analysis,
+  * dedup families, similarity search) with DuckDB oracle twins.
+  * Shared SQL fragments keep the two sides in lock-step.
+  */
+object TrainingQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // normalized text (lower + collapse whitespace + trim), DuckDB side
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  // 3-word shingle document pairs pipeline, DuckDB side
+  private val shingleCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |shing AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks),
+       |flt AS (SELECT shingle FROM shing GROUP BY shingle HAVING count(*) <= 1000),
+       |ds AS (SELECT s.doc_id, s.shingle FROM shing s JOIN flt USING (shingle))
+       |""".stripMargin
+  // double-fold dot product, DuckDB side (matches Similarity.dot)
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normSqlOf(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String): String =
+    s"CAST(ROUND(CAST(${dotSql(a, b)} / (${normSqlOf(a)} * ${normSqlOf(b)}) AS DECIMAL(20,12)), 9) AS DOUBLE)"
+
+  def queries: Map[String, Q] = Map(
+    "ts_quality" -> ((s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
+    "ts_langid" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+    "ts_tokens_fp" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.tokenCounts(docs)
+        .join(TextAnalysis.fingerprints(docs).select("doc_id", "md5_fp"),
+          "doc_id")
+        .orderBy("doc_id")
+    }),
+    "dd_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.2)
+        .orderBy("doc_a", "doc_b")),
+    "dd_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25)
+        .orderBy("doc_a", "doc_b")),
+    // simhash: no DuckDB twin for xxhash64 — rows-only + unit tests
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "ann_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(e, centroids, e.filter(col("vec_id") === 0),
+        k = 10, nprobe = 4)
+    }),
+    "dd_embed_cos" -> ((s, d) =>
+      Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy("vec_a", "vec_b")))
+
+  def oracles: Map[String, String] = Map(
+    "ts_quality" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INT) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_lex_tokens,
+        |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |            t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS stopword_ratio,
+        |       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_langid" -> {
+      val scoreSql = TextAnalysis.markers.toSeq.sortBy(_._1).map {
+        case (lang, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS INT) AS score_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pick = langs.map(l =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |       $scoreSql
+         |  FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |       CASE $pick ELSE 'und' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "ts_tokens_fp" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS lex_tokens,
+         |       md5($normSql) AS md5_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd_exact" ->
+      s"""SELECT md5($normSql) AS fp,
+         |       min(doc_id) AS keeper_doc_id,
+         |       count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_ngram_jaccard" -> (shingleCtes +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)
+        |, common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM ds a JOIN ds b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dd_minhash_lsh" -> (shingleCtes + {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(",\n         ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS bucket FROM sigs")
+        .mkString("\n  UNION ALL ")
+      val simSum = (0 until 8)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""", sigs AS (
+         |  SELECT doc_id,
+         |         $mins
+         |  FROM ds GROUP BY doc_id)
+         |, bands AS (
+         |  $bands)
+         |, cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($simSum AS DOUBLE) / 8 AS est_jaccard
+         |FROM cand
+         |JOIN sigs a ON doc_a = a.doc_id
+         |JOIN sigs b ON doc_b = b.doc_id
+         |WHERE CAST($simSum AS DOUBLE) / 8 >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }),
+    "ann_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings CROSS JOIN q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |          FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |assigned AS (
+         |  SELECT vec_id, label, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id FROM cents CROSS JOIN q
+         |  ORDER BY ${cosSql("cvec", "qv")} DESC, centroid_id ASC LIMIT 4)
+         |SELECT a.vec_id, a.label, ${cosSql("a.embedding", "qv")} AS sim
+         |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "dd_embed_cos" -> {
+      val bucket = (0 until 8)
+        .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN 'P' ELSE 'N' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM wb a JOIN wb b USING (bucket)
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
+}
