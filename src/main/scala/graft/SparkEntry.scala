@@ -16,6 +16,7 @@ import graft.sources.{Entities, OracleCtes}
   */
 object SparkEntry {
   private val clock = RunClock.fixed
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -23,7 +24,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoverageQueries.queries ++
-      functions.TrainingQueries.queries ++ baseQueries
+      functions.TrainingQueries.queries ++
+      sqllab.SqlLab.queries ++ baseQueries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── mart pipelines (reference parity) ────────────────────────────
@@ -54,6 +56,15 @@ object SparkEntry {
         // row-deterministic oracle compare.
         .orderBy("SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME", "QUANTITY",
           "PRICE", "SALE_AMOUNT")),
+
+    // ── streaming (engine extension; batch twin = oracle) ────────────
+    "st_events_hourly" -> ((s, d) =>
+      streaming.EventsStream.hourlyAggStreaming(s, d,
+        s"graft_hourly_${streamCounter.incrementAndGet()}")
+        .orderBy("hour_start", "event_type")),
+    "q_sessionize" -> ((s, d) =>
+      streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
+        .orderBy("user_id", "session_idx")),
 
     // ── operator coverage: aggregation (A2/A4, TPC-H Q1 shape) ───────
     "q1_agg" -> ((s, d) => {
@@ -89,9 +100,24 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     operators.CoverageQueries.oracles ++
-      functions.TrainingQueries.oracles ++ baseOracles
+      functions.TrainingQueries.oracles ++
+      sqllab.SqlLab.oracles ++ baseOracles
 
   private def baseOracles: Map[String, String] = Map(
+    "st_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |g AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM f),
+        |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "m_supplier_performance" -> SupplierPerformance.oracleSql,
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,

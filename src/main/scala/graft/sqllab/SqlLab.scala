@@ -1,0 +1,151 @@
+package graft.sqllab
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.RunClock
+import graft.marts._
+import graft.sources.{Entities, OracleCtes}
+
+/** SQL serving: the reference's 8 Superset BI queries
+  * (the .sql files under `Superset-Query-Lab`) adapted to `spark.sql` over the
+  * engine's materialized mart views (SURVEY §3.3 — in the reference
+  * these run on Postgres over `legacy.*`; here the SQL front door and
+  * the DataFrame pipelines share one Catalyst engine).
+  *
+  * Adaptations, kept minimal and documented:
+  *  - `legacy.<t>` → temp view `<t>`; quoted idents unquoted;
+  *  - `current_date` → the injected run date (determinism);
+  *  - `EXTRACT(MONTH FROM d)` → `month(d)` (both dialects);
+  *  - double SUMs routed through the DECIMAL(38,6) pattern (identical
+  *    SQL text runs on both engines — see graft.core.Money);
+  *  - ranking queries get an explicit unique tie-break column.
+  */
+object SqlLab {
+  private val clock = RunClock.fixed
+
+  /** Money-pattern SQL fragments valid in BOTH Spark SQL and DuckDB. */
+  private def sum2(e: String): String =
+    s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(38,6))), 2) AS DOUBLE)"
+  private def ratio2(num: String, den: String): String =
+    s"CAST(ROUND(CAST(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS DECIMAL(38,10)), 2) AS DOUBLE)"
+
+  /** Register the source-entity and mart views the lab queries expect. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    val suppliers = Entities.suppliers(spark, sfDir)
+    val customers = Entities.customers(spark, sfDir)
+    val products = Entities.products(spark, sfDir)
+    val sales = Entities.sales(spark, sfDir)
+    suppliers.createOrReplaceTempView("suppliers")
+    customers.createOrReplaceTempView("customers")
+    products.createOrReplaceTempView("products")
+    sales.createOrReplaceTempView("sales")
+    val sp = SupplierPerformance.build(suppliers, products, sales, clock)
+    sp.createOrReplaceTempView("supplier_performance")
+    CustomerSalesReport.build(customers, products, sales, sp, clock)
+      .createOrReplaceTempView("customer_sales_report")
+  }
+
+  /** Spark-SQL texts (also valid DuckDB modulo the mart-view CTEs). */
+  val sql: Map[String, String] = Map(
+    // Sales/Payment_Mode_Distribution.sql:1-8
+    "sql_payment_mode_dist" ->
+      """SELECT payment_mode AS PAYMENT_MODE, count(*) AS N_SALES
+        |FROM sales GROUP BY payment_mode ORDER BY payment_mode""".stripMargin,
+    // Sales/Total_Order_Over_Time.sql:1-9 (current_date → run date)
+    "sql_total_order_over_time" ->
+      s"""SELECT SALE_DATE, ${sum2("SALE_AMOUNT")} AS TOTAL_SALES
+         |FROM customer_sales_report
+         |WHERE SALE_DATE > DATE '2001-11-05' - 8
+         |GROUP BY SALE_DATE ORDER BY SALE_DATE""".stripMargin,
+    // Sales/Average_Order_Value.sql:1-14
+    "sql_avg_order_value" ->
+      s"""SELECT CONCAT(SALE_MONTH, '-', SALE_YEAR) AS MONTH_YEAR,
+         |       ${ratio2(s"SUM(CAST(SALE_AMOUNT AS DECIMAL(38,6)))", "COUNT(SALE_ID)")} AS AVG_ORDER_VALUE
+         |FROM customer_sales_report
+         |WHERE SALE_DATE > DATE '2001-11-05' - 150
+         |GROUP BY SALE_MONTH, SALE_YEAR, month(SALE_DATE)
+         |ORDER BY month(SALE_DATE), SALE_YEAR""".stripMargin,
+    // Sales/Revenue_By_Region.sql:1-11
+    "sql_revenue_by_region" ->
+      s"""SELECT s.region AS REGION, ${sum2("sp.TOTAL_REVENUE")} AS REGIONAL_REVENUE
+         |FROM supplier_performance sp
+         |JOIN suppliers s ON trim(s.supplier_id) = trim(sp.SUPPLIER_ID)
+         |GROUP BY s.region ORDER BY s.region""".stripMargin,
+    // Sales/Monthly_Sales_Heatmap.sql:1-30
+    "sql_monthly_heatmap" ->
+      s"""SELECT CONCAT(
+         |         CASE SALE_MONTH
+         |           WHEN 'January' THEN '01' WHEN 'February' THEN '02'
+         |           WHEN 'March' THEN '03' WHEN 'April' THEN '04'
+         |           WHEN 'May' THEN '05' WHEN 'June' THEN '06'
+         |           WHEN 'July' THEN '07' WHEN 'August' THEN '08'
+         |           WHEN 'September' THEN '09' WHEN 'October' THEN '10'
+         |           WHEN 'November' THEN '11' WHEN 'December' THEN '12'
+         |         END, ' - ', SALE_MONTH) AS SALE_MONTH_ORDERED,
+         |       SALE_YEAR,
+         |       ${sum2("SALE_AMOUNT")} AS SUM_SALE
+         |FROM customer_sales_report
+         |GROUP BY SALE_MONTH, SALE_YEAR
+         |ORDER BY SALE_MONTH_ORDERED ASC, SALE_YEAR DESC
+         |LIMIT 100""".stripMargin,
+    // Suppliers/Product_Contribution_By_Region.sql:1-11
+    "sql_product_contribution" ->
+      """SELECT s.region AS REGION, count(p.product_id) AS N_PRODUCTS
+        |FROM products p
+        |JOIN suppliers s ON trim(s.supplier_id) = trim(p.supplier_id)
+        |GROUP BY s.region ORDER BY s.region""".stripMargin,
+    // Suppliers/Supplier_Performance_By_Revenue.sql:1-8
+    "sql_supplier_perf_by_revenue" ->
+      s"""SELECT SUPPLIER_ID,
+         |       CAST(SUM(TOTAL_PRODUCTS_SOLD) AS BIGINT) AS SUM_PRODUCTS_SOLD,
+         |       ${sum2("TOTAL_REVENUE")} AS SUM_REVENUE
+         |FROM supplier_performance
+         |GROUP BY SUPPLIER_ID ORDER BY SUPPLIER_ID""".stripMargin,
+    // Suppliers/Top_Selling_Supplier_Products.sql:1-30 (+product_id tie-break)
+    "sql_top_supplier_products" ->
+      """SELECT SUPPLIER_ID, PRODUCT_ID, TOP_SELLING_PRODUCT, CATEGORY, TOTAL_REVENUE
+        |FROM (
+        |  SELECT sp.SUPPLIER_ID, sp.TOP_SELLING_PRODUCT, p.product_name AS PRODUCT_NAME,
+        |         p.product_id AS PRODUCT_ID, p.category AS CATEGORY, sp.TOTAL_REVENUE,
+        |         ROW_NUMBER() OVER (PARTITION BY sp.SUPPLIER_ID
+        |           ORDER BY sp.TOTAL_REVENUE DESC, p.product_id ASC) AS rnk
+        |  FROM supplier_performance sp
+        |  JOIN products p
+        |    ON trim(p.supplier_id) = trim(sp.SUPPLIER_ID)
+        |   AND trim(p.product_name) = trim(sp.TOP_SELLING_PRODUCT)
+        |) subquery
+        |WHERE subquery.rnk = 1
+        |ORDER BY SUPPLIER_ID""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sql.map { case (name, text) =>
+      name -> ((s: SparkSession, d: String) => {
+        registerViews(s, d)
+        s.sql(text)
+      })
+    }
+
+  /** DuckDB oracles: the same SQL over CTE-materialized mart views (the
+    * mart oracle queries nest as scoped WITH-subqueries).
+    */
+  def oracles: Map[String, String] = {
+    val martCtes =
+      s"""WITH sp_full AS (${SupplierPerformance.oracleSql}),
+         |supplier_performance AS (
+         |  SELECT "SUPPLIER_ID" AS SUPPLIER_ID,
+         |         "TOTAL_REVENUE" AS TOTAL_REVENUE,
+         |         "TOTAL_PRODUCTS_SOLD" AS TOTAL_PRODUCTS_SOLD,
+         |         "TOP_SELLING_PRODUCT" AS TOP_SELLING_PRODUCT
+         |  FROM sp_full),
+         |csr_full AS (${CustomerSalesReport.oracleSql}),
+         |customer_sales_report AS (
+         |  SELECT "SALE_ID" AS SALE_ID, "SALE_DATE" AS SALE_DATE,
+         |         "SALE_MONTH" AS SALE_MONTH, "SALE_YEAR" AS SALE_YEAR,
+         |         "SALE_AMOUNT" AS SALE_AMOUNT
+         |  FROM csr_full),
+         |${OracleCtes.suppliers},
+         |${OracleCtes.products},
+         |${OracleCtes.sales}
+         |""".stripMargin
+    sql.map { case (name, text) => name -> (martCtes + text) }
+  }
+}

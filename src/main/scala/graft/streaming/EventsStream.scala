@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Money
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference is batch-only (SURVEY §2.13) — its "temporal" dimension
+  * is daily DAY_DT snapshots. This module is the engine's streaming
+  * extension: the same daily-ingest semantics expressed as a file-source
+  * stream with watermarked tumbling windows, plus a stateful sessionizer
+  * (`flatMapGroupsWithState`). Each streaming computation has a batch
+  * twin with identical semantics, used for oracle verification and as
+  * the backfill path (classic kappa-style replay).
+  */
+object EventsStream {
+
+  /** Batch twin: hourly tumbling counts/sums per event_type. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.round2(Money.moneySum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming version: file-source stream over the same parquet, 10-min
+    * watermark, complete-mode memory sink, drained synchronously.
+    * Returns the result as a batch DataFrame (for verification; a real
+    * deployment would writeStream to a sink).
+    */
+  def hourlyAggStreaming(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source wants a directory: stream the sf dir with a glob
+    // filter selecting just the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.round2(Money.moneySum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Batch sessionizer: sessions split on gaps > gapMinutes, windowed
+    * lag + running sum (exact integer epoch math, oracle-comparable).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+  }
+
+  final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
+  final case class SessionState(sessionIdx: Long, lastUs: Long,
+                                n: Long, startUs: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long,
+                              n_events: Long, start_us: Long, end_us: Long)
+
+  /** Stateful streaming sessionizer (`flatMapGroupsWithState`): emits a
+    * session when a later event arrives past the gap. Used by the spec
+    * to cross-check [[sessionizeBatch]]; events must arrive in ts order
+    * per user within a batch (the spec feeds them sorted).
+    */
+  def sessionizeStateful(spark: SparkSession,
+                         events: org.apache.spark.sql.Dataset[Ev],
+                         gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0))
+          sorted.foreach { e =>
+            if (st.n == 0) st = SessionState(1, e.tsUs, 1, e.tsUs)
+            else if (e.tsUs - st.lastUs > gapUs) {
+              out += SessionOut(userId, st.sessionIdx, st.n, st.startUs, st.lastUs)
+              st = SessionState(st.sessionIdx + 1, e.tsUs, 1, e.tsUs)
+            } else st = st.copy(lastUs = e.tsUs, n = st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush helper for the stateful sessionizer's final open sessions in
+    * tests: the batch twin is the source of truth for totals.
+    */
+}
