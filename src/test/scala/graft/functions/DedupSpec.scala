@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // d1/d2 exact dups (modulo case+whitespace), d3 near-dup of d1 (one
+  // word changed), d4 unrelated
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "The quick  brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the sleepy dog again and again"),
+    (4L, "completely different content with no overlap whatsoever here ok"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val groups = Dedup.exact(docs).collect()
+    val dupGroup = groups.filter(_.getLong(2) > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getLong(1) == 1L, "keeper is min doc_id")
+    assert(dupGroup.head.getLong(2) == 2L)
+  }
+
+  test("shingles: n-word windows of normalized text") {
+    val sh = docs.filter($"doc_id" === 4)
+      .select(org.apache.spark.sql.functions.explode(
+        Dedup.shingles($"text", 3)).as("s"))
+      .as[String].collect()
+    assert(sh.length == 7, "9 tokens -> 7 trigrams")
+    assert(sh.head == "completely different content")
+    assert(sh.last == "overlap whatsoever here ok".split(" ").drop(1).mkString(" "))
+  }
+
+  test("ngram jaccard: dups score 1.0, near-dups high, unrelated absent") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces the duplicate pair with est 1.0") {
+    val pairs = Dedup.minhashLsh(docs, minEstSim = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, "identical shingle sets -> identical sigs")
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs identical fp; near-dups within hamming 16") {
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val d14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(d13 < d14, "one-word change closer than unrelated text")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+
+  test("self-similarity tops the brute-force ranking at 1.0") {
+    val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0), 5)
+      .collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-6)
+    val sims = top.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "descending order")
+  }
+
+  test("IVF with full probe coverage equals brute force") {
+    val centroids = emb.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0)
+    val ivfAll = Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteTopK(emb, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute, "nprobe = all centroids ⇒ exact")
+  }
+
+  test("IVF with partial probing returns a subset of the corpus ranking") {
+    val centroids = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0)
+    val out = Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 2).collect()
+    assert(out.length == 5)
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("sign-LSH pairs are symmetric-free (a < b) and above threshold") {
+    val pairs = Similarity.signLshPairs(emb.limit(200), threshold = 0.2)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RaptorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(rows: (Int, String, Double)*) =
+    rows.toDF("id", "name", "amount")
+
+  test("diff of identical frames is empty with zero-mismatch summary") {
+    val df = frame((1, "a", 1.5), (2, "b", 2.5))
+    val r = Raptor.compare(df, df, Seq("id"))
+    assert(r.colMismatch.isEmpty)
+    assert(r.sourceExtra.isEmpty && r.targetExtra.isEmpty)
+    val values = r.summary.collect()
+      .map(x => x.getString(1) -> x.getString(2)).toMap
+    assert(values("Number of rows mismatch ") == "0")
+    assert(values("Number of rows in common ") == "2")
+  }
+
+  test("cell mutations attributed to the right column; extras partitioned") {
+    val src = frame((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5))
+    val tgt = frame((1, "a", 9.9), (2, "B", 2.5), (4, "d", 4.5))
+    val r = Raptor.compare(src, tgt, Seq("id"))
+    val mism = r.colMismatch.collect()
+      .map(x => (x.getString(0), x.getString(3))).toSet
+    assert(mism == Set(("1", "amount"), ("2", "name")))
+    assert(r.sourceExtra.select("id").as[String].collect().toSet == Set("3"))
+    assert(r.targetExtra.select("id").as[String].collect().toSet == Set("4"))
+    val colSum = r.columnSummary.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(colSum == Map("amount" -> 1L, "name" -> 1L))
+  }
+
+  test("null and empty string both normalize to '' (reference semantics)") {
+    val src = Seq((1, Option("x")), (2, None)).toDF("id", "v")
+    val tgt = Seq((1, Option("x")), (2, Option(""))).toDF("id", "v")
+    val r = Raptor.compare(src, tgt, Seq("id"))
+    assert(r.colMismatch.isEmpty,
+      "NULL vs '' is not a mismatch under na.fill('') — documented pitfall")
+  }
+
+  test("summary percentage uses exact half-up rendering") {
+    // 1 mismatch out of 3 common = 33.33%
+    val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+    val tgt = frame((1, "a", 9.0), (2, "b", 2.0), (3, "c", 3.0))
+    val r = Raptor.compare(src, tgt, Seq("id"))
+    val values = r.summary.collect()
+      .map(x => x.getString(1) -> x.getString(2)).toMap
+    assert(values("Row Mismatch Percentage ") == "33.33%")
+    val pct = r.columnSummary.collect().head.getString(2)
+    assert(pct == "33.33%")
+  }
+}
