@@ -69,7 +69,11 @@ object TrainingQueries {
     }),
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.assets(Tables.documents(s, d)))
+        .toDF().orderBy("asset_id")))
 
   def oracles: Map[String, String] = Map(
     "ts_quality" ->
@@ -174,6 +178,18 @@ object TrainingQueries {
          |SELECT a.vec_id, a.label, ${cosSql("a.embedding", "qv")} AS sim
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "mm_features" ->
+      """WITH a AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |SELECT doc_id AS asset_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       CAST(nb AS INT) AS n_bytes,
+        |       md5(text) AS sha,
+        |       CAST(nb % 640 AS INT) AS width,
+        |       CAST((nb * 7) % 480 AS INT) AS height,
+        |       CAST(least(nb // 32, 16) AS INT) AS n_frames
+        |FROM a ORDER BY asset_id""".stripMargin,
     "dd_embed_cos" -> {
       val bucket = (0 until 8)
         .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN 'P' ELSE 'N' END")

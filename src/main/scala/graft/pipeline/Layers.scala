@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 4-layer medallion of the reference (`utils.py:160-177`): raw
+  * (per-run snapshot, overwrite), legacy (full history, append keyed by
+  * DAY_DT), staging (overwrite + MERGE), work (validation outputs) —
+  * here as path-namespaced parquet datasets under one root.
+  */
+final case class LayerCatalog(root: String) {
+  def path(layer: String, table: String): String = s"$root/$layer/$table"
+  def raw(table: String): String = path("raw", table)
+  def legacy(table: String): String = path("legacy", table)
+  def staging(table: String): String = path("staging", table)
+  def work(table: String): String = path("work", table)
+  def reporting(table: String): String = path("reporting", table)
+}
+
+/** Layered writers.
+  *
+  * The reference writes JDBC with overwrite/append (`utils.py:214-246`)
+  * and parquet with `repartition(2)` (`utils.py:250-263`). Our legacy
+  * layer gains REAL daily partitioning: `partitionBy("DAY_DT")` makes the
+  * reference's logical DAY_DT convention physical, so day-filtered reads
+  * prune partitions instead of scanning history (SURVEY §1.5) — the
+  * difference between reading one day and reading 100 TB.
+  */
+object LayerWriter {
+
+  def overwrite(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite").parquet(dest)
+
+  /** Append today's slice into a DAY_DT-partitioned history table. */
+  def appendDaily(df: DataFrame, dest: String): Unit =
+    df.write.mode("append").partitionBy("DAY_DT").parquet(dest)
+
+  /** Reporting export: the day slice, shrunk to a couple of files
+    * (reference `repartition(2)`, `utils.py:261` — `coalesce` avoids the
+    * extra shuffle).
+    */
+  def exportDaily(df: DataFrame, dayDt: java.sql.Date, dest: String): Unit =
+    df.filter(col("DAY_DT") === lit(dayDt))
+      .coalesce(2)
+      .write.mode("append").parquet(dest)
+
+  /** MERGE upsert into a parquet target with write-temp-then-swap
+    * atomicity (the reference gets transactional MERGE from Postgres,
+    * `utils.py:434-435`; on files we stage the merged result and swap
+    * directories so readers never observe a torn table).
+    */
+  def mergeInto(spark: SparkSession, stage: DataFrame, dest: String,
+                keys: Seq[String], preserved: Seq[String]): Unit = {
+    import graft.operators.MergeUpsert
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val merged =
+      if (fs.exists(destPath)) {
+        val target = spark.read.parquet(dest)
+        MergeUpsert.merge(target.select(stage.columns.map(col): _*), stage,
+          keys, preserved)
+      } else stage
+    val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    fs.rename(tmp, destPath)
+  }
+}
+
+/** Pinned entity schemas + positional conform (the reference imposes
+  * canonical names by column position after inferred ingest,
+  * `ingestion_tasks.py:48-52` — P2 in SURVEY §2.3; we add explicit casts
+  * so inferred-type drift can't leak through, SURVEY §7.4(6)).
+  */
+object Conform {
+  import org.apache.spark.sql.types._
+
+  val schemas: Map[String, StructType] = Map(
+    "suppliers" -> StructType(Seq(
+      StructField("supplier_id", StringType),
+      StructField("supplier_name", StringType),
+      StructField("contact_details", StringType),
+      StructField("region", StringType))),
+    "customers" -> StructType(Seq(
+      StructField("customer_id", StringType),
+      StructField("name", StringType),
+      StructField("city", StringType),
+      StructField("email", StringType),
+      StructField("phone_number", StringType))),
+    "products" -> StructType(Seq(
+      StructField("product_id", StringType),
+      StructField("product_name", StringType),
+      StructField("category", StringType),
+      StructField("selling_price", DoubleType),
+      StructField("cost_price", DoubleType),
+      StructField("stock_quantity", IntegerType),
+      StructField("reorder_level", IntegerType),
+      StructField("supplier_id", StringType))),
+    "sales" -> StructType(Seq(
+      StructField("sale_id", LongType),
+      StructField("customer_id", StringType),
+      StructField("product_id", StringType),
+      StructField("sale_date", DateType),
+      StructField("quantity", IntegerType),
+      StructField("discount", DoubleType),
+      StructField("shipping_cost", DoubleType),
+      StructField("order_status", StringType),
+      StructField("payment_mode", StringType))))
+
+  /** Positional rename + explicit cast to the pinned schema. */
+  def conform(df: DataFrame, entity: String): DataFrame = {
+    val schema = schemas(entity)
+    require(df.columns.length == schema.length,
+      s"$entity expects ${schema.length} columns, got ${df.columns.length}")
+    df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+}

