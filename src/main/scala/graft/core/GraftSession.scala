@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // local-mode: default 64m advisory would coalesce small CPU-heavy
+      // shuffles (md5 minhash etc.) down to one thread
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

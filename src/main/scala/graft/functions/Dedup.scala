@@ -28,16 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-word shingles of the normalized text (w1 w2 w3 windows). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalized(text), " ")
-    // transform over the index range, concat n consecutive tokens
-    filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-      x => x.isNotNull)
+  /** n-word windows over a token array, built as a zip_with fold over
+    * n shifted slices. Each slice references the token expression a
+    * CONSTANT number of times per row; a naive
+    * `transform((x, i) => … element_at(toks, i+j) …)` re-evaluates the
+    * token expression per element (Catalyst inlines column aliases into
+    * lambdas), which turns an inline `split(regexp_replace(…))` into a
+    * quadratic regex blow-up.
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    val width = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), width)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), width), (a, b) => concat_ws(" ", a, b))
+    }
   }
+
+  /** Shingles of a raw text column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(split(TextAnalysis.normalized(text), " "), n)
 
   /** Exact dedup groups: normalized-md5 fingerprint → group, keeper =
     * min doc_id, group size. Downstream `filter(n_docs > 1)` is the
@@ -55,9 +63,14 @@ object Dedup {
     * generate a quadratic candidate blow-up on one key.
     */
   def docShingles(docs: DataFrame, n: Int = 3, maxDf: Long = 1000): DataFrame = {
+    // cached: both the df-filter and the candidate join consume it, and
+    // recomputing means re-running the explode + distinct shuffle
     val ds = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
+      .cache()
     val df = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     ds.join(df, "shingle").select("doc_id", "shingle")
@@ -109,26 +122,28 @@ object Dedup {
                  n: Int = 3, minEstSim: Double = 0.5,
                  maxDf: Long = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, k, n, maxDf).cache()
+    // bands carry the full signature so the bucket self-join yields the
+    // estimate directly — one shuffle join instead of candidate-distinct
+    // plus two signature re-joins
     val bands = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh_$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("|", cols: _*).as("bucket"))
+      sigs.select(col("doc_id") +: lit(b).as("band") +:
+        concat_ws("|", cols: _*).as("bucket") +:
+        (0 until k).map(i => col(s"mh_$i")): _*)
     }.reduce(_ union _)
-    val cand = bands.toDF("doc_a", "band", "bucket")
-      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val aCols = Seq("doc_a", "band", "bucket") ++ (0 until k).map(i => s"a_$i")
+    val bCols = Seq("doc_b", "band", "bucket") ++ (0 until k).map(i => s"b_$i")
     val simExpr = (0 until k)
-      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sigs.alias("a"), col("doc_a") === col("a.doc_id"))
-      .join(sigs.alias("b"), col("doc_b") === col("b.doc_id"))
+    bands.toDF(aCols: _*)
+      .join(bands.toDF(bCols: _*), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard", simExpr.cast("double") / k)
       .filter(col("est_jaccard") >= minEstSim)
       .select("doc_a", "doc_b", "est_jaccard")
+      .distinct()
   }
 
   /** 64-bit SimHash: per-token xxhash64, each bit votes +1/−1, the
