@@ -84,16 +84,18 @@ object TextAnalysis {
       size(regexTokens(col("text"))).as("lex_tokens"))
 
   /** Content fingerprints: md5 of the whitespace-normalized text (the
-    * canonical exact-dedup key) plus a 64-bit FNV-1a rolling hash
-    * computed natively (xxhash64 is Spark-only, so the oracle-comparable
-    * fingerprint is the md5; fnv is exercised by unit tests).
+    * canonical exact-dedup key), Spark's block-based xxhash64, and the
+    * engine's own codegen'd FNV-1a rolling hash ([[Fnv1a64]]). The
+    * oracle-comparable fingerprint is the md5; the native hashes are
+    * exercised by unit tests.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = normalized(col("text"))
     docs.select(
       col("doc_id"),
       md5(norm).as("md5_fp"),
-      xxhash64(norm).as("xx64_fp"))
+      xxhash64(norm).as("xx64_fp"),
+      Fnv1a64.fnv1a64(norm).as("fnv_fp"))
   }
 
   /** lower + collapse whitespace + trim. */

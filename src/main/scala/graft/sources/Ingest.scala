@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion sources beyond parquet (SURVEY §2.1).
+  *
+  * S3  — CSV with header + schema inference (the reference reads daily
+  *       sales drops this way, `ingestion_tasks.py:269-273`);
+  * S5  — REST-JSON: the reference fetches JSON on the driver and builds a
+  *       DataFrame by Row reflection (`utils.py:31-84`,
+  *       `ingestion_tasks.py:41-44`). The HTTP client is an adapter
+  *       outside the engine; the engine-side operator is "local JSON
+  *       payload → DataFrame", via Spark's JSON datasource on a
+  *       Dataset[String] (schema inference included);
+  * S6  — local rows → DataFrame (`Raptor.py:435`).
+  *
+  * Inferred schemas are then pinned by `Conform.conform` (positional
+  * rename + cast), so type drift in a daily file can't leak downstream
+  * (SURVEY §7.4(6)).
+  */
+object Ingest {
+
+  /** S3: CSV scan, header + inference (plus explicit-schema overload
+    * for production paths — inference reads the file twice).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S5: a JSON array/lines payload already on the driver → DataFrame. */
+  def readJsonPayload(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(jsonLines))
+  }
+
+  /** S6: local rows with an explicit schema. */
+  def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.TestSpark
+import graft.sources.Ingest
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference FNV-1a (property oracle for the codegen'd
+    * Catalyst expression).
+    */
+  private def fnvRef(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    h
+  }
+
+  test("Fnv1a64 expression matches the reference implementation (property)") {
+    val gen = Gen.listOfN(50, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.nonEmptyListOf(Gen.choose('\u0080', '\u4e50')).map(_.mkString)))
+    val strs = (1 to 5).flatMap(i => gen.apply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)).get)
+    val got = strs.toDF("s")
+      .select(Fnv1a64.fnv1a64(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == strs.map(fnvRef))
+  }
+
+  test("Fnv1a64 survives both codegen and interpreted paths, null-safe") {
+    val df = Seq(Some("abc"), None, Some("")).toDF("s")
+      .select(Fnv1a64.fnv1a64(col("s")).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == fnvRef("abc"))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 0xcbf29ce484222325L, "empty = offset basis")
+  }
+
+  test("ModeAgg agrees with the window-based mode incl. tie-breaks") {
+    val rows = Seq(
+      (1, "UPI"), (1, "UPI"), (1, "Cash"),
+      (2, "Cash"), (2, "UPI"),         // tie -> smaller value: Cash
+      (3, "Card")).toDF("k", "v")
+    val agg = rows.as[(Int, String)].groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(ModeAgg.toColumn.name("mode"))
+      .collect().toMap
+    // window-based mode (the reference's W2 shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(desc("cnt"), asc("v"))
+    val windowed = rows.groupBy("k", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(agg == windowed)
+    assert(agg(2) == "Cash")
+  }
+
+  test("ModeAgg reduce/merge are associative-safe on splits") {
+    val vals = Seq("a", "b", "a", "c", "a", "b")
+    val whole = vals.foldLeft(ModeAgg.zero)(ModeAgg.reduce)
+    val (l, r) = vals.splitAt(3)
+    val merged = ModeAgg.merge(
+      l.foldLeft(ModeAgg.zero)(ModeAgg.reduce),
+      r.foldLeft(ModeAgg.zero)(ModeAgg.reduce))
+    assert(ModeAgg.finish(whole) == ModeAgg.finish(merged))
+    assert(ModeAgg.finish(whole) == "a")
+  }
+
+  test("Ingest: CSV with header+inference round-trips typed data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f,
+      "id,name,price\n1,widget,9.99\n2,gadget,19.5\n")
+    val df = Ingest.readCsv(spark, f.toString)
+    assert(df.schema.map(_.dataType.typeName) ==
+      Seq("integer", "string", "double"))
+    assert(df.count() == 2)
+  }
+
+  test("Ingest: local JSON payload via Row reflection path") {
+    val df = Ingest.readJsonPayload(spark, Seq(
+      """{"id": 1, "tags": ["a", "b"], "score": 0.5}""",
+      """{"id": 2, "tags": [], "score": 1.5}"""))
+    assert(df.count() == 2)
+    assert(df.select(sum("score")).first().getDouble(0) == 2.0)
+  }
+
+  test("fingerprints: three hash families over normalized text") {
+    val fps = TextAnalysis.fingerprints(
+      Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text"))
+      .collect()
+    assert(fps(0).getString(1) == fps(1).getString(1), "md5 normalized equal")
+    assert(fps(0).getLong(3) == fps(1).getLong(3), "fnv normalized equal")
+    assert(fps(0).getLong(3) == fnvRef("hello world"))
+  }
+}
