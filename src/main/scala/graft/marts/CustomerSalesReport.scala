@@ -25,8 +25,16 @@ import graft.core.{Money, RunClock}
   */
 object CustomerSalesReport {
 
+  /** @param exactTiers true (default): tier cutoffs via exact in-plan
+    *                    percentiles — deterministic and oracle-comparable.
+    *                    false: the reference's exact mechanism — a
+    *                    driver-side `df.stat.approxQuantile(…, 0.01)`
+    *                    (Greenwald–Khanna sketch, A10) whose outputs
+    *                    become literals in the downstream plan.
+    */
   def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
-            supplierPerformance: DataFrame, clock: RunClock): DataFrame = {
+            supplierPerformance: DataFrame, clock: RunClock,
+            exactTiers: Boolean = true): DataFrame = {
     val prod = products.select("product_id", "product_name", "category",
       "selling_price")
     val sal = sales.select("sale_id", "customer_id", "product_id",
@@ -81,10 +89,19 @@ object CustomerSalesReport {
         .as("agg_sales_amount"))
 
     // Exact 0.5/0.8 percentile cutoffs as a 1-row broadcast (replaces the
-    // reference's driver-side approxQuantile + Python literals).
-    val cutoffs = aggCustomer.agg(
-      percentile(col("agg_sales_amount"), lit(0.5)).as("silver_tier"),
-      percentile(col("agg_sales_amount"), lit(0.8)).as("gold_tier"))
+    // reference's driver-side approxQuantile + Python literals); the
+    // approx path reproduces the reference mechanism verbatim.
+    val cutoffs =
+      if (exactTiers)
+        aggCustomer.agg(
+          percentile(col("agg_sales_amount"), lit(0.5)).as("silver_tier"),
+          percentile(col("agg_sales_amount"), lit(0.8)).as("gold_tier"))
+      else {
+        val Array(silver, gold) = aggCustomer.stat
+          .approxQuantile("agg_sales_amount", Array(0.5, 0.8), 0.01)
+        aggCustomer.sparkSession.range(1)
+          .select(lit(silver).as("silver_tier"), lit(gold).as("gold_tier"))
+      }
 
     val tiered = aggCustomer.crossJoin(broadcast(cutoffs))
       .withColumn("loyalty_tier",

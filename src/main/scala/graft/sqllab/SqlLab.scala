@@ -28,21 +28,31 @@ object SqlLab {
   private def ratio2(num: String, den: String): String =
     s"CAST(ROUND(CAST(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS DECIMAL(38,10)), 2) AS DOUBLE)"
 
+  // mart views are cached per (session, sfDir): the 8 lab queries all
+  // re-read them, and without this each query re-derives the full mart
+  // pipeline (the reference amortizes the same way — BI SQL runs over
+  // MATERIALIZED mart tables, not over the ETL plan)
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** Register the source-entity and mart views the lab queries expect. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    val suppliers = Entities.suppliers(spark, sfDir)
-    val customers = Entities.customers(spark, sfDir)
-    val products = Entities.products(spark, sfDir)
-    val sales = Entities.sales(spark, sfDir)
-    suppliers.createOrReplaceTempView("suppliers")
-    customers.createOrReplaceTempView("customers")
-    products.createOrReplaceTempView("products")
-    sales.createOrReplaceTempView("sales")
-    val sp = SupplierPerformance.build(suppliers, products, sales, clock)
-    sp.createOrReplaceTempView("supplier_performance")
-    CustomerSalesReport.build(customers, products, sales, sp, clock)
-      .createOrReplaceTempView("customer_sales_report")
-  }
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    if (registered.add((spark, sfDir))) {
+      val suppliers = Entities.suppliers(spark, sfDir)
+      val customers = Entities.customers(spark, sfDir)
+      val products = Entities.products(spark, sfDir)
+      val sales = Entities.sales(spark, sfDir)
+      suppliers.createOrReplaceTempView("suppliers")
+      customers.createOrReplaceTempView("customers")
+      products.createOrReplaceTempView("products")
+      sales.createOrReplaceTempView("sales")
+      val sp = SupplierPerformance.build(suppliers, products, sales, clock)
+        .cache()
+      sp.createOrReplaceTempView("supplier_performance")
+      CustomerSalesReport.build(customers, products, sales, sp, clock)
+        .cache()
+        .createOrReplaceTempView("customer_sales_report")
+    }
 
   /** Spark-SQL texts (also valid DuckDB modulo the mart-view CTEs). */
   val sql: Map[String, String] = Map(

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.RunClock
+import graft.marts.{CustomerSalesReport, SupplierPerformance}
+import graft.sources.{Entities, Tables}
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * of dimensions, whole-stage codegen on the hot path.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val plan = formatted(
+      Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") > 40 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_quantity"))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("IsNotNull(l_quantity)") ||
+      plan.contains("GreaterThan(l_quantity"), plan)
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val plan = formatted(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice"))
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("supplier mart broadcasts its dimension joins") {
+    val plan = formatted(SupplierPerformance.build(
+      Entities.suppliers(spark, sf), Entities.products(spark, sf),
+      Entities.sales(spark, sf), RunClock.fixed))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    // simple-mode plan marks codegen stages with "*(n)"; under AQE the
+    // final plan only exists after execution
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
+  test("approxQuantile tier path (reference A10 mechanism) still tiers") {
+    val out = CustomerSalesReport.build(
+      Entities.customers(spark, sf), Entities.products(spark, sf),
+      Entities.sales(spark, sf),
+      SupplierPerformance.build(Entities.suppliers(spark, sf),
+        Entities.products(spark, sf), Entities.sales(spark, sf),
+        RunClock.fixed),
+      RunClock.fixed, exactTiers = false)
+    val tiers = out.select("LOYALTY_TIER").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tiers.subsetOf(Set("GOLD", "SILVER", "BRONZE")) && tiers.size >= 2)
+  }
+}
