@@ -66,6 +66,18 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── §2.9 JSON functions over the events props payload ────────────
+    "q_json_funcs" -> ((s, d) => {
+      val ev = sources.Tables.events(s, d)
+      ev.select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ── operator coverage: aggregation (A2/A4, TPC-H Q1 shape) ───────
     "q1_agg" -> ((s, d) => {
       val li = sources.Tables.lineitem(s, d)
@@ -122,6 +134,12 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
