@@ -12,9 +12,27 @@ import graft.functions.{ModeAgg, TextAnalysis}
 object Demo {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder(master = "local[4]",
-      shufflePartitions = 4).getOrCreate()
+      shufflePartitions = 4)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_demo_wh").toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    println("[demo] custom expression via the SQL front door:")
+    spark.sql("SELECT fnv1a64('hello world') AS fnv").show(false)
+
+    println("[demo] bucketed co-located join (no shuffle):")
+    val l = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val r = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    graft.pipeline.LayerWriter.writeBucketed(l, "demo_l", "k", 4)
+    graft.pipeline.LayerWriter.writeBucketed(r, "demo_r", "k", 4)
+    val j = spark.table("demo_l").join(spark.table("demo_r"), "k")
+    j.collect()
+    println("  exchanges in plan: " +
+      j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning")))
 
     val docs = Seq((1L, "Hello  World"), (2L, "hello world"),
       (3L, "spark engine")).toDF("doc_id", "text")

@@ -44,6 +44,19 @@ object LayerWriter {
       .coalesce(2)
       .write.mode("append").parquet(dest)
 
+  /** Bucketed managed table: co-locates future joins/aggregations on
+    * the bucket key — both sides bucketed by the same key with the same
+    * bucket count join with ZERO shuffle (SURVEY §7.4(9): at 100 TB the
+    * fact⨝fact joins on orderkey should be bucket-co-located, not
+    * shuffled per query). Requires the session catalog (`saveAsTable`).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** MERGE upsert into a parquet target with write-temp-then-swap
     * atomicity (the reference gets transactional MERGE from Postgres,
     * `utils.py:434-435`; on files we stage the merged result and swap
