@@ -51,62 +51,70 @@ object CustomerMetrics {
         col("m.discount"), col("m.sale_date"), col("m.city"), col("m.email"),
         col("m.phone_number"), col("p.product_id"), col("p.selling_price"))
 
-    val aggTrans = jnrFull
-      .groupBy("customer_id", "name", "city", "email", "phone_number")
+    // SINGLE fact pass at (customer, payment_mode) grain: decimal/count
+    // partials re-aggregate exactly to customer grain via window sums,
+    // and the mode is the row_number-1 row of the same frame — the naive
+    // form (8-way agg + separate mode groupBy + join-back) scans and
+    // shuffles the fact twice.
+    val perMode = jnrFull
+      .groupBy("customer_id", "name", "city", "email", "phone_number",
+        "payment_mode")
       .agg(
-        sum(col("quantity")).as("agg_total_orders"),
-        max(col("sale_date")).as("agg_last_purchase_date"),
-        min(col("sale_date")).as("agg_first_purchase_date"),
-        coalesce(Money.moneySum(col("shipping_cost")), lit(0).cast(Money.SumDec))
-          .as("agg_total_shipping_cost"),
-        coalesce(Money.moneySum(col("quantity") * col("selling_price")),
-          lit(0).cast(Money.SumDec)).as("agg_expenditure"),
-        coalesce(
-          Money.moneySum(
-            col("quantity") * col("selling_price") * col("discount") / lit(100)),
-          lit(0).cast(Money.SumDec)).as("agg_total_amount_savings"),
+        count(lit(1)).as("agg_cnt"),
+        sum(col("quantity")).as("p_total_orders"),
+        max(col("sale_date")).as("p_last_purchase"),
+        min(col("sale_date")).as("p_first_purchase"),
+        Money.moneySum(col("shipping_cost")).as("p_shipping"),
+        Money.moneySum(col("quantity") * col("selling_price")).as("p_expenditure"),
+        Money.moneySum(
+          col("quantity") * col("selling_price") * col("discount") / lit(100))
+          .as("p_savings"),
         sum(when(col("order_status") === "Delivered", lit(1)).otherwise(lit(0)))
-          .as("agg_delivered_orders_count"),
+          .as("p_delivered"),
         sum(when(col("order_status") === "Cancelled", lit(1)).otherwise(lit(0)))
-          .as("agg_cancelled_orders_count"))
+          .as("p_cancelled"))
+
+    val w = Window.partitionBy("customer_id")
+    val wMode = w.orderBy(desc("agg_cnt"), asc_nulls_first("payment_mode"))
+    val perCustomer = perMode
+      .withColumn("agg_total_orders", sum(col("p_total_orders")).over(w))
+      .withColumn("agg_last_purchase_date", max(col("p_last_purchase")).over(w))
+      .withColumn("agg_first_purchase_date", min(col("p_first_purchase")).over(w))
+      .withColumn("agg_total_shipping_cost",
+        coalesce(sum(col("p_shipping")).over(w), lit(0).cast(Money.SumDec)))
+      .withColumn("agg_expenditure",
+        coalesce(sum(col("p_expenditure")).over(w), lit(0).cast(Money.SumDec)))
+      .withColumn("agg_total_amount_savings",
+        coalesce(sum(col("p_savings")).over(w), lit(0).cast(Money.SumDec)))
+      .withColumn("agg_delivered_orders_count", sum(col("p_delivered")).over(w))
+      .withColumn("agg_cancelled_orders_count", sum(col("p_cancelled")).over(w))
+      .withColumn("rnk", row_number().over(wMode))
+      .filter(col("rnk") === 1)
+
+    perCustomer
       .withColumn("average_order_value",
         coalesce(Money.ratio2(col("agg_expenditure"), col("agg_total_orders")),
           lit(0.0)))
       .withColumn("active_customer_flag",
         when(col("agg_last_purchase_date") >= date_sub(clock.runDateCol, 4),
           lit("TRUE")).otherwise(lit("FALSE")))
-
-    val w = Window.partitionBy("customer_id")
-      .orderBy(desc("agg_cnt"), asc_nulls_first("payment_mode"))
-    val rnkPaymentMode = jnrFull
-      .groupBy("customer_id", "payment_mode")
-      .agg(count(lit(1)).as("agg_cnt"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .drop("rnk")
-
-    aggTrans.alias("agg")
-      .join(rnkPaymentMode.alias("rnk"),
-        col("agg.customer_id") === col("rnk.customer_id"), "left")
       .select(
-        col("agg.customer_id").as("CUSTOMER_ID"),
-        col("agg.name").as("CUSTOMER_NAME"),
-        coalesce(col("agg.agg_total_orders"), lit(0L)).as("TOTAL_ORDERS"),
-        Money.round2(col("agg.agg_total_amount_savings"))
-          .as("TOTAL_AMOUNT_SAVINGS"),
-        Money.round2(col("agg.agg_total_shipping_cost"))
-          .as("TOTAL_SHIPPING_COST"),
-        Money.round2(col("agg.agg_expenditure")).as("EXPENDITURE"),
-        col("agg.average_order_value").as("AVERAGE_ORDER_VALUE"),
-        col("agg.agg_first_purchase_date").as("FIRST_PURCHASE_DATE"),
-        col("agg.agg_last_purchase_date").as("LAST_PURCHASE_DATE"),
-        col("rnk.payment_mode").as("MOST_USED_PAYMENT_MODE"),
-        col("agg.agg_delivered_orders_count").as("DELIVERED_ORDERS_COUNT"),
-        col("agg.agg_cancelled_orders_count").as("CANCELLED_ORDERS_COUNT"),
-        col("agg.active_customer_flag").as("ACTIVE_CUSTOMER_FLAG"),
-        col("agg.city").as("CITY"),
-        col("agg.email").as("EMAIL"),
-        col("agg.phone_number").as("PHONE_NUMBER"),
+        col("customer_id").as("CUSTOMER_ID"),
+        col("name").as("CUSTOMER_NAME"),
+        coalesce(col("agg_total_orders"), lit(0L)).as("TOTAL_ORDERS"),
+        Money.round2(col("agg_total_amount_savings")).as("TOTAL_AMOUNT_SAVINGS"),
+        Money.round2(col("agg_total_shipping_cost")).as("TOTAL_SHIPPING_COST"),
+        Money.round2(col("agg_expenditure")).as("EXPENDITURE"),
+        col("average_order_value").as("AVERAGE_ORDER_VALUE"),
+        col("agg_first_purchase_date").as("FIRST_PURCHASE_DATE"),
+        col("agg_last_purchase_date").as("LAST_PURCHASE_DATE"),
+        col("payment_mode").as("MOST_USED_PAYMENT_MODE"),
+        col("agg_delivered_orders_count").as("DELIVERED_ORDERS_COUNT"),
+        col("agg_cancelled_orders_count").as("CANCELLED_ORDERS_COUNT"),
+        col("active_customer_flag").as("ACTIVE_CUSTOMER_FLAG"),
+        col("city").as("CITY"),
+        col("email").as("EMAIL"),
+        col("phone_number").as("PHONE_NUMBER"),
         clock.loadTsCol.as("LOAD_TIMESTAMP"),
         clock.loadTsCol.as("UPDATE_TIMESTAMP"))
   }

@@ -58,37 +58,43 @@ object SupplierPerformance {
     val revenueExpr =
       (col("selling_price") - col("selling_price") * col("discount") / 100.0) *
         col("quantity")
+    // reference computes per-product revenue with a different (but
+    // algebraically equal) fp expression ((sp*q)*(1-d/100), :132-138);
+    // keep its exact per-row op order for the ranking column
+    val productRevenueExpr =
+      (col("selling_price") * col("quantity")) * (lit(1) - col("discount") / 100.0)
 
-    val aggTrans = jnrMaster
-      .groupBy("supplier_id")
-      .agg(
-        coalesce(Money.round2(Money.moneySum(revenueExpr)), lit(0.0))
-          .as("total_revenue"),
-        count(col("sale_id")).as("total_products_sold"),
-        coalesce(sum(col("quantity")), lit(0L)).as("total_stock_sold"))
-
-    // Per-(supplier, product) revenue; reference expresses the same product
-    // differently ((sp*q)*(1-d/100), :132-138) — algebraically equal but a
-    // different fp expression, so we keep its exact op order per-row.
+    // SINGLE fact pass: aggregate once at (supplier, product) grain with
+    // decimal partials, then derive BOTH the supplier totals (window
+    // sums of exact decimal partials ≡ direct sums) and the top-product
+    // rank from that small frame. The naive two-groupBy form scans and
+    // joins the fact twice — at 100 TB that's 2x the dominant cost.
     val perProduct = jnrMaster
-      .withColumn("product_revenue",
-        (col("selling_price") * col("quantity")) * (lit(1) - col("discount") / 100.0))
       .groupBy("supplier_id", "product_name")
-      .agg(Money.round2(Money.moneySum(col("product_revenue")))
-        .as("product_revenue"))
+      .agg(
+        Money.moneySum(revenueExpr).as("rev_dec"),
+        Money.round2(Money.moneySum(productRevenueExpr)).as("product_revenue"),
+        count(col("sale_id")).as("cnt"),
+        sum(col("quantity")).as("qty"))
 
     val w = Window.partitionBy("supplier_id")
-      .orderBy(desc_nulls_last("product_revenue"), asc("product_name"))
-    val topProduct = perProduct
-      .withColumn("rnk", row_number().over(w))
+    val wRank = w.orderBy(desc_nulls_last("product_revenue"), asc("product_name"))
+    val perSupplier = perProduct
+      .withColumn("total_revenue",
+        coalesce(Money.round2(sum(col("rev_dec")).over(w)), lit(0.0)))
+      .withColumn("total_products_sold",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("total_stock_sold",
+        coalesce(sum(col("qty")).over(w), lit(0L)))
+      .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") === 1)
-      .select(col("supplier_id"), col("product_name").as("top_product"))
+      .select(col("supplier_id"), col("total_revenue"),
+        col("total_products_sold"), col("total_stock_sold"),
+        col("product_name").as("top_product"))
 
-    aggTrans.alias("agg")
+    perSupplier.alias("agg")
       .join(broadcast(sup.alias("s2")),
         trim(col("agg.supplier_id")) === trim(col("s2.supplier_id")), "left")
-      .join(broadcast(topProduct.alias("rr")),
-        trim(col("agg.supplier_id")) === trim(col("rr.supplier_id")), "left")
       .select(
         clock.runDateCol.as("DAY_DT"),
         col("agg.supplier_id").as("SUPPLIER_ID"),
@@ -96,7 +102,7 @@ object SupplierPerformance {
         col("agg.total_revenue").as("TOTAL_REVENUE"),
         col("agg.total_products_sold").as("TOTAL_PRODUCTS_SOLD"),
         col("agg.total_stock_sold").as("TOTAL_STOCK_SOLD"),
-        col("rr.top_product").as("TOP_SELLING_PRODUCT"))
+        col("agg.top_product").as("TOP_SELLING_PRODUCT"))
   }
 
   /** DuckDB oracle — same algebra over the OracleCtes entity views. */
