@@ -100,19 +100,28 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** MinHash signature component i: min over shingles of
-    * md5(i || '|' || shingle). String min over fixed-width hex = numeric
-    * min of the 128-bit hash; identical in any engine with md5.
+  /** Per-doc MinHash signatures (k components, k ≤ 8).
+    *
+    * Component i is the min over shingles of an 8-hex-char (32-bit)
+    * slice of md5(prefix || shingle): slices of one 128-bit hash are
+    * independent 32-bit hash functions, so two md5 evaluations per
+    * shingle yield 8 components — computed ONCE per row in a projection
+    * (an md5 inside each min() aggregate would be re-evaluated per
+    * aggregate). String min over fixed-width hex = numeric min;
+    * identical in any engine with md5.
     */
-  private def minhashCol(i: Int): Column =
-    min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
-
-  /** Per-doc MinHash signatures (k components). */
   def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 3,
-                        maxDf: Long = 1000): DataFrame =
-    docShingles(docs, n, maxDf)
-      .groupBy("doc_id")
-      .agg(minhashCol(0), (1 until k).map(minhashCol): _*)
+                        maxDf: Long = 1000): DataFrame = {
+    require(k <= 8, "k > 8 needs more md5 prefixes")
+    val hashed = docShingles(docs, n, maxDf).select(
+      col("doc_id"),
+      md5(concat(lit("0|"), col("shingle"))).as("h0"),
+      md5(concat(lit("1|"), col("shingle"))).as("h1"))
+    val comps = (0 until k).map { i =>
+      min(substring(col(s"h${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"mh_$i")
+    }
+    hashed.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+  }
 
   /** MinHash-LSH candidate pairs: signatures banded (rowsPerBand hashes
     * per band); docs sharing any band bucket become candidates; then the

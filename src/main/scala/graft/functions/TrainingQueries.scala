@@ -132,7 +132,8 @@ object TrainingQueries {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dd_minhash_lsh" -> (shingleCtes + {
       val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(",\n         ")
+        .map(i => s"min(substr(md5('${i / 4}|' || shingle), ${1 + 8 * (i % 4)}, 8)) AS mh_$i")
+        .mkString(",\n         ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS bucket FROM sigs")
         .mkString("\n  UNION ALL ")
