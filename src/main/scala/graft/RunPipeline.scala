@@ -5,22 +5,26 @@ import graft.pipeline.{LayerCatalog, MetaMorphPipeline}
 
 /** CLI entry: run the daily pipeline (or an N-day backfill) end-to-end.
   *
-  *   runMain graft.RunPipeline <sfDir> <catalogRoot> [days]
+  *   runMain graft.RunPipeline <sfDir> <catalogRoot> [days] [--idempotent]
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: graft.RunPipeline <sfDir> <catalogRoot> [backfillDays]")
+    val positional = args.filterNot(_.startsWith("--"))
+    if (positional.length < 2) {
+      System.err.println(
+        "usage: graft.RunPipeline <sfDir> <catalogRoot> [backfillDays] [--idempotent]")
       sys.exit(2)
     }
-    val Array(sfDir, root) = args.take(2)
-    val days = if (args.length > 2) args(2).toInt else 1
+    val Array(sfDir, root) = positional.take(2)
+    val days = if (positional.length > 2) positional(2).toInt else 1
+    val idempotent = args.contains("--idempotent")
     val spark = GraftSession.local()
     val catalog = LayerCatalog(root)
     val t0 = System.nanoTime()
     val runs =
       if (days <= 1)
-        Seq(MetaMorphPipeline.runDaily(spark, sfDir, catalog, RunClock.fixed))
+        Seq(MetaMorphPipeline.runDaily(spark, sfDir, catalog, RunClock.fixed,
+          idempotent))
       else MetaMorphPipeline.backfill(spark, sfDir, catalog, RunClock.fixed, days)
     val secs = (System.nanoTime() - t0) / 1e9
     runs.zipWithIndex.foreach { case (order, i) =>

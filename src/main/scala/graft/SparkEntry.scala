@@ -92,6 +92,38 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ── headline: TPC-H Q3 shape (join + agg + top-k by revenue) ─────
+    "q3_shipping_priority" -> ((s, d) => {
+      import sources.Tables._
+      val li = lineitem(s, d)
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      li.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi"
+        )
+        .groupBy(col("l_orderkey"))
+        .agg(core.Money.round2(core.Money.moneySum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(20)
+    }),
+
+    // ── headline: TPC-H Q18 shape (agg + having semi-join back) ──────
+    "q18_large_orders" -> ((s, d) => {
+      import sources.Tables._
+      val li = lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = orders(s, d)
+      o.join(big, col("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     // ── operator coverage: multi-way join + agg (J15 shape) ──────────
     "q_revenue_by_region" -> ((s, d) => {
       import sources.Tables._
@@ -149,6 +181,26 @@ object SparkEntry {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |       ${core.Money.Sql.round2(core.Money.Sql.moneySum("l_extendedprice * (1 - l_discount)"))} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM customer
+         |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(l_quantity) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_revenue_by_region" ->
       s"""SELECT r_name,
          |       ${core.Money.Sql.round2(core.Money.Sql.moneySum("l_extendedprice * (1 - l_discount)"))} AS revenue,

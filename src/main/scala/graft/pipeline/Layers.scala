@@ -35,6 +35,17 @@ object LayerWriter {
   def appendDaily(df: DataFrame, dest: String): Unit =
     df.write.mode("append").partitionBy("DAY_DT").parquet(dest)
 
+  /** Idempotent daily write: dynamic partition overwrite replaces ONLY
+    * the DAY_DT partitions present in `df`, leaving history intact — a
+    * re-run of the same day cannot double its slice (the reference's
+    * plain append has that hazard; its dup gates only check the frame
+    * being written, not the table).
+    */
+  def overwriteDaily(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("DAY_DT").parquet(dest)
+
   /** Reporting export: the day slice, shrunk to a couple of files
     * (reference `repartition(2)`, `utils.py:261` — `coalesce` avoids the
     * extra shuffle).

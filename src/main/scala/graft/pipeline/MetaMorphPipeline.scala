@@ -37,10 +37,18 @@ object MetaMorphPipeline {
 
   /** One daily run (the `meta_morph_pipeline` DAG body). Returns the
     * executed stage order.
+    *
+    * @param idempotent false (default): the reference's append semantics
+    *                   — re-running a day duplicates its slice. true:
+    *                   dynamic partition overwrite of the day's DAY_DT
+    *                   partitions, making re-runs and backfill repairs
+    *                   safe ([[LayerWriter.overwriteDaily]]).
     */
   def runDaily(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
-               clock: RunClock): Seq[String] = {
+               clock: RunClock, idempotent: Boolean = false): Seq[String] = {
     val day = clock.runDateCol
+    val writeDaily: (org.apache.spark.sql.DataFrame, String) => Unit =
+      if (idempotent) LayerWriter.overwriteDaily else LayerWriter.appendDaily
 
     def ingest(name: String, df: DataFrame, pk: Seq[String]): Stage =
       Stage(s"ingest_$name", Nil) { () =>
@@ -48,7 +56,7 @@ object MetaMorphPipeline {
         DuplicateChecker.assertNoDuplicates(
           conformed.select(pk.map(col): _*), pk)
         LayerWriter.overwrite(conformed, catalog.raw(s"${name}_pre"))
-        LayerWriter.appendDaily(conformed.withColumn("DAY_DT", day),
+        writeDaily(conformed.withColumn("DAY_DT", day),
           catalog.legacy(name))
       }
 
@@ -65,7 +73,7 @@ object MetaMorphPipeline {
       Stage("ingest_sales", Nil) { () =>
         val conformed = Conform.conform(Entities.sales(spark, sfDir), "sales")
         LayerWriter.overwrite(conformed, catalog.raw("sales_pre"))
-        LayerWriter.appendDaily(conformed.withColumn("DAY_DT", day),
+        writeDaily(conformed.withColumn("DAY_DT", day),
           catalog.legacy("sales"))
       },
       Stage("m_supplier_performance",
@@ -73,13 +81,13 @@ object MetaMorphPipeline {
         val out = SupplierPerformance.build(
           raw("suppliers"), raw("products"), raw("sales"), clock)
         DuplicateChecker.assertNoDuplicates(out, Seq("DAY_DT", "SUPPLIER_ID"))
-        LayerWriter.appendDaily(out, catalog.legacy("supplier_performance"))
+        writeDaily(out, catalog.legacy("supplier_performance"))
       },
       Stage("m_product_performance",
         Seq("ingest_products", "ingest_sales")) { () =>
         val out = ProductPerformance.build(raw("products"), raw("sales"), clock)
         DuplicateChecker.assertNoDuplicates(out, Seq("DAY_DT", "PRODUCT_ID"))
-        LayerWriter.appendDaily(out, catalog.legacy("product_performance"))
+        writeDaily(out, catalog.legacy("product_performance"))
       },
       Stage("m_customer_metrics",
         Seq("ingest_customers", "ingest_products", "ingest_sales")) { () =>
@@ -102,7 +110,7 @@ object MetaMorphPipeline {
         DuplicateChecker.assertNoDuplicates(out,
           Seq("DAY_DT", "SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME",
             "QUANTITY", "PRICE"))
-        LayerWriter.appendDaily(out, catalog.legacy("customer_sales_report"))
+        writeDaily(out, catalog.legacy("customer_sales_report"))
       }) ++
       // dynamic fan-out export of the daily slice (meta_morph_etl.py:54-61)
       Seq("supplier_performance", "product_performance",

@@ -58,6 +58,22 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming CSV-drop ingest: the reference's daily sales file drop
+    * (`gs://meta-morph-flow/<yyyymmdd>/sales_<yyyymmdd>.csv`,
+    * `ingestion_tasks.py:269-273`) as a file-source stream — new files
+    * appearing under `dropDir` are ingested continuously with a pinned
+    * schema (inference is not allowed on streams, which also closes the
+    * reference's inferred-type-drift hazard, SURVEY §7.4(6)).
+    * Returns the running stream; callers attach their sink.
+    */
+  def csvDropStream(spark: SparkSession, dropDir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "16")
+      .csv(dropDir)
+
   /** Batch sessionizer: sessions split on gaps > gapMinutes, windowed
     * lag + running sum (exact integer epoch math, oracle-comparable).
     */
