@@ -98,6 +98,20 @@ object TextAnalysis {
       Fnv1a64.fnv1a64(norm).as("fnv_fp"))
   }
 
+  /** Corpus vocabulary: token → document frequency + total occurrences,
+    * the vocab-building pass of a training-data pipeline. One explode +
+    * one shuffle; `topK` bounds the result via TakeOrderedAndProject.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(normalized(col("text")), " ")).as("token"))
+    tok.groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_frequency"))
+      .orderBy(desc("occurrences"), asc("token"))
+      .limit(topK)
+  }
+
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -45,6 +45,8 @@ object TrainingQueries {
           "doc_id")
         .orderBy("doc_id")
     }),
+    "ts_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), topK = 100)),
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -112,6 +114,13 @@ object TrainingQueries {
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS lex_tokens,
          |       md5($normSql) AS md5_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_vocab" ->
+      s"""SELECT token, count(*) AS occurrences,
+         |       count(DISTINCT doc_id) AS doc_frequency
+         |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |      FROM documents) t
+         |GROUP BY token
+         |ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
     "dd_exact" ->
       s"""SELECT md5($normSql) AS fp,
          |       min(doc_id) AS keeper_doc_id,
