@@ -112,6 +112,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TF-IDF scores per (doc, token): tf × ln(N / df). The logarithm is
+    * rounded through decimal space (9 dp) so libm ulp differences can't
+    * break cross-engine equality (same trick as Similarity.roundSim).
+    */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(normalized(col("text")), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        round((col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+          .cast("double"))
+      .select("doc_id", "token", "tf", "df", "tf_idf")
+  }
+
+  /** Deterministic hash-based train/validation/test split: the md5 of
+    * the id assigns each doc to a bucket in [0, 256); cut points carve
+    * the split. Reproducible across engines, runs, and cluster layouts —
+    * the property random `sample()` lacks. Also the primitive for
+    * hash-systematic sampling (`bucket < pct * 256 / 100`).
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val trainCut = trainPct * 256 / 100
+    val valCut = (trainPct + valPct) * 256 / 100
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainCut, "train")
+          .when(col("split_bucket") < valCut, "validation")
+          .otherwise("test"))
+  }
+
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

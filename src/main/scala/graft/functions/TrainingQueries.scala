@@ -47,6 +47,14 @@ object TrainingQueries {
     }),
     "ts_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), topK = 100)),
+    "ts_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(Tables.documents(s, d))
+        .orderBy("doc_id", "token")),
+    "ts_split" -> ((s, d) =>
+      TextAnalysis.hashSplit(Tables.documents(s, d))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("split")),
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -114,6 +122,27 @@ object TrainingQueries {
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS lex_tokens,
          |       md5($normSql) AS md5_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT doc_id, token, tf, df,
+         |       CAST(ROUND(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(20,12)), 9) AS DOUBLE) AS tf_idf
+         |FROM tf JOIN idf USING (token) CROSS JOIN n
+         |ORDER BY doc_id, token""".stripMargin,
+    "ts_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 204 THEN 'train'
+        |            WHEN b < 230 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n, min(doc_id) AS min_doc
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
     "ts_vocab" ->
       s"""SELECT token, count(*) AS occurrences,
          |       count(DISTINCT doc_id) AS doc_frequency

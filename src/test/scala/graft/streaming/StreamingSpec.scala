@@ -39,6 +39,39 @@ class StreamingSpec extends AnyFunSuite {
       "closed sessions identical; open tail sessions withheld by state")
   }
 
+  test("watermark drops late rows in append-mode windowed aggregation") {
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), 1.0),
+        (ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark
+      input.addData((ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      // this event is LATE: watermark has passed its window end
+      input.addData((ts("2024-01-01 10:30:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_test")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00") == 2,
+        s"late 10:30 event must be dropped, got $rows")
+    } finally q.stop()
+  }
+
   test("sessionizer splits on gaps > 30 minutes") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
