@@ -28,11 +28,13 @@ object MergeUpsert {
             preserved: Seq[String] = Seq.empty): DataFrame = {
     require(target.columns.sameElements(stage.columns),
       "target and stage must share a schema")
-    val t = target.alias("t")
-    val s = stage.alias("s")
+    // presence markers (a key column itself may legally be NULL under
+    // the <=> join, so key-null probes can't detect row presence)
+    val t = target.withColumn("__t_present", lit(1)).alias("t")
+    val s = stage.withColumn("__s_present", lit(1)).alias("s")
     val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val stageMatched = col(s"s.${keys.head}").isNotNull
-    val targetMatched = col(s"t.${keys.head}").isNotNull
+    val stageMatched = col("s.__s_present").isNotNull
+    val targetMatched = col("t.__t_present").isNotNull
     val outCols = target.columns.toSeq.map { c =>
       if (keys.contains(c))
         coalesce(col(s"s.$c"), col(s"t.$c")).as(c)

@@ -141,4 +141,32 @@ object Raptor {
 
     Result(colMismatch, sourceExtra, targetExtra, summary, columnSummary)
   }
+
+  /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls
+    * for): no string canonicalization, no `na.fill('')` — each column is
+    * compared with null-safe `<=>` on its NATIVE type, so NULL ≠ '' and
+    * double/timestamp rendering differences can't mask or invent diffs.
+    * Output matches the fingerprint mode's column-diff shape, with
+    * values rendered to string only for display.
+    */
+  def compareTyped(sourceDF: DataFrame, targetDF: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val valueCols = sourceDF.columns.toSeq.filterNot(keys.contains)
+    val src = sourceDF.alias("s")
+    val tgt = targetDF.select(sourceDF.columns.map(col): _*).alias("t")
+    val joinCond = keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
+    val joined = src.join(tgt, joinCond, "inner")
+    val diffs = valueCols.map { c =>
+      when(!(col(s"s.$c") <=> col(s"t.$c")),
+        struct(col(s"s.$c").cast("string").as("source_value"),
+          col(s"t.$c").cast("string").as("target_value"),
+          lit(c).as("mismatch_column_name")))
+    }
+    joined
+      .select(keys.map(k => col(s"s.$k").as(k)) :+
+        explode(filter(array(diffs: _*), x => x.isNotNull)).as("d"): _*)
+      .select(keys.map(col) :+
+        col("d.source_value") :+ col("d.target_value") :+
+        col("d.mismatch_column_name"): _*)
+  }
 }

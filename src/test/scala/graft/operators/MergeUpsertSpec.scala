@@ -35,4 +35,13 @@ class MergeUpsertSpec extends AnyFunSuite {
     val out = MergeUpsert.merge(target, target, Seq("id"), Seq("load_ts"))
     assert(out.except(target).isEmpty && target.except(out).isEmpty)
   }
+
+  test("null keys match via <=> and presence markers, not key probes") {
+    val t = Seq((Option("a"), 1.0), (None, 2.0)).toDF("id", "v")
+    val s = Seq((Option.empty[String], 9.0), (Option("b"), 3.0)).toDF("id", "v")
+    val out = MergeUpsert.merge(t, s, Seq("id"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(out(None) == 9.0, "null key matched null key, stage wins")
+    assert(out(Some("a")) == 1.0 && out(Some("b")) == 3.0)
+  }
 }

@@ -43,6 +43,20 @@ class RaptorSpec extends AnyFunSuite {
       "NULL vs '' is not a mismatch under na.fill('') — documented pitfall")
   }
 
+  test("typed compare distinguishes NULL from '' and keeps native types") {
+    val src = Seq((1, Option("x"), 1.5), (2, None, 2.5), (3, Option("z"), 3.5))
+      .toDF("id", "v", "amount")
+    val tgt = Seq((1, Option("x"), 1.5), (2, Option(""), 2.5), (3, Option("z"), 3.50001))
+      .toDF("id", "v", "amount")
+    // fingerprint mode conflates NULL and '' (reference semantics):
+    assert(Raptor.compare(src, tgt, Seq("id")).colMismatch
+      .filter($"id" === "2").isEmpty)
+    // typed mode catches both the NULL≠'' and the tiny double diff:
+    val typed = Raptor.compareTyped(src, tgt, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(typed == Set((2, "v"), (3, "amount")))
+  }
+
   test("summary percentage uses exact half-up rendering") {
     // 1 mismatch out of 3 common = 33.33%
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
