@@ -66,6 +66,30 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── grouping sets: rollup over region/nation (absent in reference,
+    //    free from Spark/Catalyst — SURVEY §2.5 note) ──────────────────
+    "q_rollup" -> ((s, d) => {
+      import sources.Tables._
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          grouping_id().as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // ── pivot: payment-mode counts as columns ────────────────────────
+    "q_pivot" -> ((s, d) =>
+      sources.Entities.sales(s, d)
+        .groupBy("order_status")
+        .pivot("payment_mode",
+          Seq("Credit Card", "Debit Card", "UPI", "Cash on Delivery"))
+        .agg(count(lit(1)))
+        .toDF("order_status", "credit_card", "debit_card", "upi", "cash_on_delivery")
+        .na.fill(0)  // pivot yields NULL for absent combos; oracle yields 0
+        .orderBy("order_status")),
+
     // ── §2.9 JSON functions over the events props payload ────────────
     "q_json_funcs" -> ((s, d) => {
       val ev = sources.Tables.events(s, d)
@@ -166,6 +190,21 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid ASC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_pivot" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """SELECT order_status,
+        |       CAST(SUM(CASE WHEN payment_mode = 'Credit Card' THEN 1 ELSE 0 END) AS BIGINT) AS credit_card,
+        |       CAST(SUM(CASE WHEN payment_mode = 'Debit Card' THEN 1 ELSE 0 END) AS BIGINT) AS debit_card,
+        |       CAST(SUM(CASE WHEN payment_mode = 'UPI' THEN 1 ELSE 0 END) AS BIGINT) AS upi,
+        |       CAST(SUM(CASE WHEN payment_mode = 'Cash on Delivery' THEN 1 ELSE 0 END) AS BIGINT) AS cash_on_delivery
+        |FROM sales GROUP BY order_status ORDER BY order_status""".stripMargin),
     "q_json_funcs" ->
       """SELECT event_type,
         |       count(*) AS n,
