@@ -66,6 +66,29 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── window frames: lag/lead, running sums, rank family (the
+    //    reference only ever uses bare row_number — SURVEY §2.6) ───────
+    "q_window_frames" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = sources.Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+      o.select(col("o_custkey"), col("o_orderkey"), col("od"),
+          col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          core.Money.round2(
+            sum(col("o_totalprice").cast(core.Money.SumDec))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .as("running_spend"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_custkey", "od", "o_orderkey")
+    }),
+
     // ── grouping sets: rollup over region/nation (absent in reference,
     //    free from Spark/Catalyst — SURVEY §2.5 note) ──────────────────
     "q_rollup" -> ((s, d) => {
@@ -190,6 +213,18 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk,
+        |       CAST(row_number() OVER w AS INT) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |ORDER BY o_custkey, od, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid

@@ -89,6 +89,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(sum("score")).first().getDouble(0) == 2.0)
   }
 
+  test("sketch aggregates: HLL distinct and GK quantiles within bounds") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+    val exactD = li.select(countDistinct("l_partkey")).first().getLong(0)
+    val approxD = li.select(approx_count_distinct("l_partkey")).first().getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL $approxD vs exact $exactD")
+    val exactP = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
+    val approxP = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.01)(0)
+    assert(math.abs(approxP - exactP) / exactP < 0.05,
+      s"GK median $approxP vs exact $exactP")
+  }
+
   test("fingerprints: three hash families over normalized text") {
     val fps = TextAnalysis.fingerprints(
       Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text"))
