@@ -66,6 +66,20 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── as-of join: latest prior purchase per click (Spark lacks the
+    //    operator; graft composes it scalably — operators/AsOfJoin) ────
+    "q_asof_join" -> ((s, d) => {
+      val ev = sources.Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("purchase_value"))
+      operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+        Map("purchase_value" -> "last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // ── window frames: lag/lead, running sums, rank family (the
     //    reference only ever uses bare row_number — SURVEY §2.6) ───────
     "q_window_frames" -> ((s, d) => {
@@ -213,6 +227,17 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       p.purchase_value AS last_purchase_value
+        |FROM clicks c
+        |ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice,
         |       lag(o_totalprice, 1) OVER w AS prev_price,
