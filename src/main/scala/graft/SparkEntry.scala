@@ -66,6 +66,23 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── range join: orders falling inside 14-day promo windows drawn
+    //    from every 100th order (banded bucketing, no nested loop) ─────
+    "q_range_join" -> ((s, d) => {
+      val o = sources.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      val points = o.select(col("o_orderkey").as("point_order"),
+        datediff(col("od"), lit("1970-01-01").cast("date")).as("p_epoch"))
+      val intervals = o.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          datediff(col("od"), lit("1970-01-01").cast("date")).as("s_epoch"))
+        .withColumn("e_epoch", col("s_epoch") + 14)
+      operators.RangeJoin.pointInInterval(points, intervals,
+        "p_epoch", "s_epoch", "e_epoch", bandWidth = 14L)
+        .select(col("point_order"), col("interval_id"))
+        .orderBy("point_order", "interval_id")
+    }),
+
     // ── as-of join: latest prior purchase per click (Spark lacks the
     //    operator; graft composes it scalably — operators/AsOfJoin) ────
     "q_asof_join" -> ((s, d) => {
@@ -227,6 +244,19 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    "q_range_join" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey AS point_order,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS p_epoch
+        |  FROM orders),
+        |iv AS (
+        |  SELECT o_orderkey AS interval_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s_epoch,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 14 AS e_epoch
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT point_order, interval_id
+        |FROM pts JOIN iv ON p_epoch >= s_epoch AND p_epoch <= e_epoch
+        |ORDER BY point_order, interval_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
