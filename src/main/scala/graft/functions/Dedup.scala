@@ -64,8 +64,12 @@ object Dedup {
     */
   def docShingles(docs: DataFrame, n: Int = 3, maxDf: Long = 1000): DataFrame = {
     // cached: both the df-filter and the candidate join consume it, and
-    // recomputing means re-running the explode + distinct shuffle
+    // recomputing means re-running the explode + distinct shuffle.
+    // The repartition matters: a small corpus arrives as ONE parquet
+    // partition, which would run the whole shingle+hash computation on
+    // a single thread before the first shuffle.
     val ds = docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
@@ -162,7 +166,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = explode(split(TextAnalysis.normalized(col("text")), " "))
-    val hashed = docs.select(col("doc_id"), tok.as("token"))
+    val hashed = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), tok.as("token"))
       .withColumn("h", xxhash64(col("token")))
     val bitVotes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
