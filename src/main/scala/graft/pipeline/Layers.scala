@@ -82,7 +82,7 @@ object LayerWriter {
     val merged =
       if (fs.exists(destPath)) {
         val target = spark.read.parquet(dest)
-        MergeUpsert.merge(target.select(stage.columns.map(col): _*), stage,
+        MergeUpsert.merge(target.select(stage.columns.toIndexedSeq.map(col): _*), stage,
           keys, preserved)
       } else stage
     val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")

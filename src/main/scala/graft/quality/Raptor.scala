@@ -153,7 +153,7 @@ object Raptor {
                    keys: Seq[String]): DataFrame = {
     val valueCols = sourceDF.columns.toSeq.filterNot(keys.contains)
     val src = sourceDF.alias("s")
-    val tgt = targetDF.select(sourceDF.columns.map(col): _*).alias("t")
+    val tgt = targetDF.select(sourceDF.columns.toIndexedSeq.map(col): _*).alias("t")
     val joinCond = keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
     val joined = src.join(tgt, joinCond, "inner")
     val diffs = valueCols.map { c =>
