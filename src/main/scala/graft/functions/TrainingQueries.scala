@@ -47,6 +47,15 @@ object TrainingQueries {
     }),
     "ts_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), topK = 100)),
+    // SpaceSaving sketch at capacity >> |vocab| degenerates to exact
+    // counts, making the custom TypedImperativeAggregate oracle-checkable
+    "ts_topk_sketch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+          .as("token"))
+        .agg(SpaceSavingTopK.topkSketch(col("token"), 100000).as("m"))
+        .selectExpr("explode(m) AS (token, est_count)")
+        .orderBy("token")),
     "ts_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(Tables.documents(s, d))
         .orderBy("doc_id", "token")),
@@ -122,6 +131,10 @@ object TrainingQueries {
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS lex_tokens,
          |       md5($normSql) AS md5_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_topk_sketch" ->
+      s"""SELECT token, count(*) AS est_count
+         |FROM (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents) t
+         |GROUP BY token ORDER BY token""".stripMargin,
     "ts_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token

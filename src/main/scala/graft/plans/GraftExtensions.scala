@@ -26,5 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "fnv1a64 expects one argument")
         Fnv1a64(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.SpaceSavingTopK].getName, "topk_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "topk_sketch(col, capacity)")
+        val capacity = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "topk_sketch capacity must be a literal")
+        }
+        graft.functions.SpaceSavingTopK(args.head, capacity)
+          .toAggregateExpression()
+      }))
   }
 }

@@ -34,6 +34,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT fnv1a64(NULL)").first().isNullAt(0))
   }
 
+  test("topk_sketch is callable from SQL and exact at high capacity") {
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c", "b").toDF("v").createOrReplaceTempView("vals")
+    val m = spark.sql("SELECT topk_sketch(v, 100) AS m FROM vals")
+      .selectExpr("explode(m) AS (v, c)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
