@@ -183,6 +183,25 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fuzzy (edit-distance) near-dup pairs over a string column, blocked
+    * on the first token: candidates share their leading word, then the
+    * levenshtein residual keeps pairs within `maxDist`. Blocking is part
+    * of the operator's contract (as with any LSH family): an edit inside
+    * the first token escapes the block — the price of never computing
+    * O(n²) distances.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 maxDist: Int): DataFrame = {
+    val keyed = df.select(col(idCol), col(textCol),
+      split(col(textCol), " ").getItem(0).as("__block"))
+    keyed.toDF("id_a", "text_a", "__block")
+      .join(keyed.toDF("id_b", "text_b", "__block"), "__block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
     * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
     * least one of the 4 bands — standard pigeonhole blocking).

@@ -89,6 +89,9 @@ object TrainingQueries {
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
+    "dd_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 3)
+        .orderBy("id_a", "id_b")),
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.assets(Tables.documents(s, d)))
@@ -230,6 +233,15 @@ object TrainingQueries {
          |SELECT a.vec_id, a.label, ${cosSql("a.embedding", "qv")} AS sim
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "dd_fuzzy" ->
+      """WITH keyed AS (
+        |  SELECT p_partkey AS id, p_name AS t, string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
+        |FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.t, b.t) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_features" ->
       """WITH a AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb FROM documents)
         |SELECT doc_id AS asset_id,
