@@ -51,6 +51,7 @@ object TrainingQueries {
     // counts, making the custom TypedImperativeAggregate oracle-checkable
     "ts_topk_sketch" -> ((s, d) =>
       Tables.documents(s, d)
+        .repartition(col("doc_id"))  // corpus arrives as one partition
         .select(explode(split(TextAnalysis.normalized(col("text")), " "))
           .as("token"))
         .agg(SpaceSavingTopK.topkSketch(col("token"), 100000).as("m"))
