@@ -25,7 +25,8 @@ object RunPipeline {
       if (days <= 1)
         Seq(MetaMorphPipeline.runDaily(spark, sfDir, catalog, RunClock.fixed,
           idempotent))
-      else MetaMorphPipeline.backfill(spark, sfDir, catalog, RunClock.fixed, days)
+      else MetaMorphPipeline.backfill(spark, sfDir, catalog, RunClock.fixed,
+        days, idempotent)
     val secs = (System.nanoTime() - t0) / 1e9
     runs.zipWithIndex.foreach { case (order, i) =>
       println(s"[pipeline] run ${i + 1}/${runs.size}: ${order.mkString(" -> ")}")

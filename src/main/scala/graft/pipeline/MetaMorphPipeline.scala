@@ -130,10 +130,11 @@ object MetaMorphPipeline {
     * day-groups with `DAY_DT = current_date() - offset`).
     */
   def backfill(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
-               endClock: RunClock, days: Int): Seq[Seq[String]] =
+               endClock: RunClock, days: Int,
+               idempotent: Boolean = false): Seq[Seq[String]] =
     (days - 1 to 0 by -1).map { offset =>
       val d = java.sql.Date.valueOf(endClock.runDate.toLocalDate.minusDays(offset))
       val ts = java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay)
-      runDaily(spark, sfDir, catalog, RunClock(d, ts))
+      runDaily(spark, sfDir, catalog, RunClock(d, ts), idempotent)
     }
 }

@@ -41,4 +41,35 @@ object Ingest {
   def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+
+  /** S1: JDBC table scan with the reference's read parallelism
+    * (`numPartitions=4`, `utils.py:197-205`). Partition-column bounds
+    * should be supplied for real parallel reads; without them the JDBC
+    * source reads on one connection. (No database ships in this
+    * environment — the testdata path substitutes parquet — so this is
+    * the connector surface, exercised only against a live JDBC URL.)
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties,
+               numPartitions: Int = 4): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("numPartitions", numPartitions)
+      .options(scala.jdk.CollectionConverters
+        .PropertiesHasAsScala(properties).asScala.toMap)
+      .load()
+
+  /** S2: JDBC pushdown-query scan — arbitrary SQL executed source-side
+    * (the reference wraps it as `(query) AS subquery`, `Raptor.py:19-37`;
+    * the `query` option is the modern form of the same pushdown).
+    */
+  def readJdbcQuery(spark: SparkSession, url: String, query: String,
+                    properties: java.util.Properties): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .options(scala.jdk.CollectionConverters
+        .PropertiesHasAsScala(properties).asScala.toMap)
+      .load()
 }
