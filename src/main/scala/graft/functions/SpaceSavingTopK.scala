@@ -39,6 +39,14 @@ case class SpaceSavingTopK(
   override def dataType: DataType = MapType(StringType, LongType)
   override def prettyName: String = "topk_sketch"
 
+  // fail at analysis (not with an executor ClassCastException mid-job)
+  // when the input is not a string
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 

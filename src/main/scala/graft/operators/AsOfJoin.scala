@@ -33,26 +33,34 @@ object AsOfJoin {
     require(carried.intersect(leftCols).isEmpty,
       "carried output names must not collide with left columns")
 
-    val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        valueCols.map { case (src, dst) => col(src).as(dst) }.toSeq): _*)
-    val rightTypes = carried.map(c => c -> r.schema(c).dataType).toMap
-    val rAligned = r.select(
-      (leftCols.map(c =>
+    // The carried payload travels inside ONE struct column: last() with
+    // ignoreNulls then means "latest right ROW" (null only on left
+    // rows), so a matched right row whose VALUE is legitimately NULL
+    // still wins — carrying bare value columns would skip it and
+    // resurrect an older value.
+    val payload = struct(
+      valueCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+    val rTagged = right.select(
+      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        payload.as("__r") +: Nil: _*)
+    val payloadType = rTagged.schema("__r").dataType
+    val rAligned = rTagged.select(
+      leftCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col("__ts") :+ col("__side")) ++ carried.map(col): _*)
+        col("__ts") :+ col("__side") :+ col("__r"): _*)
     val lAligned = left.select(
-      (leftCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        carried.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+      leftCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__r"): _*)
 
     val w = Window.partitionBy(key)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lAligned.unionByName(rAligned)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      // equality-join as-of semantics: a NULL key matches nothing
+      .select(leftCols.map(col) ++ carried.map(c =>
+        when(col(key).isNotNull, col(s"__m.$c")).as(c)): _*)
   }
 }

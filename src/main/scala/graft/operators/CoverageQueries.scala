@@ -294,7 +294,8 @@ object CoverageQueries {
         |  UNION ALL SELECT 7, 'Number of rows mismatch ', format('{:,}', mc_rows) FROM cnts
         |  UNION ALL SELECT 8, 'Row Mismatch Percentage ',
         |    CAST(((mc_rows*10000 + cc//2)//cc)//100 AS VARCHAR) || '.' ||
-        |    lpad(CAST(((mc_rows*10000 + cc//2)//cc)%100 AS VARCHAR), 2, '0') || '%' FROM cnts
+        |    lpad(CAST(((mc_rows*10000 + cc//2)//cc)%100 AS VARCHAR), 2, '0') || '%'
+        |  FROM cnts WHERE mc_rows != 0
         |  UNION ALL SELECT 9, 'Number of rows in Source source but not in Target target', format('{:,}', se) FROM cnts
         |  UNION ALL SELECT 10, 'Number of rows in Target target but not in Source source', format('{:,}', te) FROM cnts
         |  UNION ALL SELECT 11, 'Column Level Mismatch DataSet            ', 'work.col_orders_diff' FROM cnts

@@ -48,12 +48,19 @@ object LayerWriter {
 
   /** Reporting export: the day slice, shrunk to a couple of files
     * (reference `repartition(2)`, `utils.py:261` — `coalesce` avoids the
-    * extra shuffle).
+    * extra shuffle). With `idempotent` the export partitions by DAY_DT
+    * and dynamically overwrites the day's slice, matching the legacy
+    * layer's re-run safety.
     */
-  def exportDaily(df: DataFrame, dayDt: java.sql.Date, dest: String): Unit =
-    df.filter(col("DAY_DT") === lit(dayDt))
-      .coalesce(2)
-      .write.mode("append").parquet(dest)
+  def exportDaily(df: DataFrame, dayDt: java.sql.Date, dest: String,
+                  idempotent: Boolean = false): Unit = {
+    val slice = df.filter(col("DAY_DT") === lit(dayDt)).coalesce(2)
+    if (idempotent)
+      slice.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("DAY_DT").parquet(dest)
+    else slice.write.mode("append").parquet(dest)
+  }
 
   /** Bucketed managed table: co-locates future joins/aggregations on
     * the bucket key — both sides bucketed by the same key with the same
@@ -69,9 +76,13 @@ object LayerWriter {
       .saveAsTable(table)
 
   /** MERGE upsert into a parquet target with write-temp-then-swap
-    * atomicity (the reference gets transactional MERGE from Postgres,
-    * `utils.py:434-435`; on files we stage the merged result and swap
-    * directories so readers never observe a torn table).
+    * (the reference gets transactional MERGE from Postgres,
+    * `utils.py:434-435`). On a plain filesystem the delete+rename swap
+    * is BEST-EFFORT, not atomic: a reader in the swap window can see a
+    * missing path, and a crash between delete and rename leaves the data
+    * only in `<dest>__tmp`. Single-writer batch pipelines (this engine's
+    * model) tolerate that; true atomicity needs a table format with
+    * commit protocol (Delta/Iceberg) — out of scope per SURVEY §7.4(1).
     */
   def mergeInto(spark: SparkSession, stage: DataFrame, dest: String,
                 keys: Seq[String], preserved: Seq[String]): Unit = {

@@ -91,10 +91,13 @@ object MetaMorphPipeline {
       },
       Stage("m_customer_metrics",
         Seq("ingest_customers", "ingest_products", "ingest_sales")) { () =>
+        // The reference reads the legacy HISTORY here (`legacy.sales`,
+        // m_customer_metrics_task.py:40-61) because its daily ingests are
+        // increments. Our ingests write FULL snapshots, so today's raw
+        // snapshot IS the complete history — reading legacy would
+        // double-count every replayed day of a backfill.
         val out = CustomerMetrics.build(
-          spark.read.parquet(catalog.legacy("customers")).drop("DAY_DT"),
-          spark.read.parquet(catalog.legacy("products")).drop("DAY_DT"),
-          spark.read.parquet(catalog.legacy("sales")).drop("DAY_DT"), clock)
+          raw("customers"), raw("products"), raw("sales"), clock)
         DuplicateChecker.assertNoDuplicates(out, Seq("CUSTOMER_ID"))
         LayerWriter.overwrite(out, catalog.staging("customer_metrics_stg"))
         LayerWriter.mergeInto(spark,
@@ -119,7 +122,7 @@ object MetaMorphPipeline {
           "m_customer_metrics")) { () =>
           LayerWriter.exportDaily(
             spark.read.parquet(catalog.legacy(t)), clock.runDate,
-            catalog.reporting(t))
+            catalog.reporting(t), idempotent)
         }
       }
     execute(stages)

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * double-division + decimal cast so the rendering is engine-independent
   * (SURVEY §7.4(3) flags the reference's string-cast pitfalls).
   *
+  * Known reference-faithful limitations (use [[compareTyped]] when they
+  * matter): a data value CONTAINING the \u0001 separator shifts the split arrays and
+  * misattributes that row's column diffs; `na.fill('')` conflates NULL
+  * with empty string. The fingerprint frames are `cache()`d for the
+  * multi-output pass and stay cached for the session — long-lived
+  * sessions comparing many datasets should `spark.catalog.clearCache()`
+  * between runs.
+  *
   * Scale: both sides are fingerprinted map-side (narrow), the key join is
   * the only shuffle, and the unpivot explodes only mismatching rows —
   * at 100 TB the mismatch set is normally ≪ the input.
@@ -107,30 +115,32 @@ object Raptor {
 
     val spark = sourceDF.sparkSession
     import spark.implicits._
+    // FIXED slot numbers (not a running index): the percentage row is
+    // conditionally omitted per the reference (:378-395), and a running
+    // index would renumber every later row — any consumer (or oracle)
+    // addressing rows by ord would silently shift on a clean run.
     val base = Seq(
-      ("Source System Name  ", sourceSystem),
-      ("Target System Name  ", targetSystem),
-      ("DataSet Compared b/w Source & Target  ", datasetName),
-      ("Primary Keys used to Compare b/w Source & Target  ",
+      (0, "Source System Name  ", sourceSystem),
+      (1, "Target System Name  ", targetSystem),
+      (2, "DataSet Compared b/w Source & Target  ", datasetName),
+      (3, "Primary Keys used to Compare b/w Source & Target  ",
         keys.mkString("[", ", ", "]")),
-      (s"Number of rows in Source [$sourceSystem]", grouped(sourceCount)),
-      (s"Number of rows in Target [$targetSystem]", grouped(targetCount)),
-      ("Number of rows in common ", grouped(comparedCount)),
-      ("Number of rows mismatch ", grouped(mismatchCount))) ++
+      (4, s"Number of rows in Source [$sourceSystem]", grouped(sourceCount)),
+      (5, s"Number of rows in Target [$targetSystem]", grouped(targetCount)),
+      (6, "Number of rows in common ", grouped(comparedCount)),
+      (7, "Number of rows mismatch ", grouped(mismatchCount))) ++
       (if (mismatchCount != 0)
-        Seq(("Row Mismatch Percentage ", pctStr(mismatchCount, comparedCount)))
+        Seq((8, "Row Mismatch Percentage ", pctStr(mismatchCount, comparedCount)))
       else Seq.empty) ++ Seq(
-      (s"Number of rows in Source $sourceSystem but not in Target $targetSystem",
+      (9, s"Number of rows in Source $sourceSystem but not in Target $targetSystem",
         grouped(sourceExtraCount)),
-      (s"Number of rows in Target $targetSystem but not in Source $sourceSystem",
+      (10, s"Number of rows in Target $targetSystem but not in Source $sourceSystem",
         grouped(targetExtraCount)),
-      ("Column Level Mismatch DataSet            ", s"work.col_$datasetName"),
-      ("Column Level Mismatch Percentage Summary ", s"work.col_lvl_$datasetName"),
-      ("Source Extra DataSet                     ", s"work.src_$datasetName"),
-      ("Target Extra DataSet                     ", s"work.tgt_$datasetName"))
-    val summary = base.zipWithIndex
-      .map { case ((d, v), i) => (i, d, v) }
-      .toDF("ord", "Description", "Value")
+      (11, "Column Level Mismatch DataSet            ", s"work.col_$datasetName"),
+      (12, "Column Level Mismatch Percentage Summary ", s"work.col_lvl_$datasetName"),
+      (13, "Source Extra DataSet                     ", s"work.src_$datasetName"),
+      (14, "Target Extra DataSet                     ", s"work.tgt_$datasetName"))
+    val summary = base.toDF("ord", "Description", "Value")
 
     val columnSummary = colMismatch
       .groupBy(col("mismatch_column_name").as("Mismatch_Column_Name"))

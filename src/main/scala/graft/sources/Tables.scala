@@ -40,8 +40,14 @@ object Tables {
 
   /** Register every table as a temp view (S7, `Raptor.py:95-99`) so the
     * SQL front door (`spark.sql`) serves the same relations the DataFrame
-    * API does.
+    * API does. `events` goes through its reader so the view carries the
+    * microsecond-converted `ts` the DataFrame API exposes (raw
+    * registration would fail on the TIMESTAMP(NANOS) parquet column).
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir)
+      else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

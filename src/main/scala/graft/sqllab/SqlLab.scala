@@ -28,16 +28,19 @@ object SqlLab {
   private def ratio2(num: String, den: String): String =
     s"CAST(ROUND(CAST(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS DECIMAL(38,10)), 2) AS DOUBLE)"
 
-  // mart views are cached per (session, sfDir): the 8 lab queries all
-  // re-read them, and without this each query re-derives the full mart
-  // pipeline (the reference amortizes the same way — BI SQL runs over
-  // MATERIALIZED mart tables, not over the ETL plan)
+  // mart views are cached per session for the LAST-REGISTERED sfDir:
+  // the 8 lab queries all re-read them, and without this each query
+  // re-derives the full mart pipeline (the reference amortizes the same
+  // way — BI SQL runs over MATERIALIZED mart tables). Temp views are
+  // session-global, so switching sfDir must re-register — tracking the
+  // last dir (not a seen-set) keeps each query a pure function of
+  // (session, sfDir).
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register the source-entity and mart views the lab queries expect. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    if (registered.add((spark, sfDir))) {
+    if (registered.put(spark, sfDir) != sfDir) {
       val suppliers = Entities.suppliers(spark, sfDir)
       val customers = Entities.customers(spark, sfDir)
       val products = Entities.products(spark, sfDir)

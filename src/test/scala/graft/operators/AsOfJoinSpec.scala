@@ -31,6 +31,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       104L -> Some(110.0), 105L -> Some(200.0), 106L -> None))
   }
 
+  test("a matched right row with NULL value wins over an older non-null") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double])).toDF("k", "qts", "px")
+    val trades = Seq((1L, 1L, ts("2024-01-01 12:00:00"))).toDF("trade_id", "k", "tts")
+    val out = AsOfJoin.asof(trades, quotes, "k", "tts", "qts", Map("px" -> "last_px"))
+      .collect()
+    assert(out.head.isNullAt(3),
+      "the 11:00 NULL-valued row is the as-of match; 100.0 must not leak")
+  }
+
+  test("NULL join keys match nothing (equality-join semantics)") {
+    val quotes = Seq((Option.empty[java.lang.Long], ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("k", "qts", "px")
+    val trades = Seq((201L, Option.empty[java.lang.Long], ts("2024-01-01 10:00:00")))
+      .toDF("trade_id", "k", "tts")
+    val out = AsOfJoin.asof(trades, quotes, "k", "tts", "qts", Map("px" -> "last_px"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("left columns and row count are preserved exactly") {
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "rts", "v")
     val left = Seq(

@@ -61,6 +61,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(sp.select("DAY_DT").distinct().count() == 3)
   }
 
+  test("multi-day backfill does not inflate customer metrics") {
+    val one = freshCatalog(); val three = freshCatalog()
+    MetaMorphPipeline.runDaily(spark, TestSpark.sf, one, RunClock.fixed)
+    MetaMorphPipeline.backfill(spark, TestSpark.sf, three, RunClock.fixed, 3)
+    def totals(cat: LayerCatalog) =
+      spark.read.parquet(cat.legacy("CUSTOMER_METRICS"))
+        .select("CUSTOMER_ID", "TOTAL_ORDERS", "EXPENDITURE")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    assert(totals(one) == totals(three),
+      "replayed history must not multiply the metrics aggregates")
+  }
+
   test("conform pins names positionally and casts explicitly") {
     import spark.implicits._
     val weird = Seq(("1", "n", "c", "e", "p")).toDF("a", "b", "c", "d", "e")
