@@ -1,0 +1,19 @@
+package graft.sqllab
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SqlLabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("queries stay pure in (session, sfDir) when the dir alternates") {
+    val q = SqlLab.queries("sql_payment_mode_dist")
+    def total(d: String): Long =
+      q(spark, d).collect().map(_.getLong(1)).sum
+    val a1 = total("/root/testdata/sf0.001")
+    val b = total("/root/testdata/sf0.01")
+    val a2 = total("/root/testdata/sf0.001")
+    assert(a1 == a2, "switching back must re-register the views")
+    assert(b > a1, "larger scale factor has more sales")
+  }
+}
