@@ -66,6 +66,13 @@ object SparkEntry {
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
 
+    // ── correlated subqueries through the SQL front door (Catalyst
+    //    decorrelates to a join; identical SQL runs on both engines) ───
+    "q_correlated_subquery" -> ((s, d) => {
+      sources.Tables.registerAll(s, d)
+      s.sql(correlatedSql)
+    }),
+
     // ── range join: orders falling inside 14-day promo windows drawn
     //    from every 100th order (banded bucketing, no nested loop) ─────
     "q_range_join" -> ((s, d) => {
@@ -225,7 +232,22 @@ object SparkEntry {
       functions.TrainingQueries.oracles ++
       sqllab.SqlLab.oracles ++ baseOracles
 
+  /** Runs verbatim on Spark SQL and DuckDB: orders more than 2x their
+    * customer's average, plus a NOT-EXISTS guard — correlated scalar and
+    * existential subqueries in one statement.
+    */
+  private val correlatedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o3
+      |                  WHERE o3.o_custkey = o.o_custkey
+      |                    AND o3.o_totalprice > 2 * o.o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin
+
   private def baseOracles: Map[String, String] = Map(
+    "q_correlated_subquery" -> correlatedSql,
     "st_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS n_events,
