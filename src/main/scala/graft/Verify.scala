@@ -25,6 +25,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete every query's output dir up front: with a reused outDir, a
+    // query that newly crashes must read as "no spark output", not
+    // silently PASS against stale parquet from a previous run.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      deleteRec(new java.io.File(s"$outDir/$name"))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

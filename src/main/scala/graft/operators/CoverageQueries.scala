@@ -327,7 +327,8 @@ object CoverageQueries {
         |  FROM c WHERE c_custkey % 2 = 0)
         |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
-        |       CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+        |       CAST(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END
+        |            AS DECIMAL(18,2)) AS bal,
         |       CASE WHEN t.c_custkey IS NOT NULL THEN t.load_ts ELSE s.load_ts END AS load_ts,
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.update_ts ELSE t.update_ts END AS update_ts
         |FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey

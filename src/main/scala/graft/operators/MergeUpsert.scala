@@ -35,13 +35,21 @@ object MergeUpsert {
     val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val stageMatched = col("s.__s_present").isNotNull
     val targetMatched = col("t.__t_present").isNotNull
+    // MERGE contract: the result carries the TARGET's schema. Without the
+    // cast, when()/coalesce() type-widen across branches (a stage expression
+    // like `bal + 10` is DECIMAL(19,2) vs the target's DECIMAL(18,2)), which
+    // both diverges from SQL MERGE semantics and lets repeated merge
+    // rewrites silently widen the on-disk table types.
+    val targetType = target.schema.map(f => f.name -> f.dataType).toMap
     val outCols = target.columns.toSeq.map { c =>
-      if (keys.contains(c))
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-      else if (preserved.contains(c))
-        when(targetMatched, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
-      else
-        when(stageMatched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      val merged =
+        if (keys.contains(c))
+          coalesce(col(s"s.$c"), col(s"t.$c"))
+        else if (preserved.contains(c))
+          when(targetMatched, col(s"t.$c")).otherwise(col(s"s.$c"))
+        else
+          when(stageMatched, col(s"s.$c")).otherwise(col(s"t.$c"))
+      merged.cast(targetType(c)).as(c)
     }
     t.join(s, joinCond, "full_outer").select(outCols: _*)
   }
