@@ -34,7 +34,10 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args restrict the run to named queries (local iteration)
+    val all = SparkEntry.queries
+    val picked = if (args.nonEmpty) all.filter(kv => args.contains(kv._1)) else all
+    val ordered = picked.toSeq.sortBy(_._1)
     def pass(): (Double, Seq[(String, Double)]) = {
       val times = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -56,6 +56,41 @@ object SparkEntry {
         // row-deterministic oracle compare.
         .orderBy("SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME", "QUANTITY",
           "PRICE", "SALE_AMOUNT")),
+    // A10: the reference's tier mechanism verbatim — a driver-side
+    // `approxQuantile(…, 0.01)` (Greenwald–Khanna sketch,
+    // m_customer_sales_report_task.py:183-188). Approx cutoffs differ
+    // between engines, so the oracle row checks the GK CONTRACT instead:
+    // each returned cutoff's rank interval [lt+1, le] must intersect
+    // [(q−ε)N, (q+ε)N]. The booleans hash-compare against literal TRUEs
+    // — a boundary-tolerant oracle for an approximate operator.
+    "m_csr_approx_tiers" -> ((s, d) => {
+      val agg = CustomerSalesReport.customerAmounts(
+        Entities.customers(s, d), Entities.products(s, d),
+        Entities.sales(s, d),
+        SupplierPerformance.build(Entities.suppliers(s, d),
+          Entities.products(s, d), Entities.sales(s, d), clock),
+        clock)
+      val cuts = agg.stat.approxQuantile("agg_sales_amount",
+        Array(0.5, 0.8), 0.01)
+      def ok(q: Double) = {
+        val pct = (q * 100).toInt
+        val eps = lit(0.01) * col("n")
+        val qn = lit(q) * col("n")
+        (col(s"lt_$pct") - eps <= qn) && (qn <= col(s"le_$pct") + eps)
+      }
+      agg.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("agg_sales_amount") < cuts(0), 1L).otherwise(0L)).as("lt_50"),
+        sum(when(col("agg_sales_amount") <= cuts(0), 1L).otherwise(0L)).as("le_50"),
+        sum(when(col("agg_sales_amount") < cuts(1), 1L).otherwise(0L)).as("lt_80"),
+        sum(when(col("agg_sales_amount") <= cuts(1), 1L).otherwise(0L)).as("le_80"))
+        .select(explode(array(
+          struct(lit("gold").as("tier"), ok(0.8).as("within_bound")),
+          struct(lit("silver").as("tier"), ok(0.5).as("within_bound"))))
+          .as("t"))
+        .select(col("t.tier").as("tier"), col("t.within_bound").as("within_bound"))
+        .orderBy("tier")
+    }),
 
     // ── streaming (engine extension; batch twin = oracle) ────────────
     "st_events_hourly" -> ((s, d) =>
@@ -266,6 +301,11 @@ object SparkEntry {
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,
+    // approx-quantile verification: the Spark side emits whether each GK
+    // cutoff honors its ±1% rank bound; the oracle is the contract
+    "m_csr_approx_tiers" ->
+      """SELECT 'gold' AS tier, TRUE AS within_bound
+        |UNION ALL SELECT 'silver', TRUE ORDER BY tier""".stripMargin,
     "q_range_join" ->
       """WITH pts AS (
         |  SELECT o_orderkey AS point_order,

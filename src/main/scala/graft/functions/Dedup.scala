@@ -159,21 +159,29 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash: per-token xxhash64, each bit votes +1/−1, the
+  /** 64-bit SimHash: per-token 64-bit hash, each bit votes +1/−1, the
     * fingerprint takes the sign of each bit's vote sum. Near-dups have
-    * small hamming distance. (xxhash64 has no DuckDB twin — unit-tested,
-    * not oracle-compared.)
+    * small hamming distance.
+    *
+    * The per-token hash is md5's leading 16 hex chars read as 16 nibbles
+    * (bit b of the fingerprint comes from bit b%4 of nibble b/4) — md5
+    * renders identically in any engine, so unlike an xxhash64-based
+    * simhash the whole pipeline is oracle-comparable end-to-end. The 16
+    * nibble ints are computed once per token in a projection; the 64
+    * vote aggregates only read them.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = explode(split(TextAnalysis.normalized(col("text")), " "))
-    val hashed = docs.repartition(col("doc_id"))
+    val nibbles = docs.repartition(col("doc_id"))
       .select(col("doc_id"), tok.as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", md5(col("token")))
+      .select(col("doc_id") +: (0 until 16).map(p =>
+        conv(substring(col("h"), p + 1, 1), 16, 10).cast("int").as(s"nib_$p")): _*)
     val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v_$b")
+      sum(when(shiftright(col(s"nib_${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v_$b")
     }
-    val votes = hashed.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val votes = nibbles.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
     val fp = (0 until 64)
       .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
@@ -184,22 +192,65 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Fuzzy (edit-distance) near-dup pairs over a string column, blocked
-    * on the first token: candidates share their leading word, then the
-    * levenshtein residual keeps pairs within `maxDist`. Blocking is part
-    * of the operator's contract (as with any LSH family): an edit inside
-    * the first token escapes the block — the price of never computing
-    * O(n²) distances.
+    * on (first token, length band): candidates share their leading word,
+    * then the levenshtein residual keeps pairs within `maxDist`. First-
+    * token blocking is part of the operator's contract (as with any LSH
+    * family): an edit inside the first token escapes the block — the
+    * price of never computing O(n²) distances.
+    *
+    * The length band is a pure refinement, NOT an extra recall loss:
+    * levenshtein ≥ |len(a)−len(b)|, so every pair within `maxDist` lands
+    * within one band width. Each row is emitted into its own band and the
+    * next (`floor(len/w)` and `+1`, w = maxDist), so cross-boundary pairs
+    * still meet — results are identical to first-token-only blocking,
+    * but a hot first token (common in product-name-like data where the
+    * vocabulary is small) splits into many bounded blocks instead of one
+    * quadratic one.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  maxDist: Int): DataFrame = {
-    val keyed = df.select(col(idCol), col(textCol),
-      split(col(textCol), " ").getItem(0).as("__block"))
-    keyed.toDF("id_a", "text_a", "__block")
-      .join(keyed.toDF("id_b", "text_b", "__block"), "__block")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("edit_dist") <= maxDist)
-      .select("id_a", "id_b", "edit_dist")
+    val w = math.max(maxDist, 1)
+    val rows = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // Edit distance depends only on the TEXT, so distances are computed
+    // once per DISTINCT text and then expanded back to id pairs — with
+    // duplicated strings (the common case in real corpora: boilerplate,
+    // product names) the quadratic distance pass shrinks by the square
+    // of the duplication factor, and with all-unique strings it costs
+    // one extra distinct() shuffle over dimension-sized data.
+    val texts = rows.select("t").distinct()
+      .select(col("t"), split(col("t"), " ").getItem(0).as("__tok"),
+        floor(length(col("t")) / w).as("__f"))
+    val banded = texts.select(col("t"), col("__tok"), col("__f"),
+      explode(array(col("__f"), col("__f") + 1)).as("__band"))
+    val crossText = banded.toDF("t_a", "__tok", "__f_a", "__band")
+      .join(banded.toDF("t_b", "__tok", "__f_b", "__band"),
+        Seq("__tok", "__band"))
+      .filter(col("t_a") < col("t_b"))
+      // same-band pairs meet twice (native band and both-shifted band);
+      // keeping only the meeting at greatest(native_a, native_b) emits
+      // each text pair exactly once without a distinct() shuffle
+      .filter(col("__band") === greatest(col("__f_a"), col("__f_b")))
+      // levenshtein >= |len difference|: an O(1) reject before the
+      // O(k·n) banded DP (the threshold form early-exits instead of
+      // filling the full O(m·n) matrix, returning the exact distance
+      // when <= maxDist and -1 past it)
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select("t_a", "t_b", "edit_dist")
+    // identical texts are distance-0 near-dups of each other
+    val selfText = texts.select(col("t").as("t_a"), col("t").as("t_b"),
+      lit(0).as("edit_dist"))
+    selfText.unionByName(crossText)
+      .join(rows.toDF("id_1", "t_a"), "t_a")
+      .join(rows.toDF("id_2", "t_b"), "t_b")
+      // within a same-text group keep each unordered id pair once; for
+      // t_a < t_b every (id_1, id_2) combo appears exactly once already
+      .filter(when(col("t_a") === col("t_b"), col("id_1") < col("id_2"))
+        .otherwise(lit(true)))
+      .select(least(col("id_1"), col("id_2")).as("id_a"),
+        greatest(col("id_1"), col("id_2")).as("id_b"),
+        col("edit_dist"))
   }
 
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked

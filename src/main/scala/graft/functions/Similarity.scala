@@ -91,14 +91,40 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs, blocked by sign-LSH bucket:
     * pairs (a < b) in the same bucket with cosine ≥ threshold.
+    *
+    * Skew guard (real embedding sets are anisotropic — one sign pattern
+    * can hold a large fraction of the corpus, turning the bucket
+    * self-join quadratic on one key):
+    *   1. buckets larger than `maxBucket` are REFINED: their key extends
+    *      from the first `dims` sign bits to `refineDims`, splitting the
+    *      hot bucket while small buckets keep full recall;
+    *   2. any bucket still above `maxBucket` after refinement is capped
+    *      to its `maxBucket` lowest vec_ids (deterministic row_number) —
+    *      the same bounded-candidates contract as the shingle families'
+    *      `maxDf` stop-shingle guard. Candidate pairs per bucket are
+    *      therefore ≤ maxBucket·(maxBucket−1)/2, always.
     */
   def signLshPairs(embeddings: DataFrame, threshold: Double,
-                   dims: Int = 8): DataFrame = {
-    val withBucket = embeddings
+                   dims: Int = 8, refineDims: Int = 16,
+                   maxBucket: Int = 256): DataFrame = {
+    val withBuckets = embeddings
       .select(col("vec_id"), col("embedding"),
-        signBucket(col("embedding"), dims).as("bucket"))
-    withBucket.toDF("vec_a", "emb_a", "bucket")
-      .join(withBucket.toDF("vec_b", "emb_b", "bucket"), "bucket")
+        signBucket(col("embedding"), dims).as("__b0"),
+        signBucket(col("embedding"), refineDims).as("__b1"))
+    // ≤ 2^dims rows — broadcast to the refinement join
+    val counts = withBuckets.groupBy("__b0").agg(count(lit(1)).as("__n"))
+    val refined = withBuckets.join(broadcast(counts), "__b0")
+      .select(col("vec_id"), col("embedding"),
+        when(col("__n") > maxBucket, col("__b1")).otherwise(col("__b0"))
+          .as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("vec_id")
+    val capped = refined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .select("vec_id", "embedding", "bucket")
+    capped.toDF("vec_a", "emb_a", "bucket")
+      .join(capped.toDF("vec_b", "emb_b", "bucket"), "bucket")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))

@@ -73,7 +73,7 @@ object TrainingQueries {
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25)
         .orderBy("doc_a", "doc_b")),
-    // simhash: no DuckDB twin for xxhash64 — rows-only + unit tests
+    // simhash bit-votes come from md5 nibbles — oracle-comparable
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "ann_brute" -> ((s, d) => {
@@ -90,14 +90,10 @@ object TrainingQueries {
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
-    // modulo-sampled: first-word blocks over the small synthetic vocab
-    // are huge, and the quadratic-in-block levenshtein pass is the cost
-    // model the operator doc warns about — the query demonstrates the
-    // operator, the sample keeps the bench O(seconds)
+    // unsampled: the (first-token, length-band) composite block bounds
+    // per-block size even over the small synthetic first-word vocab
     "dd_fuzzy" -> ((s, d) =>
-      Dedup.fuzzyPairs(
-        Tables.part(s, d).filter(col("p_partkey") % 4 === 0),
-        "p_partkey", "p_name", maxDist = 3)
+      Dedup.fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 3)
         .orderBy("id_a", "id_b")),
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -240,10 +236,13 @@ object TrainingQueries {
          |SELECT a.vec_id, a.label, ${cosSql("a.embedding", "qv")} AS sim
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // first-token blocking only: the engine's extra length-band key is a
+    // pure refinement (levenshtein >= length difference), so the result
+    // set is identical
     "dd_fuzzy" ->
       """WITH keyed AS (
         |  SELECT p_partkey AS id, p_name AS t, string_split(p_name, ' ')[1] AS blk
-        |  FROM part WHERE p_partkey % 4 = 0)
+        |  FROM part)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
         |FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
@@ -262,16 +261,51 @@ object TrainingQueries {
         |       CAST(least(nb // 32, 16) AS INT) AS n_frames
         |FROM a ORDER BY asset_id""".stripMargin,
     "dd_embed_cos" -> {
-      val bucket = (0 until 8)
+      // mirrors signLshPairs' skew guard: refine oversized 8-dim buckets
+      // to 16 dims, then cap each bucket at its 256 lowest vec_ids
+      def bucket(dims: Int) = (0 until dims)
         .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN 'P' ELSE 'N' END")
         .mkString("concat(", ", ", ")")
       s"""WITH wb AS (
-         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |  SELECT vec_id, embedding, ${bucket(8)} AS b0, ${bucket(16)} AS b1
+         |  FROM embeddings),
+         |cnt AS (SELECT b0, count(*) AS n FROM wb GROUP BY b0),
+         |fin AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN n > 256 THEN b1 ELSE b0 END AS bucket
+         |  FROM wb JOIN cnt USING (b0)),
+         |capped AS (
+         |  SELECT vec_id, embedding, bucket FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |    FROM fin) r
+         |  WHERE rn <= 256)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${cosSql("a.embedding", "b.embedding")} AS sim
-         |FROM wb a JOIN wb b USING (bucket)
+         |FROM capped a JOIN capped b USING (bucket)
          |WHERE a.vec_id < b.vec_id
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "dd_simhash" -> {
+      val votes = (0 until 64).map { b =>
+        s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
+      }.mkString(",\n         ")
+      // bit 63 can't be built as 1<<63 (DuckDB checks shift overflow);
+      // the bits are disjoint so arithmetic sum == bitwise OR
+      val fp = (0 until 64).map { b =>
+        val term = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+        s"CASE WHEN v_$b > 0 THEN $term ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |hsh AS (SELECT doc_id, md5(token) AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM hsh GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
     })
 }

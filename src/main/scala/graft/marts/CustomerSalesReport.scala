@@ -32,9 +32,24 @@ object CustomerSalesReport {
     *                    (Greenwald–Khanna sketch, A10) whose outputs
     *                    become literals in the downstream plan.
     */
-  def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
-            supplierPerformance: DataFrame, clock: RunClock,
-            exactTiers: Boolean = true): DataFrame = {
+  /** The detail frame + per-customer amount aggregate the tiering runs
+    * on — exposed so the approx-tier verification query
+    * (`m_csr_approx_tiers`) can probe the same aggregate the mart uses.
+    */
+  def customerAmounts(customers: DataFrame, products: DataFrame,
+                      sales: DataFrame, supplierPerformance: DataFrame,
+                      clock: RunClock): DataFrame =
+    expAdd(customers, products, sales, supplierPerformance, clock)
+      .groupBy("customer_id")
+      .agg(Money.moneySum(col("sale_amount")).cast("double")
+        .as("agg_sales_amount"))
+
+  /** Detail rows with derived sale columns (the mart's pre-aggregation
+    * frame, reference :89-171).
+    */
+  private def expAdd(customers: DataFrame, products: DataFrame,
+                     sales: DataFrame, supplierPerformance: DataFrame,
+                     clock: RunClock): DataFrame = {
     val prod = products.select("product_id", "product_name", "category",
       "selling_price")
     val sal = sales.select("sale_id", "customer_id", "product_id",
@@ -67,7 +82,7 @@ object CustomerSalesReport {
         col("p.product_id"), col("p.product_name"), col("p.category"),
         col("p.selling_price"))
 
-    val expAddSalesData = jnrMaster
+    jnrMaster
       .withColumn("day_dt", clock.runDateCol)
       .withColumn("price",
         col("selling_price") - col("selling_price") * col("discount") / 100)
@@ -82,6 +97,13 @@ object CustomerSalesReport {
         col("product_name") === col("top_product"), "left")
       .withColumn("top_performer", col("top_product").isNotNull)
       .drop("top_product")
+  }
+
+  def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
+            supplierPerformance: DataFrame, clock: RunClock,
+            exactTiers: Boolean = true): DataFrame = {
+    val expAddSalesData =
+      expAdd(customers, products, sales, supplierPerformance, clock)
 
     val aggCustomer = expAddSalesData
       .groupBy("customer_id")

@@ -32,6 +32,14 @@ object AsOfJoin {
     val carried = valueCols.values.toSeq
     require(carried.intersect(leftCols).isEmpty,
       "carried output names must not collide with left columns")
+    // the union/window plumbing owns these names — an input frame
+    // carrying one of them would silently corrupt results (duplicate or
+    // ambiguous internal columns), so fail fast instead
+    val reserved = Seq("__ts", "__side", "__r", "__m")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns must not use reserved names ${reserved.mkString(", ")}")
+    require(carried.intersect(reserved).isEmpty,
+      s"carried output names must not use reserved names ${reserved.mkString(", ")}")
 
     // The carried payload travels inside ONE struct column: last() with
     // ignoreNulls then means "latest right ROW" (null only on left

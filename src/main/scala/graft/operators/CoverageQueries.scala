@@ -40,13 +40,18 @@ object CoverageQueries {
   private val raptorMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Raptor.Result]()
 
-  private def raptor(s: SparkSession, d: String): Raptor.Result =
+  private def raptor(s: SparkSession, d: String): Raptor.Result = {
+    // a stopped session's memo entries (and their cache()d fingerprint
+    // frames) are dead weight — evict before (not after) the lookup so
+    // the map never grows past live sessions × sfDirs
+    raptorMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     raptorMemo.computeIfAbsent((s, d), { _ =>
       val (src, tgt) = raptorPair(s, d)
       Raptor.compare(src, tgt, Seq("o_orderkey"),
         sourceSystem = "source", targetSystem = "target",
         datasetName = "orders_diff")
     })
+  }
 
   // Shared oracle CTEs for the raptor fixture: string-normalized sides.
   private val raptorCtes: String =

@@ -75,6 +75,23 @@ object LayerWriter {
       .format("parquet")
       .saveAsTable(table)
 
+  /** K1 write side: the reference's primary sink is a JDBC table write
+    * with append/overwrite + post-write count
+    * (`write_into_table`, `utils.py:214-246`). Delegates to [[JdbcSink]];
+    * layer→table naming mirrors [[LayerCatalog]] (layer = DB schema).
+    * No database ships in this environment, so like `Ingest.readJdbc`
+    * this is the connector surface — mode mapping and identifier
+    * handling are unit-tested; the save needs a live URL.
+    *
+    * @return the written row count (the reference logs
+    *         `data_frame.count()` after the save, `utils.py:239-242`)
+    */
+  def writeJdbc(df: DataFrame, sink: JdbcSink.Config, layer: String,
+                table: String, mode: String): Long = {
+    JdbcSink.write(df, sink, layer, table, mode)
+    df.count()
+  }
+
   /** MERGE upsert into a parquet target with write-temp-then-swap
     * (the reference gets transactional MERGE from Postgres,
     * `utils.py:434-435`). On a plain filesystem the delete+rename swap
@@ -101,6 +118,49 @@ object LayerWriter {
     if (fs.exists(destPath)) fs.delete(destPath, true)
     fs.rename(tmp, destPath)
   }
+}
+
+/** JDBC sink primitives (K1 write side, `utils.py:214-246`): mode map,
+  * schema-qualified dbtable, read parallelism carried over from the
+  * reference's reader (`numPartitions=4`, `utils.py:197-205`).
+  */
+object JdbcSink {
+  import org.apache.spark.sql.SaveMode
+
+  final case class Config(url: String,
+                          properties: java.util.Properties = new java.util.Properties,
+                          numPartitions: Int = 4)
+
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** `<schema>.<table>` as the reference interpolates it
+    * (`utils.py:235`) — identifiers validated so a caller-supplied name
+    * can't smuggle SQL into the dbtable option.
+    */
+  def qualifiedTable(schema: String, table: String): String = {
+    require(Ident.matches(schema), s"invalid schema identifier: $schema")
+    require(Ident.matches(table), s"invalid table identifier: $table")
+    s"$schema.$table"
+  }
+
+  /** The reference's strategy strings → SaveMode (`utils.py:223,237`). */
+  def saveMode(strategy: String): SaveMode = strategy.toLowerCase match {
+    case "overwrite" => SaveMode.Overwrite
+    case "append"    => SaveMode.Append
+    case other => throw new IllegalArgumentException(
+      s"unsupported write strategy '$other' (append|overwrite)")
+  }
+
+  def write(df: DataFrame, cfg: Config, schema: String, table: String,
+            strategy: String): Unit =
+    df.write.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", qualifiedTable(schema, table))
+      .option("numPartitions", cfg.numPartitions)
+      .options(scala.jdk.CollectionConverters
+        .PropertiesHasAsScala(cfg.properties).asScala.toMap)
+      .mode(saveMode(strategy))
+      .save()
 }
 
 /** Pinned entity schemas + positional conform (the reference imposes

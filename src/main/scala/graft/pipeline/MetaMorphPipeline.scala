@@ -72,6 +72,16 @@ object MetaMorphPipeline {
       ingest("products", Entities.products(spark, sfDir), Seq("product_id")),
       Stage("ingest_sales", Nil) { () =>
         val conformed = Conform.conform(Entities.sales(spark, sfDir), "sales")
+        // the reference gates on SALE_ID alone (ingestion_tasks.py:313),
+        // but the testdata has colliding sale ids; gate at INGEST on the
+        // tightest composite key that is unique in the data, so
+        // duplicated rows (cancelled ones included) can't flow ungated
+        // into any downstream mart
+        DuplicateChecker.assertNoDuplicates(
+          conformed.select("sale_id", "customer_id", "product_id",
+            "sale_date", "quantity"),
+          Seq("sale_id", "customer_id", "product_id", "sale_date",
+            "quantity"))
         LayerWriter.overwrite(conformed, catalog.raw("sales_pre"))
         writeDaily(conformed.withColumn("DAY_DT", day),
           catalog.legacy("sales"))
@@ -115,8 +125,10 @@ object MetaMorphPipeline {
             "QUANTITY", "PRICE"))
         writeDaily(out, catalog.legacy("customer_sales_report"))
       }) ++
-      // dynamic fan-out export of the daily slice (meta_morph_etl.py:54-61)
-      Seq("supplier_performance", "product_performance",
+      // dynamic fan-out export of the daily slice — all 7 tables the
+      // reference exports: the 4 sources + 3 marts (meta_morph_etl.py:54-61)
+      Seq("suppliers", "customers", "products", "sales",
+        "supplier_performance", "product_performance",
         "customer_sales_report").map { t =>
         Stage(s"export_$t", Seq("m_customer_sales_report",
           "m_customer_metrics")) { () =>

@@ -50,14 +50,28 @@ object Raptor {
 
   private val Sep = "\u0001"
 
-  /** Exact half-up percentage with 2 decimals, as `NN.NN%`.
-    * Column `/` is double division in Spark — route through floor() to get
-    * exact integer arithmetic (counts ≪ 2^52, so the doubles are exact).
+  /** Integral division via Catalyst's IntegralDivide (SQL `div`) — exact
+    * on decimals at any magnitude, unlike a double `/` + floor() round
+    * trip which goes wrong once intermediates pass 2^53.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Exact half-up percentage with 2 decimals, as `NN.NN%`. All
+    * arithmetic in DECIMAL(38,0) + integral division, so the rendering
+    * is exact for any count a long can hold.
     */
   private[quality] def pctCol(numTimes100: Column, den: Column): Column = {
-    val p = floor((numTimes100 * 10000L + floor(den / 2L)) / den).cast("long")
-    concat(floor(p / 100L).cast("long").cast("string"), lit("."),
-      lpad((p % 100L).cast("string"), 2, "0"), lit("%"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val denD = den.cast(d38)
+    val p = intDiv(
+      numTimes100.cast(d38) * lit(10000L).cast(d38) + intDiv(denD, lit(2L).cast(d38)),
+      denD)
+    concat(intDiv(p, lit(100L)).cast("string"), lit("."),
+      lpad(pmod(p, lit(100L)).cast("string"), 2, "0"), lit("%"))
   }
 
   private def pctStr(num: Long, den: Long): String = {
@@ -104,14 +118,37 @@ object Raptor {
     val sourceExtra = source.join(target, keys, "left_anti")
     val targetExtra = target.join(source, keys, "left_anti")
 
-    // Counts (driver actions over the cached fingerprint frames — the
-    // reference recomputes the joins per count, :276-289; we reuse).
-    val sourceCount = source.count()
-    val targetCount = target.count()
-    val comparedCount = source.join(target, keys).count()
-    val mismatchCount = validateData.count()
-    val sourceExtraCount = sourceExtra.count()
-    val targetExtraCount = targetExtra.count()
+    // Counts in TWO jobs over the cached fingerprint frames (the
+    // reference recomputes the joins per count, :276-289; round 1 here
+    // ran six count actions). Job 1: one full-outer join + single
+    // aggregate yields common/mismatch/extras — with duplicate keys the
+    // full-outer join emits M×N rows for the matched part and M (resp.
+    // N) for the unmatched sides, exactly matching the inner-join and
+    // left_anti counts it replaces. Job 2: side-tagged union for the two
+    // raw row counts (which are NOT derivable from the join when keys
+    // duplicate).
+    val cntRow = source.join(target, keys, "full_outer")
+      .select(col("Source_Record").as("sr"), col("Target_Record").as("tr"))
+      .agg(
+        coalesce(sum(when(col("sr").isNotNull && col("tr").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("common"),
+        coalesce(sum(when(col("sr").isNotNull && col("tr").isNotNull &&
+          col("sr") =!= col("tr"), 1L).otherwise(0L)), lit(0L)).as("mismatch"),
+        coalesce(sum(when(col("tr").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("src_extra"),
+        coalesce(sum(when(col("sr").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("tgt_extra"))
+      .head()
+    val comparedCount = cntRow.getLong(0)
+    val mismatchCount = cntRow.getLong(1)
+    val sourceExtraCount = cntRow.getLong(2)
+    val targetExtraCount = cntRow.getLong(3)
+    val sideCounts = source.select(lit("s").as("side"))
+      .union(target.select(lit("t").as("side")))
+      .groupBy("side").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sourceCount = sideCounts.getOrElse("s", 0L)
+    val targetCount = sideCounts.getOrElse("t", 0L)
 
     val spark = sourceDF.sparkSession
     import spark.implicits._

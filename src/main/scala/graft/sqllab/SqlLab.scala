@@ -37,10 +37,20 @@ object SqlLab {
   // (session, sfDir).
   private val registered =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // cached mart frames per session, so a re-register for a NEW sfDir can
+  // unpersist the superseded ones instead of letting executor storage
+  // accumulate across sfDir switches in a long-lived session
+  private val cachedMarts =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[DataFrame]]()
 
   /** Register the source-entity and mart views the lab queries expect. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    // stopped sessions can never be re-registered — drop their entries
+    registered.keySet.removeIf(s => s.sparkContext.isStopped)
+    cachedMarts.keySet.removeIf(s => s.sparkContext.isStopped)
     if (registered.put(spark, sfDir) != sfDir) {
+      Option(cachedMarts.get(spark))
+        .foreach(_.foreach(_.unpersist(blocking = false)))
       val suppliers = Entities.suppliers(spark, sfDir)
       val customers = Entities.customers(spark, sfDir)
       val products = Entities.products(spark, sfDir)
@@ -52,10 +62,12 @@ object SqlLab {
       val sp = SupplierPerformance.build(suppliers, products, sales, clock)
         .cache()
       sp.createOrReplaceTempView("supplier_performance")
-      CustomerSalesReport.build(customers, products, sales, sp, clock)
+      val csr = CustomerSalesReport.build(customers, products, sales, sp, clock)
         .cache()
-        .createOrReplaceTempView("customer_sales_report")
+      csr.createOrReplaceTempView("customer_sales_report")
+      cachedMarts.put(spark, Seq(sp, csr))
     }
+  }
 
   /** Spark-SQL texts (also valid DuckDB modulo the mart-view CTEs). */
   val sql: Map[String, String] = Map(

@@ -46,4 +46,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.2)
     }
   }
+
+  test("sign-LSH skew guard bounds pairs in a degenerate bucket") {
+    // 300 vectors with IDENTICAL signs in every dimension: refinement
+    // can't split the bucket, so the cap must — pairs are bounded by
+    // maxBucket*(maxBucket-1)/2 instead of 300*299/2 = 44850
+    import spark.implicits._
+    val skewed = (0 until 300)
+      .map(i => (i.toLong, Array.fill(16)(1.0f + (i % 7) * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val maxBucket = 20
+    val pairs = Similarity.signLshPairs(skewed, threshold = -1.0,
+      dims = 8, refineDims = 16, maxBucket = maxBucket)
+    val n = pairs.count()
+    assert(n <= maxBucket.toLong * (maxBucket - 1) / 2,
+      s"cap breached: $n pairs")
+    // deterministic: the survivors are the lowest vec_ids
+    val ids = pairs.select("vec_a").union(pairs.select("vec_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ < maxBucket), s"non-lowest ids survived: $ids")
+  }
 }

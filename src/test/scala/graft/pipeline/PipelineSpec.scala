@@ -25,6 +25,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cm.count() > 0)
     val export = spark.read.parquet(cat.reporting("supplier_performance"))
     assert(export.count() == sp.count(), "today's slice fully exported")
+    // export fan-out parity: all 7 reporting datasets the reference
+    // exports (meta_morph_etl.py:54-61) — the 4 sources + 3 marts
+    val exported = Seq("suppliers", "customers", "products", "sales",
+      "supplier_performance", "product_performance", "customer_sales_report")
+    exported.foreach { t =>
+      assert(spark.read.parquet(cat.reporting(t)).count() > 0,
+        s"reporting export missing for $t")
+    }
+  }
+
+  test("JDBC sink surface: mode map and schema-qualified dbtable") {
+    assert(JdbcSink.saveMode("append") == org.apache.spark.sql.SaveMode.Append)
+    assert(JdbcSink.saveMode("Overwrite") ==
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assertThrows[IllegalArgumentException] { JdbcSink.saveMode("merge") }
+    assert(JdbcSink.qualifiedTable("legacy", "sales") == "legacy.sales")
+    assertThrows[IllegalArgumentException] {
+      JdbcSink.qualifiedTable("legacy", "sales; DROP TABLE x")
+    }
+    assertThrows[IllegalArgumentException] {
+      JdbcSink.qualifiedTable("bad-schema", "sales")
+    }
   }
 
   test("DAY_DT partition pruning is physical in the legacy layer") {
