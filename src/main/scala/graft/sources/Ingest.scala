@@ -37,6 +37,29 @@ object Ingest {
     spark.read.json(spark.createDataset(jsonLines))
   }
 
+  /** S5 fetch adapter: GET a REST-JSON endpoint (optional bearer token —
+    * the reference logs in for a JWT and sends it on each fetch,
+    * `utils.py:31-84`) and hand the payload to [[readJsonPayload]].
+    * `java.net.http` keeps the engine dependency-free; the fetch runs on
+    * the driver exactly like the reference's `requests.get` — REST
+    * payloads are driver-sized by contract (the bulk path is parquet).
+    */
+  def fetchJson(spark: SparkSession, url: String,
+                bearerToken: Option[String] = None,
+                timeout: java.time.Duration =
+                  java.time.Duration.ofSeconds(30)): DataFrame = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    val builder = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout).GET()
+    bearerToken.foreach(t => builder.header("Authorization", s"Bearer $t"))
+    val resp = client.send(builder.build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"HTTP ${resp.statusCode()} fetching $url")
+    readJsonPayload(spark, Seq(resp.body()))
+  }
+
   /** S6: local rows with an explicit schema. */
   def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(
