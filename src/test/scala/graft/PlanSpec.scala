@@ -60,6 +60,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 
+  test("fuzzy dedup plans hash joins only — no nested-loop or cartesian") {
+    val df = functions.Dedup.fuzzyPairs(
+      Tables.part(spark, sf), "p_partkey", "p_name", maxDist = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"candidate generation must stay equi-join blocked:\n$plan")
+    // the distance pass runs over DISTINCT texts: the levenshtein
+    // operator must sit above the distinct aggregate, not the raw scan
+    assert(plan.contains("levenshtein"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("approxQuantile tier path (reference A10 mechanism) still tiers") {
     val out = CustomerSalesReport.build(
       Entities.customers(spark, sf), Entities.products(spark, sf),

@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("fuzzy pairs: duplicate texts collapse, null texts drop") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"),      // identical → dist 0
+      (3L, "alpha betz"),                          // 1 edit from 1/2
+      (4L, null.asInstanceOf[String]),             // must not pair
+      (5L, "alpha beta gamma delta epsilon"))      // same block, too far
+      .toDF("id", "t")
+    val pairs = Dedup.fuzzyPairs(df, "id", "t", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1),
+      s"got $pairs")
+  }
+
   test("simhash: identical docs identical fp; near-dups within hamming 16") {
     val fp = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -21,6 +21,32 @@ class RaptorSpec extends AnyFunSuite {
     assert(values("Number of rows in common ") == "2")
   }
 
+  test("empty frames produce an all-zero summary (no null-sum crash)") {
+    val empty = frame().limit(0)
+    val r = Raptor.compare(empty, empty, Seq("id"))
+    val values = r.summary.collect()
+      .map(x => x.getString(1) -> x.getString(2)).toMap
+    assert(values("Number of rows in Source [source]") == "0")
+    assert(values("Number of rows in common ") == "0")
+    assert(values("Number of rows mismatch ") == "0")
+  }
+
+  test("duplicate keys count like the reference's join algebra (M×N)") {
+    // two source rows and two target rows under one key: the one-pass
+    // full-outer counts must match what inner-join/left_anti counted
+    val src = frame((1, "a", 1.5), (1, "a", 9.9), (2, "b", 2.5))
+    val tgt = frame((1, "a", 1.5), (1, "a", 1.5), (3, "c", 3.5))
+    val r = Raptor.compare(src, tgt, Seq("id"))
+    val values = r.summary.collect()
+      .map(x => x.getString(1) -> x.getString(2)).toMap
+    assert(values("Number of rows in Source [source]") == "3")
+    assert(values("Number of rows in Target [target]") == "3")
+    assert(values("Number of rows in common ") == "4", "2×2 join pairs")
+    assert(values("Number of rows mismatch ") == "2", "the 9.9 row × 2")
+    assert(values("Number of rows in Source source but not in Target target") == "1")
+    assert(values("Number of rows in Target target but not in Source source") == "1")
+  }
+
   test("cell mutations attributed to the right column; extras partitioned") {
     val src = frame((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5))
     val tgt = frame((1, "a", 9.9), (2, "B", 2.5), (4, "d", 4.5))
