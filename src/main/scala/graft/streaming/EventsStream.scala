@@ -134,4 +134,22 @@ object EventsStream {
   /** Flush helper for the stateful sessionizer's final open sessions in
     * tests: the batch twin is the source of truth for totals.
     */
+
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.functions.Dedup.exact]]: keep the FIRST document seen per
+    * normalized-content fingerprint, forgetting fingerprints once the
+    * watermark passes them. Plain `dropDuplicates` on a stream keeps
+    * every key forever (the classic unbounded-state OOM at 100 TB/day);
+    * `dropDuplicatesWithinWatermark` bounds state to the late-data
+    * horizon, which is the correct contract for continuous corpus
+    * ingestion where a true duplicate re-arriving months later is a new
+    * document for retention purposes.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(graft.functions.TextAnalysis.normalized(col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -82,4 +82,34 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
+
+  test("streaming dedup keeps first doc per fingerprint, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = EventsStream.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+    try {
+      // case/whitespace variants of one doc + a distinct doc
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 10:01:00"), 2L, "The quick  BROWN fox"),
+        (ts("2024-01-01 10:02:00"), 3L, "a different document"))
+      q.processAllAvailable()
+      // advance watermark far past the first batch, then replay doc 1:
+      // its fingerprint state has been dropped, so it re-emits
+      input.addData((ts("2024-01-01 12:00:00"), 4L, "late window mover"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:01:00"), 5L, "the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L, 5L),
+        s"dup 2 dropped; 5 re-admitted after watermark expiry, got $ids")
+    } finally q.stop()
+  }
 }
