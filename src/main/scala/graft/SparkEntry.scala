@@ -64,12 +64,14 @@ object SparkEntry {
     // [(q−ε)N, (q+ε)N]. The booleans hash-compare against literal TRUEs
     // — a boundary-tolerant oracle for an approximate operator.
     "m_csr_approx_tiers" -> ((s, d) => {
+      // cached: the approxQuantile ACTION and the verification aggregate
+      // both consume it (customer-grain, dim-sized — not the fact)
       val agg = CustomerSalesReport.customerAmounts(
         Entities.customers(s, d), Entities.products(s, d),
         Entities.sales(s, d),
         SupplierPerformance.build(Entities.suppliers(s, d),
           Entities.products(s, d), Entities.sales(s, d), clock),
-        clock)
+        clock).cache()
       val cuts = agg.stat.approxQuantile("agg_sales_amount",
         Array(0.5, 0.8), 0.01)
       def ok(q: Double) = {
