@@ -39,9 +39,11 @@ object Similarity {
     round(c.cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
       .cast("double")
 
+  import graft.core.Scalars.crossBroadcast
+
   /** Exact cosine top-k against a single query vector (1-row frame). */
   def bruteTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
-    embeddings.crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+    crossBroadcast(embeddings, query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),
         roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
@@ -54,7 +56,7 @@ object Similarity {
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
-    embeddings.crossJoin(broadcast(centroids))
+    crossBroadcast(embeddings, centroids)
       .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
         roundSim(cosine(col("embedding"), col("cvec"))).as("csim"))
       .withColumn("rn", row_number().over(w))
@@ -68,16 +70,16 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame, query: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     val assigned = assign(embeddings, centroids)
-    val probes = centroids
-      .crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+    val probes = crossBroadcast(centroids,
+        query.select(col("embedding").as("qvec")))
       .select(col("centroid_id"),
         roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
       .orderBy(desc("csim"), asc("centroid_id"))
       .limit(nprobe)
       .select("centroid_id")
-    assigned
-      .join(broadcast(probes), "centroid_id")
-      .crossJoin(broadcast(query.select(col("embedding").as("qvec"))))
+    crossBroadcast(
+      assigned.join(broadcast(probes), "centroid_id"),
+      query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),
         roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))

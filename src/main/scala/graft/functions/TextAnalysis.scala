@@ -123,8 +123,7 @@ object TextAnalysis {
     val df = tf.groupBy("token")
       .agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(df, "token")
-      .crossJoin(broadcast(n))
+    graft.core.Scalars.crossBroadcast(tf.join(df, "token"), n)
       .withColumn("tf_idf",
         round((col("tf") * log(col("n_docs").cast("double") / col("df")))
           .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)

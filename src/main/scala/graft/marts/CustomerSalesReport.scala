@@ -125,7 +125,7 @@ object CustomerSalesReport {
           .select(lit(silver).as("silver_tier"), lit(gold).as("gold_tier"))
       }
 
-    val tiered = aggCustomer.crossJoin(broadcast(cutoffs))
+    val tiered = graft.core.Scalars.crossBroadcast(aggCustomer, cutoffs)
       .withColumn("loyalty_tier",
         when(col("agg_sales_amount") > col("gold_tier"), "GOLD")
           .when(col("agg_sales_amount").between(col("silver_tier"), col("gold_tier")),

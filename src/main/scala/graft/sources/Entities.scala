@@ -55,7 +55,7 @@ object Entities {
     val p = Tables.part(spark, sfDir)
     val nSup = Tables.supplier(spark, sfDir)
       .agg(count(lit(1)).as("n_suppliers"))
-    p.crossJoin(broadcast(nSup))
+    graft.core.Scalars.crossBroadcast(p, nSup)
       .select(
         col("p_partkey").cast("string").as("product_id"),
         col("p_name").as("product_name"),

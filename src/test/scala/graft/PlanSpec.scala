@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("no query in the inventory plans a nested-loop or cartesian join") {
+    // STRICT invariant: scalar/tiny crossJoins go through
+    // Scalars.crossBroadcast (constant-key BroadcastHashJoin), so any
+    // BroadcastNestedLoopJoin or CartesianProduct in any plan is a bug.
+    // Streaming queries are exercised by StreamingSpec instead (building
+    // the plan here would drain a live stream).
+    val streaming = Set("st_events_hourly")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streaming(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
   test("approxQuantile tier path (reference A10 mechanism) still tiers") {
     val out = CustomerSalesReport.build(
       Entities.customers(spark, sf), Entities.products(spark, sf),
