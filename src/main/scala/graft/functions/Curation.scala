@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pipeline a training-data
+  * user actually runs over raw documents, built entirely from the
+  * individually-oracle-verified primitives:
+  *
+  *   1. quality gate ([[TextAnalysis.quality]]): drop documents below
+  *      an alphabetic-ratio / token-count floor;
+  *   2. exact dedup ([[Dedup.exact]] semantics): keep the lowest doc_id
+  *      per normalized-content fingerprint;
+  *   3. near-dup removal ([[Dedup.minhashLsh]]): for every LSH pair
+  *      above the similarity floor, drop the higher doc_id (greedy
+  *      keep-lowest — deterministic, order-free);
+  *   4. reproducible split ([[TextAnalysis.hashSplit]]): md5-bucket
+  *      train/validation/test assignment.
+  *
+  * Scale shape: stages 1–2 are one narrow pass + one fingerprint
+  * shuffle; stage 3 is the banded LSH join (bounded candidates); stage
+  * 4 is narrow. Nothing here collects to the driver, and each stage
+  * only shrinks the data.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minAlpha: Double = 0.8, minTokens: Int = 25,
+             nearDupSim: Double = 0.5): DataFrame = {
+    val gated = TextAnalysis.quality(docs)
+      .filter(col("alpha_ratio") >= minAlpha && col("n_tokens") >= minTokens)
+      .select("doc_id", "n_tokens")
+    val fdocs = docs.join(gated, "doc_id")
+
+    val keep1 = fdocs
+      .withColumn("fp", md5(TextAnalysis.normalized(col("text"))))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "n_tokens")
+
+    val drops = Dedup.minhashLsh(keep1, minEstSim = nearDupSim)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val keep2 = keep1.join(drops, Seq("doc_id"), "left_anti")
+
+    TextAnalysis.hashSplit(keep2)
+      .select("doc_id", "n_tokens", "split")
+  }
+}

@@ -13,10 +13,11 @@ object TrainingQueries {
 
   // normalized text (lower + collapse whitespace + trim), DuckDB side
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  // 3-word shingle document pairs pipeline, DuckDB side
-  private val shingleCtes: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+  // 3-word shingle document pipeline over any (doc_id, text) source,
+  // DuckDB side — emitted WITHOUT the leading WITH so callers can chain
+  private def shingleCtesFor(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $src),
        |shing AS (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(t) - 1),
@@ -25,6 +26,40 @@ object TrainingQueries {
        |flt AS (SELECT shingle FROM shing GROUP BY shingle HAVING count(*) <= 1000),
        |ds AS (SELECT s.doc_id, s.shingle FROM shing s JOIN flt USING (shingle))
        |""".stripMargin
+  private val shingleCtes: String = "WITH " + shingleCtesFor("documents")
+
+  /** MinHash-LSH pair CTE chain (k=8, 2 rows/band) over any
+    * (doc_id, text) source; ends with `lshp(doc_a, doc_b, est_jaccard)`.
+    * Mirrors [[Dedup.minhashSignatures]]/[[Dedup.minhashLsh]] exactly.
+    */
+  private def minhashCtesFor(src: String): String = {
+    val mins = (0 until 8)
+      .map(i => s"min(substr(md5('${i / 4}|' || shingle), ${1 + 8 * (i % 4)}, 8)) AS mh_$i")
+      .mkString(",\n         ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val simSum = (0 until 8)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleCtesFor(src) +
+      s""", sigs AS (
+         |  SELECT doc_id,
+         |         $mins
+         |  FROM ds GROUP BY doc_id)
+         |, bands AS (
+         |  $bands)
+         |, cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id)
+         |, lshp AS (
+         |  SELECT doc_a, doc_b, CAST($simSum AS DOUBLE) / 8 AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs a ON doc_a = a.doc_id
+         |  JOIN sigs b ON doc_b = b.doc_id)
+         |""".stripMargin
+  }
   // double-fold dot product, DuckDB side (matches Similarity.dot)
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -98,7 +133,10 @@ object TrainingQueries {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.assets(Tables.documents(s, d)))
-        .toDF().orderBy("asset_id")))
+        .toDF().orderBy("asset_id")),
+    // composed curation pipeline (quality → dedup → near-dup → split)
+    "ts_curation" -> ((s, d) =>
+      Curation.curate(Tables.documents(s, d)).orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
     "ts_quality" ->
@@ -187,33 +225,48 @@ object TrainingQueries {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dd_minhash_lsh" -> (shingleCtes + {
-      val mins = (0 until 8)
-        .map(i => s"min(substr(md5('${i / 4}|' || shingle), ${1 + 8 * (i % 4)}, 8)) AS mh_$i")
-        .mkString(",\n         ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS bucket FROM sigs")
-        .mkString("\n  UNION ALL ")
-      val simSum = (0 until 8)
-        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s""", sigs AS (
-         |  SELECT doc_id,
-         |         $mins
-         |  FROM ds GROUP BY doc_id)
-         |, bands AS (
-         |  $bands)
-         |, cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b USING (band, bucket)
-         |  WHERE a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST($simSum AS DOUBLE) / 8 AS est_jaccard
-         |FROM cand
-         |JOIN sigs a ON doc_a = a.doc_id
-         |JOIN sigs b ON doc_b = b.doc_id
-         |WHERE CAST($simSum AS DOUBLE) / 8 >= 0.25
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }),
+    "dd_minhash_lsh" -> ("WITH " + minhashCtesFor("documents") +
+      """SELECT doc_a, doc_b, est_jaccard
+        |FROM lshp WHERE est_jaccard >= 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // the full curation pipeline: quality gate → exact-dedup keepers →
+    // LSH near-dup removal (drop the higher doc_id of each pair) →
+    // deterministic hash split. Every stage reuses a primitive that is
+    // oracle-verified on its own; this row proves the COMPOSITION.
+    "ts_curation" -> {
+      val alpha =
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)"
+      s"""WITH q0 AS (
+         |  SELECT doc_id, text,
+         |         $alpha AS alpha,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |fdocs AS (
+         |  SELECT doc_id, text, n_tokens FROM q0
+         |  WHERE alpha >= 0.8 AND n_tokens >= 25),
+         |fps AS (SELECT doc_id, text, n_tokens, md5($normSql) AS fp FROM fdocs),
+         |keep1 AS (
+         |  SELECT doc_id, text, n_tokens FROM (
+         |    SELECT doc_id, text, n_tokens,
+         |           MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+         |    FROM fps) k
+         |  WHERE doc_id = keeper),
+         |${minhashCtesFor("keep1")},
+         |drops AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM lshp WHERE est_jaccard >= 0.5),
+         |keep2 AS (
+         |  SELECT doc_id, n_tokens FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |s AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) AS b
+         |  FROM keep2)
+         |SELECT doc_id, n_tokens,
+         |       CASE WHEN b < 204 THEN 'train'
+         |            WHEN b < 230 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "ann_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1/2 exact dups (case), 3 near-dup of 1, 4 unrelated but clean,
+  // 5 too short, 6 too low alpha-ratio
+  private val docs = Seq(
+    (1L, Array.fill(3)("the quick brown fox jumps over the lazy dog").mkString(" ")),
+    (2L, Array.fill(3)("the quick brown fox jumps over the LAZY dog").mkString(" ")),
+    (3L, (Array.fill(2)("the quick brown fox jumps over the lazy dog") :+
+      "the quick brown fox jumps over the sleepy dog").mkString(" ")),
+    (4L, Array.fill(3)("completely different content with no overlap here at all").mkString(" ")),
+    (5L, "too short"),
+    (6L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25 26"))
+    .toDF("doc_id", "text")
+
+  test("curation gates quality, dedups exactly and nearly, then splits") {
+    val out = Curation.curate(docs, minAlpha = 0.5, minTokens = 25,
+      nearDupSim = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!out.contains(5L), "short doc gated")
+    assert(!out.contains(6L), "low-alpha doc gated")
+    assert(out.contains(1L) && !out.contains(2L), "exact dup keeps min id")
+    assert(!out.contains(3L), "near-dup of 1 dropped (higher id)")
+    assert(out.contains(4L), "clean unique doc survives")
+    assert(out.values.toSet.subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("curation is deterministic across partitioning") {
+    val a = Curation.curate(docs.repartition(7), minAlpha = 0.5,
+      minTokens = 25).collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.curate(docs.coalesce(1), minAlpha = 0.5,
+      minTokens = 25).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}
