@@ -131,6 +131,43 @@ object TextAnalysis {
       .select("doc_id", "token", "tf", "df", "tf_idf")
   }
 
+  /** Repetition metrics, the Gopher/RefinedWeb-style filter signals for
+    * boilerplate and degenerate generations: duplicate-token fraction
+    * (1 − distinct/total), most-frequent-token coverage, and
+    * most-frequent-bigram coverage. All ratios divide exact integer
+    * counts, so the doubles are bit-identical in any engine. A corpus
+    * filter drops documents above thresholds (e.g. top-bigram coverage
+    * > 0.18 in Gopher's rules); the operator emits the raw signals.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("t"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok"))
+    val bigramStats = base
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("t"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_big"))
+    tokStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_tok").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        coalesce(col("top_big").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Deterministic hash-based train/validation/test split: the md5 of
     * the id assigns each doc to a bucket in [0, 256); cut points carve
     * the split. Reproducible across engines, runs, and cluster layouts —

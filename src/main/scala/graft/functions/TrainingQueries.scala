@@ -136,7 +136,9 @@ object TrainingQueries {
         .toDF().orderBy("asset_id")),
     // composed curation pipeline (quality → dedup → near-dup → split)
     "ts_curation" -> ((s, d) =>
-      Curation.curate(Tables.documents(s, d)).orderBy("doc_id")))
+      Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
+    "ts_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
     "ts_quality" ->
@@ -207,6 +209,29 @@ object TrainingQueries {
          |      FROM documents) t
          |GROUP BY token
          |ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
+    "ts_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ts AS (
+         |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         |         max(c) AS top_tok
+         |  FROM tc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(t)),
+         |                i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM toks),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (
+         |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_big
+         |  FROM bc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+         |       1 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+         |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+         |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
+         |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       s"""SELECT md5($normSql) AS fp,
          |       min(doc_id) AS keeper_doc_id,

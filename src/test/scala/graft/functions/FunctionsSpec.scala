@@ -109,4 +109,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps(0).getLong(3) == fps(1).getLong(3), "fnv normalized equal")
     assert(fps(0).getLong(3) == fnvRef("hello world"))
   }
+
+  test("repetition metrics flag degenerate docs, pass varied ones") {
+    val out = TextAnalysis.repetition(Seq(
+      (1L, "spam spam spam spam"),        // fully degenerate
+      (2L, "one two three four"),          // fully varied
+      (3L, "solo"))                        // single token: no bigrams
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4, 0.75, 1.0, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((4, 0.0, 0.25, 1.0 / 3)), s"got ${out(2L)}")
+    assert(out(3L) == ((1, 0.0, 1.0, 0.0)), "no bigrams -> coverage 0")
+  }
 }
