@@ -253,6 +253,31 @@ object Dedup {
         col("edit_dist"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` word shingles with any benchmark/eval document — the
+    * n-gram-overlap contamination check every training pipeline runs
+    * before a data release. Same inverted-index shape as
+    * [[ngramJaccard]]: candidates must share a shingle, never O(n·m).
+    * The corpus side keeps the `maxDf` stop-shingle skew cap; the
+    * benchmark side is eval-sized and uncapped (a capped benchmark
+    * shingle could hide real contamination).
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minOverlap: Long = 5, maxDf: Long = 1000): DataFrame = {
+    val corpus = docShingles(docs, n, maxDf)
+    val bench = benchmark
+      .select(col("doc_id").as("bench_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("bench_id"),
+        explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
+      .distinct()
+    corpus.join(bench, "shingle")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+  }
+
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
     * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
     * least one of the 4 bands — standard pigeonhole blocking).

@@ -138,7 +138,14 @@ object TrainingQueries {
     "ts_curation" -> ((s, d) =>
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
     "ts_repetition" -> ((s, d) =>
-      TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")))
+      TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    // decontamination vs a held-out "benchmark" slice of the corpus
+    "dd_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+        minOverlap = 3)
+        .orderBy("doc_id", "bench_id")
+    }))
 
   def oracles: Map[String, String] = Map(
     "ts_quality" ->
@@ -232,6 +239,19 @@ object TrainingQueries {
          |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
          |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
          |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dd_contamination" -> ("WITH " + shingleCtesFor("documents") +
+      s""", bshing AS (
+         |  SELECT DISTINCT doc_id AS bench_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents WHERE doc_id % 97 = 0) b)
+         |SELECT doc_id, bench_id, count(*) AS n_common
+         |FROM ds JOIN bshing USING (shingle)
+         |WHERE doc_id != bench_id
+         |GROUP BY doc_id, bench_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id, bench_id""".stripMargin),
     "dd_exact" ->
       s"""SELECT md5($normSql) AS fp,
          |       min(doc_id) AS keeper_doc_id,

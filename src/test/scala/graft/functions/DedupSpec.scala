@@ -49,6 +49,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("contamination flags docs sharing shingles with the benchmark") {
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the capital"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains a 5-shingle benchmark passage → contaminated
+      (1L, "trivia night answer what is the capital of france paris wins"),
+      // no benchmark 3-grams at all → clean
+      (2L, "completely unrelated corpus document about something else"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contamination(corpus, bench, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(flagged.keySet == Set((1L, 100L)), s"got $flagged")
+    assert(flagged((1L, 100L)) >= 3)
+  }
+
   test("fuzzy pairs: duplicate texts collapse, null texts drop") {
     val df = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"),      // identical → dist 0
