@@ -86,6 +86,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the vector
+    * storage path at scale (4× smaller than float32, 8× than float64;
+    * IVF/brute rankings survive int8 with ~1e-3 cosine error). Per
+    * vector: scale = max|x| / 127, q_i = round(x_i / scale). Both the
+    * scale and the quotients round through decimal space so the outputs
+    * are bit-identical in any engine (see [[roundSim]]); an all-zero
+    * vector quantizes to zeros with scale 0 rather than dividing by it.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(20, 12)
+    val v = col("embedding")
+    val scale = round(
+      (array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0))
+        .cast(d), 9).cast("double")
+    val q = when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        round((x.cast("double") / scale)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 10)), 0)
+          .cast("int")))
+    embeddings.select(col("vec_id"), scale.as("scale"), q.as("q"))
+  }
+
+  /** Dequantize back to doubles: x_i ≈ q_i × scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Sign-LSH bucket of the first `dims` dimensions: 'PNNP…' pattern. */
   def signBucket(vec: Column, dims: Int): Column =
     concat((0 until dims).map(i =>

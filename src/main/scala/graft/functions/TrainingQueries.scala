@@ -139,6 +139,14 @@ object TrainingQueries {
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
     "ts_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    // int8 quantization; q rendered as csv (array hashing is
+    // representation-fragile across engines, a string is not)
+    "ann_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), x => x.cast("string")), ",")
+            .as("q_csv"))
+        .orderBy("vec_id")),
     // decontamination vs a held-out "benchmark" slice of the corpus
     "dd_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -239,6 +247,21 @@ object TrainingQueries {
          |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
          |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
          |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ann_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(ROUND(CAST(list_max(list_transform(embedding,
+        |                x -> abs(CAST(x AS DOUBLE)))) / 127.0
+        |              AS DECIMAL(20,12)), 9) AS DOUBLE) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |       CASE WHEN scale = 0
+        |            THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |            ELSE array_to_string(list_transform(embedding,
+        |              x -> CAST(ROUND(CAST(CAST(x AS DOUBLE) / scale
+        |                     AS DECIMAL(20,10)), 0) AS INT)), ',')
+        |       END AS q_csv
+        |FROM s ORDER BY vec_id""".stripMargin,
     "dd_contamination" -> ("WITH " + shingleCtesFor("documents") +
       s""", bshing AS (
          |  SELECT DISTINCT doc_id AS bench_id,

@@ -47,6 +47,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization preserves cosine geometry to ~1e-3") {
+    import org.apache.spark.sql.functions._
+    val deq = Similarity.quantizeInt8(emb.limit(100))
+      .join(emb.limit(100), "vec_id")
+      .select(col("vec_id"),
+        Similarity.roundSim(Similarity.cosine(
+          Similarity.dequantize(col("q"), col("scale")),
+          col("embedding"))).as("self_cos"))
+      .collect().map(_.getDouble(1))
+    assert(deq.forall(c => c > 0.999), s"min self-cos ${deq.min}")
+  }
+
+  test("all-zero vectors quantize to zeros, not division by zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val row = Similarity.quantizeInt8(z).collect().head
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getSeq[Int](2).forall(_ == 0))
+  }
+
   test("sign-LSH skew guard bounds pairs in a degenerate bucket") {
     // 300 vectors with IDENTICAL signs in every dimension: refinement
     // can't split the bucket, so the cap must — pairs are bounded by
