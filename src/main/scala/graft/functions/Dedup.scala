@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *   5. embedding   — cosine near-dup with sign-LSH blocking (see
   *                    [[Similarity]] for the shared primitives).
   *
-  * Everything is built from codegen'd native functions. Min-hashes use
-  * md5 (identical hex rendering in Spark and DuckDB) so the LSH pipeline
-  * itself is oracle-comparable end-to-end; simhash uses xxhash64 +
-  * bitwise aggregation, verified by unit tests instead.
+  * Everything is built from codegen'd native functions. Min-hashes and
+  * simhash bit-votes both derive from md5 (identical hex rendering in
+  * Spark and DuckDB — simhash votes on md5 nibbles, see [[simhash]]), so
+  * the LSH and simhash pipelines are oracle-comparable end-to-end.
   *
   * Scale: the shuffles are (a) explode-shingles → groupBy shingle/bucket
   * (skew-guard: frequent shingles capped via a document-frequency
@@ -261,6 +261,15 @@ object Dedup {
     * The corpus side keeps the `maxDf` stop-shingle skew cap; the
     * benchmark side is eval-sized and uncapped (a capped benchmark
     * shingle could hide real contamination).
+    *
+    * Recall tradeoff of the corpus-side cap: a document whose ONLY
+    * shared shingles are high-DF boilerplate (df > maxDf in the corpus)
+    * evades the flag — the cap drops those shingles before the join.
+    * This is the standard precision/scale tradeoff (ubiquitous shingles
+    * are near-useless contamination evidence AND quadratic join fuel);
+    * callers that need full recall on boilerplate-heavy benchmarks
+    * should raise `maxDf` (cost grows as Σ df² over kept shingles) or
+    * lower `n` gram size so benchmark shingles are more specific.
     */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                     minOverlap: Long = 5, maxDf: Long = 1000): DataFrame = {

@@ -19,19 +19,37 @@ import graft.core.{Money, RunClock}
   * (:191-200), aggregate-back-to-detail inner join (:204-231).
   *
   * Scale: the per-customer aggregate and join-back shuffle on customer_id
-  * twice; the exact-percentile scalar is a single-row broadcast. At
-  * 100 TB one would swap exact percentile for `percentile_approx` (same
-  * GK sketch as the reference) — flag kept here deliberately.
+  * twice; the tier-cutoff scalar is a single-row broadcast. The DEFAULT
+  * tier mode is the scale-safe in-plan `percentile_approx` (GK sketch,
+  * bounded memory per aggregation buffer, fully distributed); the exact
+  * path is reserved for oracle comparison — see [[TierMode]].
   */
 object CustomerSalesReport {
 
-  /** @param exactTiers true (default): tier cutoffs via exact in-plan
-    *                    percentiles — deterministic and oracle-comparable.
-    *                    false: the reference's exact mechanism — a
-    *                    driver-side `df.stat.approxQuantile(…, 0.01)`
-    *                    (Greenwald–Khanna sketch, A10) whose outputs
-    *                    become literals in the downstream plan.
-    */
+  /** How the 0.5/0.8 loyalty-tier cutoffs are computed. */
+  sealed trait TierMode
+  object TierMode {
+    /** Scale default: `percentile_approx` in-plan (the same
+      * Greenwald–Khanna sketch the reference's mechanism uses, ε = 0.01,
+      * but distributed and bounded-memory — exact `percentile` buffers
+      * every per-customer value in ONE aggregation buffer, a memory
+      * cliff at 10⁸ customers).
+      */
+    case object Approx extends TierMode
+    /** Exact in-plan percentiles — deterministic and oracle-comparable
+      * (DuckDB `quantile_cont` matches bit-for-bit). Reserved for the
+      * correctness twin and small/medium data.
+      */
+    case object Exact extends TierMode
+    /** The reference's mechanism verbatim: a driver-side
+      * `df.stat.approxQuantile(…, 0.01)` ACTION (A10,
+      * m_customer_sales_report_task.py:183-188) whose outputs become
+      * literals in the downstream plan. Costs an extra job; kept for
+      * parity demonstration.
+      */
+    case object DriverApprox extends TierMode
+  }
+
   /** The detail frame + per-customer amount aggregate the tiering runs
     * on — exposed so the approx-tier verification query
     * (`m_csr_approx_tiers`) can probe the same aggregate the mart uses.
@@ -101,7 +119,7 @@ object CustomerSalesReport {
 
   def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
             supplierPerformance: DataFrame, clock: RunClock,
-            exactTiers: Boolean = true): DataFrame = {
+            tiers: TierMode = TierMode.Approx): DataFrame = {
     val expAddSalesData =
       expAdd(customers, products, sales, supplierPerformance, clock)
 
@@ -110,20 +128,25 @@ object CustomerSalesReport {
       .agg(Money.moneySum(col("sale_amount")).cast("double")
         .as("agg_sales_amount"))
 
-    // Exact 0.5/0.8 percentile cutoffs as a 1-row broadcast (replaces the
-    // reference's driver-side approxQuantile + Python literals); the
-    // approx path reproduces the reference mechanism verbatim.
-    val cutoffs =
-      if (exactTiers)
+    // 0.5/0.8 cutoffs as a 1-row broadcast, computed per TierMode.
+    // accuracy = 1/ε = 100 mirrors the reference's relativeError 0.01.
+    val cutoffs = tiers match {
+      case TierMode.Approx =>
+        aggCustomer.agg(
+          percentile_approx(col("agg_sales_amount"), lit(0.5), lit(100))
+            .as("silver_tier"),
+          percentile_approx(col("agg_sales_amount"), lit(0.8), lit(100))
+            .as("gold_tier"))
+      case TierMode.Exact =>
         aggCustomer.agg(
           percentile(col("agg_sales_amount"), lit(0.5)).as("silver_tier"),
           percentile(col("agg_sales_amount"), lit(0.8)).as("gold_tier"))
-      else {
+      case TierMode.DriverApprox =>
         val Array(silver, gold) = aggCustomer.stat
           .approxQuantile("agg_sales_amount", Array(0.5, 0.8), 0.01)
         aggCustomer.sparkSession.range(1)
           .select(lit(silver).as("silver_tier"), lit(gold).as("gold_tier"))
-      }
+    }
 
     val tiered = graft.core.Scalars.crossBroadcast(aggCustomer, cutoffs)
       .withColumn("loyalty_tier",

@@ -117,6 +117,31 @@ object CoverageQueries {
     // Q6: per-column mismatch summary
     "raptor_col_summary" -> ((s, d) => raptor(s, d).columnSummary),
 
+    // compareTyped: the NULL≠'' hardening mode — native-type null-safe
+    // compare, no string normalization. The fixture injects the exact
+    // diff class the fingerprint mode CANNOT see (NULL on one side,
+    // empty string on the other) plus decimal and date mutations, so a
+    // green row proves typed semantics end-to-end, not just agreement.
+    "raptor_typed_mismatch" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val src = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        col("o_orderdate").cast("date").as("odate"))
+      val tgt = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(""))
+          .otherwise(col("o_orderstatus")).as("status"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          when(col("o_orderkey") % 100 === 0, 1).otherwise(0)).as("price"),
+        date_add(col("o_orderdate").cast("date"),
+          when(col("o_orderkey") % 97 === 0, 1).otherwise(0)).as("odate"))
+      Raptor.compareTyped(src, tgt, keys = Seq("o_orderkey"))
+        .orderBy("o_orderkey", "mismatch_column_name")
+    }),
+
     // K4: MERGE upsert rewrite on a deterministic stage/target pair
     "k4_merge_upsert" -> ((s, d) => {
       val c = Tables.customer(s, d).select(
@@ -129,8 +154,13 @@ object CoverageQueries {
         .withColumn("bal", col("bal") + 10)
         .withColumn("load_ts", lit(java.sql.Timestamp.valueOf("2001-11-05 00:00:00")))
         .withColumn("update_ts", lit(java.sql.Timestamp.valueOf("2001-11-05 00:00:00")))
+      // The merge itself keeps the target's DECIMAL(18,2) typing (spec-tested
+      // in MergeUpsertSpec); only the comparison surface casts bal to DOUBLE,
+      // matching the Money.round2 family every other money column uses —
+      // raw DECIMAL is the one representation the driver's hash diverges on.
       MergeUpsert.merge(target, stage, keys = Seq("c_custkey"),
         preserved = Seq("load_ts"))
+        .withColumn("bal", col("bal").cast("double"))
         .orderBy("c_custkey")
     }),
 
@@ -161,7 +191,11 @@ object CoverageQueries {
     // J12/J13: anti join — customers with no orders
     "q_anti_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      // Filter the orders side so the anti-join is non-vacuous at every
+      // SF: unfiltered, every customer has orders in the synthetic data
+      // and both engines agree on the empty set — a green row that can
+      // never fail. Dropping custkeys ≡ 0 (mod 7) guarantees real rows.
+      val o = Tables.orders(s, d).filter(col("o_custkey") % 7 =!= 0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -317,6 +351,42 @@ object CoverageQueries {
         |         AS "Percentage_Of_Mismatch"
         |FROM mis GROUP BY mismatch_column_name
         |ORDER BY "Percentage_Of_Mismatch" DESC, "Mismatch_Column_Name" ASC""".stripMargin),
+    // Native-type diff — NO string normalization anywhere: IS DISTINCT
+    // FROM on the native columns, values rendered to VARCHAR only for
+    // display. NULL vs '' must survive as a real mismatch row.
+    "raptor_typed_mismatch" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(o_orderdate AS DATE) AS odate
+        |  FROM orders),
+        |tgt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN '' ELSE o_orderstatus END AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2))
+        |           + CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END AS price,
+        |         CAST(o_orderdate AS DATE)
+        |           + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS odate
+        |  FROM orders),
+        |j AS (
+        |  SELECT s.o_orderkey,
+        |         s.status AS s_status, t.status AS t_status,
+        |         s.price AS s_price, t.price AS t_price,
+        |         s.odate AS s_odate, t.odate AS t_odate
+        |  FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+        |SELECT o_orderkey, source_value, target_value, mismatch_column_name FROM (
+        |  SELECT o_orderkey, CAST(s_status AS VARCHAR) AS source_value,
+        |         CAST(t_status AS VARCHAR) AS target_value,
+        |         'status' AS mismatch_column_name
+        |  FROM j WHERE s_status IS DISTINCT FROM t_status
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(s_price AS VARCHAR), CAST(t_price AS VARCHAR), 'price'
+        |  FROM j WHERE s_price IS DISTINCT FROM t_price
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(s_odate AS VARCHAR), CAST(t_odate AS VARCHAR), 'odate'
+        |  FROM j WHERE s_odate IS DISTINCT FROM t_odate)
+        |ORDER BY o_orderkey, mismatch_column_name""".stripMargin,
     "k4_merge_upsert" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
@@ -333,7 +403,7 @@ object CoverageQueries {
         |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
         |       CAST(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END
-        |            AS DECIMAL(18,2)) AS bal,
+        |            AS DOUBLE) AS bal,
         |       CASE WHEN t.c_custkey IS NOT NULL THEN t.load_ts ELSE s.load_ts END AS load_ts,
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.update_ts ELSE t.update_ts END AS update_ts
         |FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
@@ -357,7 +427,8 @@ object CoverageQueries {
         |WHERE rnk = 1 ORDER BY user_id""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_custkey % 7 != 0)
         |ORDER BY c_custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

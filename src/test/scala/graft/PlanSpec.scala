@@ -99,7 +99,27 @@ class PlanSpec extends AnyFunSuite {
       SupplierPerformance.build(Entities.suppliers(spark, sf),
         Entities.products(spark, sf), Entities.sales(spark, sf),
         RunClock.fixed),
-      RunClock.fixed, exactTiers = false)
+      RunClock.fixed, CustomerSalesReport.TierMode.DriverApprox)
+    val tiers = out.select("LOYALTY_TIER").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tiers.subsetOf(Set("GOLD", "SILVER", "BRONZE")) && tiers.size >= 2)
+  }
+
+  test("scale-mode CSR plan has no exact-percentile aggregate") {
+    // Default TierMode.Approx must plan percentile_approx (bounded-memory
+    // GK sketch); an exact percentile aggregate buffers every value of a
+    // group in one buffer — the 10⁸-customer memory cliff.
+    val out = CustomerSalesReport.build(
+      Entities.customers(spark, sf), Entities.products(spark, sf),
+      Entities.sales(spark, sf),
+      SupplierPerformance.build(Entities.suppliers(spark, sf),
+        Entities.products(spark, sf), Entities.sales(spark, sf),
+        RunClock.fixed),
+      RunClock.fixed)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("percentile_approx"), plan.take(2000))
+    assert(!"""(?<!_)percentile\(""".r.findFirstIn(plan).isDefined,
+      "exact percentile aggregate found in scale-mode plan")
     val tiers = out.select("LOYALTY_TIER").distinct()
       .collect().map(_.getString(0)).toSet
     assert(tiers.subsetOf(Set("GOLD", "SILVER", "BRONZE")) && tiers.size >= 2)
