@@ -4,11 +4,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [query ...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing names restrict the dump (local iteration only;
+    // the driver always runs the full inventory)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Single source of truth for session config: the correctness gate must
     // run under exactly the environment GraftSession defines (UTC, AQE,
@@ -24,10 +27,12 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(); ()
     }
-    SparkEntry.queries.keys.foreach { name =>
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    picked.keys.foreach { name =>
       deleteRec(new java.io.File(s"$outDir/$name"))
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    picked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -50,36 +50,79 @@ object Similarity {
       .limit(k)
 
   /** Assign every vector to its nearest centroid (argmax cosine,
-    * centroid_id tie-break). Centroids must be a small frame
-    * (centroid_id, cvec) — broadcast.
+    * centroid_id tie-break) with ZERO shuffle. The centroid set is small
+    * by contract (the same rows a broadcast would ship), so it is
+    * collected once and folded into the plan as an array-of-struct
+    * literal `(centroid_id, cvec, ‖cvec‖)`; the argmax is a single
+    * `aggregate` fold per corpus row — a narrow projection over the
+    * scan, no exchange anywhere (PlanSpec pins this). The previous form
+    * (cross-broadcast × row_number window) shuffled a |corpus|·C-
+    * amplified frame; at 100 TB with C=4096 that exchange IS the
+    * pipeline. For centroid sets too big for a plan literal, the same
+    * fold works over a broadcast-joined struct-array column.
+    *
+    * Determinism parity: centroid norms are driver-computed with the
+    * same sequential left-to-right double fold the SQL-side [[norm]]
+    * uses, so every `csim` is bit-identical to the windowed form (and
+    * to the DuckDB oracle); folding in ascending centroid_id order with
+    * a strict `>` keeps the first (lowest-id) winner on ties — the same
+    * tie-break as `ORDER BY csim DESC, centroid_id ASC`.
     */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
-    crossBroadcast(embeddings, centroids)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
-        roundSim(cosine(col("embedding"), col("cvec"))).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "label", "embedding", "centroid_id")
+    val cents: Seq[(Int, Seq[Double], Double)] = centroids
+      .select(col("centroid_id").cast("int"),
+        transform(col("cvec"), _.cast("double")))
+      .collect()
+      .toIndexedSeq
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getInt(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .sortBy(_._1)
+    val centArr = typedLit(cents)
+    val best = aggregate(
+      centArr,
+      struct(lit(-1).as("cid"), lit(Double.NegativeInfinity).as("sim")),
+      (acc, c) => {
+        val sim = roundSim(
+          dot(col("embedding"), c.getField("_2")) /
+            (col("__nrm") * c.getField("_3")))
+        when(sim > acc.getField("sim"),
+          struct(c.getField("_1").as("cid"), sim.as("sim")))
+          .otherwise(acc)
+      })
+    embeddings
+      .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
+      .select(col("vec_id"), col("label"), col("embedding"),
+        best.getField("cid").as("centroid_id"))
   }
 
-  // The assignment (a cross × window over the whole corpus) is the
-  // expensive half of IVF and is identical for every query against the
-  // same (embeddings, centroids) pair — memoize the cache()d frame per
-  // (session, semantic plan) so repeated ivfTopK calls (a query stream,
-  // or bench passes) pay it once. Stopped sessions are evicted before
-  // each lookup, mirroring the raptor memo contract.
+  // The assignment scan is identical for every query against the same
+  // (embeddings, centroids) pair — memoize the cache()d frame per
+  // session so repeated ivfTopK calls (a query stream, or bench passes)
+  // pay it once. Lookup confirms plan identity with sameResult (a
+  // semanticHash key alone could collide and silently serve the wrong
+  // assignment); keeping only the LAST entry per session mirrors
+  // SqlLab.registerViews' unpersist discipline, so a long-lived session
+  // that switches corpora cannot accumulate pinned executor storage.
+  // Stopped sessions are evicted before each lookup.
   private val assignMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int), DataFrame]()
+    org.apache.spark.sql.SparkSession,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
 
   private def assignCached(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    assignMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    assignMemo.computeIfAbsent(
-      (embeddings.sparkSession,
-        embeddings.queryExecution.logical.semanticHash(),
-        centroids.queryExecution.logical.semanticHash()),
-      _ => assign(embeddings, centroids).cache())
+    assignMemo.keySet.removeIf(s => s.sparkContext.isStopped)
+    val el = embeddings.queryExecution.analyzed
+    val cl = centroids.queryExecution.analyzed
+    assignMemo.compute(embeddings.sparkSession, (_, prev) =>
+      Option(prev) match {
+        case Some(hit @ (pe, pc, _)) if pe.sameResult(el) && pc.sameResult(cl) =>
+          hit
+        case stale =>
+          stale.foreach(_._3.unpersist(blocking = false))
+          (el, cl, assign(embeddings, centroids).cache())
+      })._3
   }
 
   /** IVF top-k: probe the nprobe centroids nearest to the query, then

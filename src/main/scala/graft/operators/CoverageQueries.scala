@@ -103,6 +103,21 @@ object CoverageQueries {
   private val sep = "chr(1)"
 
   def queries: Map[String, Q] = Map(
+    // Salting.twoPhaseAgg on a deliberately skewed key (event_type has
+    // ~4 values over the whole events fact — each key IS a hot key):
+    // phase 1 sums decimal partials at (key, salt), phase 2 combines at
+    // key grain. Hash-compared against DuckDB's DIRECT single-phase
+    // aggregate — decimal addition is associative, so the salted split
+    // is provably semantics-preserving on real data, not just fixtures.
+    "q_salted_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Salting.twoPhaseAgg(ev, "event_type", col("event_id"), factor = 8,
+        partials = Seq(Money.moneySum(col("value")).as("v_dec"),
+          count(lit(1)).as("n_part")),
+        combines = Seq(Money.round2(sum(col("v_dec"))).as("sum_value"),
+          sum(col("n_part")).as("n_events")))
+        .orderBy("event_type")
+    }),
     // Q2/Q3: column-level mismatch attribution
     "raptor_col_mismatch" -> ((s, d) =>
       raptor(s, d).colMismatch
@@ -300,6 +315,13 @@ object CoverageQueries {
         .orderBy("o_orderpriority")))
 
   def oracles: Map[String, String] = Map(
+    // direct (unsalted) aggregate: equality proves the two-phase salted
+    // path computes the same answer as the textbook single groupBy
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "raptor_col_mismatch" -> (raptorCtes +
       """SELECT * FROM mis
         |ORDER BY o_orderkey, mismatch_column_name, source_value""".stripMargin),

@@ -32,4 +32,24 @@ object Salting {
     withSalt(fact, tiebreak, factor)
       .join(replicated(dim, factor), Seq(key, "__salt"), joinType)
       .drop("__salt")
+
+  /** Two-phase salted aggregation of a skewed grouping key: phase 1
+    * aggregates at (key, salt) — spreading one hot key across `factor`
+    * reducers — phase 2 combines the per-salt partials at key grain.
+    * Semantics-preserving only for aggregates that decompose into an
+    * associative combine; callers pass the partial aggregates and the
+    * matching combiners (e.g. decimal `sum` twice, `count` then `sum`).
+    * Spark's own partial aggregation already map-side-combines, but its
+    * final merge still routes ALL of a key's partials to one reducer —
+    * with millions of map partitions at 100 TB, one hot key's merge
+    * becomes a single-task straggler; the salt bounds any reducer's
+    * input to |maps|/factor partials.
+    */
+  def twoPhaseAgg(df: DataFrame, key: String, tiebreak: Column, factor: Int,
+                  partials: Seq[Column], combines: Seq[Column]): DataFrame =
+    withSalt(df, tiebreak, factor)
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(combines.head, combines.tail: _*)
 }

@@ -118,8 +118,15 @@ object MetaMorphPipeline {
       Stage("m_customer_sales_report",
         Seq("m_supplier_performance", "m_product_performance")) { () =>
         val sp = spark.read.parquet(catalog.legacy("supplier_performance"))
+        // TierMode pinned EXPLICITLY (not via default): the pipeline ships
+        // the scale-safe in-plan GK sketch. Accepted drift: approx cutoffs
+        // may move within their ±1% rank bound across partition merge
+        // orders, shifting tier labels for customers within that band —
+        // the bound itself is value-audited by the `m_csr_inplan_tiers`
+        // oracle; runs needing bit-stable tiers pass TierMode.Exact.
         val out = CustomerSalesReport.build(
-          raw("customers"), raw("products"), raw("sales"), sp, clock)
+          raw("customers"), raw("products"), raw("sales"), sp, clock,
+          CustomerSalesReport.TierMode.Approx)
         DuplicateChecker.assertNoDuplicates(out,
           Seq("DAY_DT", "SALE_ID", "CUSTOMER_ID", "PRODUCT_NAME",
             "QUANTITY", "PRICE"))

@@ -92,6 +92,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid assignment plans zero exchanges") {
+    // The assignment must be a narrow projection over the corpus scan
+    // (argmax fold over a centroid literal) — the cross×window form it
+    // replaced shuffled a |corpus|·C-amplified frame, the one flagged
+    // scale-killer at 100 TB.
+    val e = Tables.embeddings(spark, sf)
+    val centroids = e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val assigned = functions.Similarity.assign(e, centroids)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment subplan must contain no Exchange:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("approxQuantile tier path (reference A10 mechanism) still tiers") {
     val out = CustomerSalesReport.build(
       Entities.customers(spark, sf), Entities.products(spark, sf),

@@ -25,7 +25,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_spark():
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    names = " ".join(ONLY)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}']
     r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
                        text=True)
     sys.stdout.write(r.stdout[-4000:])
