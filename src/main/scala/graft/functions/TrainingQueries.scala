@@ -369,17 +369,34 @@ object TrainingQueries {
         |FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // The oracle PREDICTS what the JDK decoders must return: the asset
+    // generator pins image dims / audio frame counts as arithmetic in
+    // doc_id, and n_bytes follows from the container layout (BMP: 54-byte
+    // headers + 4-aligned 24-bit rows; WAV: 44-byte header + 2 bytes per
+    // mono 16-bit frame). A decode bug cannot agree with this by accident.
     "mm_features" ->
-      """WITH a AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+      """WITH a AS (
+        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb,
+        |         1 + doc_id % 8 AS iw, 1 + doc_id % 5 AS ih,
+        |         16 + doc_id % 240 AS af
+        |  FROM documents)
         |SELECT doc_id AS asset_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
-        |       CAST(nb AS INT) AS n_bytes,
-        |       md5(text) AS sha,
-        |       CAST(nb % 640 AS INT) AS width,
-        |       CAST((nb * 7) % 480 AS INT) AS height,
-        |       CAST(least(nb // 32, 16) AS INT) AS n_frames
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
+        |                 WHEN doc_id % 3 = 1 THEN 44 + 2 * af
+        |                 ELSE nb END AS INT) AS n_bytes,
+        |       md5(text) AS src_md5,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN iw
+        |                 WHEN doc_id % 3 = 1 THEN 0
+        |                 ELSE nb % 640 END AS INT) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN ih
+        |                 WHEN doc_id % 3 = 1 THEN 0
+        |                 ELSE (nb * 7) % 480 END AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |                 WHEN doc_id % 3 = 1 THEN af
+        |                 ELSE least(nb // 32, 16) END AS INT) AS n_frames
         |FROM a ORDER BY asset_id""".stripMargin,
     "dd_embed_cos" -> {
       // mirrors signLshPairs' skew guard: refine oversized 8-dim buckets
