@@ -19,10 +19,18 @@ import graft.sources.{Entities, OracleCtes}
   *    SQL text runs on both engines — see graft.core.Money);
   *  - ranking queries get an explicit unique tie-break column.
   *
-  * One reference text additionally runs with ZERO adaptation
-  * ([[verbatimSupplierPerfSql]]): ANSI double-quoted identifiers and the
-  * `legacy.*` schema are served natively, proving the adaptations above
-  * are conveniences, not dialect gaps.
+  * THREE reference texts additionally run with ZERO adaptation — byte-
+  * identical to the .sql files, leading comments, trailing semicolons,
+  * quoting and all ([[verbatimSupplierPerfSql]],
+  * [[verbatimPaymentModeSql]], [[verbatimProductContribSql]]): ANSI
+  * double-quoted identifiers and the `legacy.*` schema are served
+  * natively, proving the adaptations above are conveniences, not
+  * dialect gaps. The remaining texts cannot run verbatim for REASONS,
+  * not dialect: free-running double SUMs are FP-order-nondeterministic
+  * across engines (the adapted rows route them through the decimal
+  * pattern), and `Top_Selling_Supplier_Products`' untied ROW_NUMBER is
+  * nondeterministic on this data (duplicate (supplier, product_name)
+  * pairs exist — the adapted row adds the tie-break).
   */
 object SqlLab {
   private val clock = RunClock.fixed
@@ -74,24 +82,34 @@ object SqlLab {
         .cache()
       csr.createOrReplaceTempView("customer_sales_report")
       // The reference's BI SQL runs over Postgres `legacy.*` tables; serve
-      // that schema natively so one query text can run VERBATIM — a real
+      // that schema natively so reference texts can run VERBATIM — a real
       // `legacy` database in the session catalog holding the materialized
-      // mart (the same amortization Postgres gives the reference).
+      // mart + source tables (the same amortization Postgres gives the
+      // reference).
       spark.sql("CREATE DATABASE IF NOT EXISTS legacy")
-      // The warehouse DIRECTORY outlives the in-memory catalog: a fresh
-      // JVM that re-runs this sees no table but an existing location, and
-      // saveAsTable refuses (LOCATION_ALREADY_EXISTS). Clear the orphaned
-      // location (and any catalog entry) before materializing.
-      spark.sql("DROP TABLE IF EXISTS legacy.supplier_performance")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        "legacy.db/supplier_performance")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
-      sp.write.mode("overwrite").format("parquet")
-        .saveAsTable("legacy.supplier_performance")
+      materializeLegacy(spark, "supplier_performance", sp)
+      materializeLegacy(spark, "suppliers", suppliers)
+      materializeLegacy(spark, "products", products)
+      materializeLegacy(spark, "sales", sales)
       cachedMarts.put(spark, Seq(sp, csr))
     }
+  }
+
+  /** `saveAsTable` into the `legacy` catalog database. The warehouse
+    * DIRECTORY outlives the in-memory catalog: a fresh JVM that re-runs
+    * this sees no table but an existing location, and saveAsTable
+    * refuses (LOCATION_ALREADY_EXISTS) — clear the orphaned location
+    * (and any catalog entry) before materializing.
+    */
+  private def materializeLegacy(spark: SparkSession, table: String,
+                                df: DataFrame): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS legacy.$table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"legacy.db/$table")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"legacy.$table")
   }
 
   /** `Suppliers/Supplier_Performance_By_Revenue.sql:1-8` — the reference
@@ -102,25 +120,35 @@ object SqlLab {
     * resolves to the materialized mart table registerViews creates.
     */
   val verbatimSupplierPerfSql: String =
-    """SELECT
-      |  "SUPPLIER_ID",
-      |  SUM("TOTAL_PRODUCTS_SOLD"),
-      |  SUM("TOTAL_REVENUE")
-      |FROM
-      |  legacy.supplier_performance
-      |GROUP BY
-      |  "SUPPLIER_ID"""".stripMargin
+    "SELECT \n  \"SUPPLIER_ID\", \n  SUM(\"TOTAL_PRODUCTS_SOLD\"),\n  SUM(\"TOTAL_REVENUE\") \nFROM \n  legacy.supplier_performance\nGROUP BY \n  \"SUPPLIER_ID\""
 
-  private def runVerbatim(s: SparkSession, d: String): DataFrame = {
+  /** `Sales/Payment_Mode_Distribution.sql:1-8` UNMODIFIED — including
+    * the leading `-- Create` comment and the trailing semicolon, both
+    * parsed natively.
+    */
+  val verbatimPaymentModeSql: String =
+    "-- Create \nSELECT \n    \"PAYMENT_MODE\",\n    count(*) AS \"COUNT\"\nfrom \n    legacy.sales\ngroup by \n    \"PAYMENT_MODE\";"
+
+  /** `Suppliers/Product_Contribution_By_Region.sql:1-11` UNMODIFIED —
+    * mixed-case keywords, unaliased `count(p."PRODUCT_ID")` (Spark's
+    * generated output name is pinned by the oracle twin).
+    */
+  val verbatimProductContribSql: String =
+    "SELECT \n    s.\"REGION\",\n    count(p.\"PRODUCT_ID\")\nFROM \n    legacy.products p\njoin \n    legacy.suppliers s \non\n    trim(s.\"SUPPLIER_ID\") = trim(p.\"SUPPLIER_ID\")\nGROUP BY\n    s.\"REGION\""
+
+  /** Run a reference text byte-identical under ANSI double-quoted
+    * identifiers. sql() parses eagerly, so the conf can be restored
+    * immediately; the deterministic presentation order is applied
+    * OUTSIDE the verbatim text (the gate requires row determinism, the
+    * reference texts have no ORDER BY).
+    */
+  private def verbatim(text: String, orderCol: String)
+      : (SparkSession, String) => DataFrame = (s, d) => {
     registerViews(s, d)
     val key = "spark.sql.ansi.doubleQuotedIdentifiers"
     val prev = s.conf.get(key, "false")
     s.conf.set(key, "true")
-    // sql() parses eagerly, so the conf can be restored immediately; the
-    // deterministic presentation order is applied OUTSIDE the verbatim
-    // text (the gate requires row determinism, the reference text has
-    // no ORDER BY).
-    try s.sql(verbatimSupplierPerfSql).orderBy("SUPPLIER_ID")
+    try s.sql(text).orderBy(orderCol)
     finally s.conf.set(key, prev)
   }
 
@@ -202,7 +230,13 @@ object SqlLab {
         registerViews(s, d)
         s.sql(text)
       })
-    } + ("sql_supplier_perf_verbatim" -> (runVerbatim _))
+    } ++ Map(
+      "sql_supplier_perf_verbatim" ->
+        verbatim(verbatimSupplierPerfSql, "SUPPLIER_ID"),
+      "sql_payment_mode_verbatim" ->
+        verbatim(verbatimPaymentModeSql, "PAYMENT_MODE"),
+      "sql_product_contrib_verbatim" ->
+        verbatim(verbatimProductContribSql, "REGION"))
 
   /** DuckDB oracles: the same SQL over CTE-materialized mart views (the
     * mart oracle queries nest as scoped WITH-subqueries).
@@ -237,6 +271,15 @@ object SqlLab {
           |       CAST(SUM("TOTAL_PRODUCTS_SOLD") AS BIGINT) AS "sum(TOTAL_PRODUCTS_SOLD)",
           |       SUM("TOTAL_REVENUE") AS "sum(TOTAL_REVENUE)"
           |FROM supplier_performance
-          |GROUP BY "SUPPLIER_ID" ORDER BY "SUPPLIER_ID"""".stripMargin))
+          |GROUP BY "SUPPLIER_ID" ORDER BY "SUPPLIER_ID"""".stripMargin)) +
+      ("sql_payment_mode_verbatim" -> (martCtes +
+        """SELECT payment_mode AS "PAYMENT_MODE", count(*) AS "COUNT"
+          |FROM sales GROUP BY payment_mode ORDER BY payment_mode""".stripMargin)) +
+      ("sql_product_contrib_verbatim" -> (martCtes +
+        """SELECT s.region AS "REGION",
+          |       CAST(count(p.product_id) AS BIGINT) AS "count(PRODUCT_ID)"
+          |FROM products p
+          |JOIN suppliers s ON trim(s.supplier_id) = trim(p.supplier_id)
+          |GROUP BY s.region ORDER BY s.region""".stripMargin))
   }
 }
