@@ -153,6 +153,29 @@ object SparkEntry {
         .orderBy("tier")
     }),
 
+    // ── end-to-end backfill replay (adhoc_reload_metamorph_pipeline.py:
+    //    27-64): 5 sequential daily runs ending at the pinned clock, each
+    //    stamping its own DAY_DT, through the REAL layered pipeline
+    //    (ingest dup gates → marts → MERGE → partitioned legacy writes).
+    //    The oracle reads back the accumulated supplier_performance
+    //    history — 5 DAY_DT partitions — and hash-compares against a
+    //    DuckDB twin that unions 5 parameterized single-day builds.
+    //    Excluded from Bench (it is an ETL replay, not a query; see
+    //    Bench.excluded).
+    "pipeline_backfill" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_backfill").toString
+      val catalog = pipeline.LayerCatalog(root)
+      pipeline.MetaMorphPipeline.backfill(s, d, catalog, clock, days = 5,
+        idempotent = true)
+      s.read.parquet(catalog.legacy("supplier_performance"))
+        .select(col("DAY_DT").cast("date").as("DAY_DT"), col("SUPPLIER_ID"),
+          col("SUPPLIER_NAME"), col("TOTAL_REVENUE"),
+          col("TOTAL_PRODUCTS_SOLD"), col("TOTAL_STOCK_SOLD"),
+          col("TOP_SELLING_PRODUCT"))
+        .orderBy("DAY_DT", "SUPPLIER_ID")
+    }),
+
     // ── streaming (engine extension; batch twin = oracle) ────────────
     "st_events_hourly" -> ((s, d) =>
       streaming.EventsStream.hourlyAggStreaming(s, d,
@@ -359,6 +382,15 @@ object SparkEntry {
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "m_supplier_performance" -> SupplierPerformance.oracleSql,
+    // 5 parameterized single-day builds, one per replayed DAY_DT
+    "pipeline_backfill" -> {
+      val days = (4 to 0 by -1).map(off =>
+        RunClock.fixed.runDate.toLocalDate.minusDays(off.toLong))
+      days.map(day =>
+          s"SELECT * FROM (${SupplierPerformance.oracleSqlFor(s"DATE '$day'")})")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY \"DAY_DT\", \"SUPPLIER_ID\"")
+    },
     "m_product_performance" -> ProductPerformance.oracleSql,
     "m_customer_metrics" -> CustomerMetrics.oracleSql,
     "m_customer_sales_report" -> CustomerSalesReport.oracleSql,

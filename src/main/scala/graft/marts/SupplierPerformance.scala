@@ -105,8 +105,11 @@ object SupplierPerformance {
         col("agg.top_product").as("TOP_SELLING_PRODUCT"))
   }
 
-  /** DuckDB oracle — same algebra over the OracleCtes entity views. */
-  val oracleSql: String = {
+  /** DuckDB oracle — same algebra over the OracleCtes entity views.
+    * Parameterized by the run-date literal so a backfill replay can
+    * union one instance per replayed day (`pipeline_backfill`).
+    */
+  def oracleSqlFor(runDateSql: String): String = {
     import graft.sources.OracleCtes
     val revenue = "(selling_price - selling_price * discount / 100.0) * quantity"
     val prodRevenue = "(selling_price * quantity) * (1 - discount / 100.0)"
@@ -137,7 +140,7 @@ object SupplierPerformance {
            ROW_NUMBER() OVER (PARTITION BY supplier_id
              ORDER BY product_revenue DESC NULLS LAST, product_name ASC) AS rnk
     FROM per_product) ranked WHERE rnk = 1)
-SELECT ${RunClock.runDateSql} AS "DAY_DT",
+SELECT $runDateSql AS "DAY_DT",
        a.supplier_id AS "SUPPLIER_ID",
        s2.supplier_name AS "SUPPLIER_NAME",
        a.total_revenue AS "TOTAL_REVENUE",
@@ -149,4 +152,6 @@ LEFT JOIN sup s2 ON trim(a.supplier_id) = trim(s2.supplier_id)
 LEFT JOIN top t ON trim(a.supplier_id) = trim(t.supplier_id)
 ORDER BY a.supplier_id"""
   }
+
+  val oracleSql: String = oracleSqlFor(RunClock.runDateSql)
 }
