@@ -125,6 +125,36 @@ object Similarity {
       })._3
   }
 
+  /** Train IVF centroids: Lloyd's k-means with a deterministic seed (the
+    * k lowest vec_ids) — each iteration is one zero-shuffle [[assign]]
+    * pass plus one per-dimension mean (posexplode → groupBy(centroid,
+    * pos) → re-assemble), i.e. 2 shuffles of dimension-expanded rows per
+    * iteration, independent of query volume. At 100 TB one trains on a
+    * sample (`embeddings.sample(…)`) exactly as FAISS does; the assign
+    * pass that matters for serving stays zero-shuffle. Cells that end an
+    * iteration empty simply drop (k can shrink — acceptable for
+    * probe-style IVF; the recall spec measures the result, not the
+    * intent).
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    var cents = embeddings.orderBy("vec_id").limit(k)
+      .select(row_number().over(w).as("centroid_id"),
+        col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      cents = assign(embeddings, cents)
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF top-k: probe the nprobe centroids nearest to the query, then
     * exact top-k within their cells only.
     */
