@@ -57,6 +57,32 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Corpus-level segment dedup (the training-data dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * documents are cut into NON-overlapping `chunkTokens`-token segments
+    * (the trailing partial segment is dropped — full segments only,
+    * mirrored by the oracle) and segments repeated across documents are
+    * reported with their occurrence counts and keeper. Implementation
+    * reuses the zip_with shingle builder (no per-element lambda
+    * re-evaluation) and keeps only stride-aligned positions; grouping on
+    * the md5 fingerprint is the standard inverted-index shape — one
+    * shuffle at segment grain, no pairwise comparison anywhere.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), chunkTokens))
+          .as(Seq("pos", "chunk")))
+      .filter(col("pos") % chunkTokens === 0)
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keeper_doc_id"))
+      .filter(col("n_docs") > 1)
+
   /** Distinct (doc_id, shingle) pairs, with very frequent shingles
     * dropped (document frequency > maxDf) — the classic stop-shingle
     * skew guard: a shingle appearing in half the corpus would otherwise

@@ -190,4 +190,58 @@ object TextAnalysis {
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** C4-style heuristic quality filters (Raffel et al. §2.2, adapted to
+    * single-line documents): terminal punctuation, boilerplate markers
+    * (`lorem ipsum`), code markers (`javascript`, `{`), minimum word
+    * count, mean word length band. Emits every flag plus the composed
+    * `keep` verdict so downstream pipelines can audit WHICH rule dropped
+    * a document — the operational requirement C4's own pipeline logs.
+    * Pure narrow projection (predicates over the scan); the mean-length
+    * ratio routes through the decimal pattern for cross-engine equality.
+    */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nWords = size(tokens(t))
+    docs.select(
+      col("doc_id"),
+      t.rlike("[.!?\"]$").as("has_terminal_punct"),
+      contains(lower(t), lit("lorem ipsum")).as("has_lorem"),
+      (contains(lower(t), lit("javascript")) || contains(t, lit("{")))
+        .as("has_code_marker"),
+      nWords.as("n_words"),
+      graft.core.Money.ratio2(
+        length(regexp_replace(t, " ", "")), nWords).as("mean_word_len"))
+      .withColumn("keep",
+        col("has_terminal_punct") && !col("has_lorem") &&
+          !col("has_code_marker") && col("n_words") >= 5 &&
+          col("mean_word_len").between(3.0, 10.0))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing for training corpora: regex redaction of emails,
+    * phone numbers and IPv4 addresses (applied in that fixed order, so
+    * both engines transform identical intermediates) plus per-kind match
+    * counts for the scrub audit log. The patterns use the portable
+    * regex subset (character classes, bounded repetition, `\b`) that
+    * Java regex and RE2-family engines agree on.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0))).as("n_ips"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Money
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -147,6 +148,37 @@ object TrainingQueries {
           array_join(transform(col("q"), x => x.cast("string")), ",")
             .as("q_csv"))
         .orderBy("vec_id")),
+    // corpus-level non-overlapping 10-token segment dedup (Lee et al.)
+    "dd_chunks" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d)).orderBy("fp")),
+    // C4-style heuristic filters. The raw corpus is uniform word-soup
+    // (every branch would evaluate identically — a fixture-masked
+    // conditional the oracle could never catch), so variants are
+    // injected IN-QUERY by doc_id, identically on both engines: each
+    // filter rule sees both outcomes on real rows.
+    "ts_c4_filters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = col("doc_id") % 5
+      val v = docs.select(col("doc_id"),
+        when(m === 0, concat(col("text"), lit(" lorem ipsum dolor")))
+          .when(m === 1, concat(col("text"), lit(" function() { javascript")))
+          .when(m === 2, lit("Too short."))
+          .when(m === 3, concat(col("text"), lit(" It ends properly.")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.c4Filters(v).orderBy("doc_id")
+    }),
+    // PII scrub audit: synthetic emails/phones/IPs injected in-query by
+    // doc_id (same fixture-masking rationale as ts_c4_filters)
+    "ts_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = col("doc_id") % 4
+      val v = docs.select(col("doc_id"),
+        when(m === 0, concat(col("text"), lit(" contact john.doe@example.com now")))
+          .when(m === 1, concat(col("text"), lit(" call 555-123-4567 or 555-000-1111")))
+          .when(m === 2, concat(col("text"), lit(" from 10.0.0.1 mail a@b.io")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(v).orderBy("doc_id")
+    }),
     // decontamination vs a held-out "benchmark" slice of the corpus
     "dd_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -262,6 +294,64 @@ object TrainingQueries {
         |                     AS DECIMAL(20,10)), 0) AS INT)), ',')
         |       END AS q_csv
         |FROM s ORDER BY vec_id""".stripMargin,
+    "dd_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 9, 0))) AS p FROM toks),
+         |chunks AS (
+         |  SELECT doc_id, md5(array_to_string(t[p+1:p+10], ' ')) AS fp
+         |  FROM pos WHERE p % 10 = 0)
+         |SELECT fp, count(*) AS n_occurrences,
+         |       count(DISTINCT doc_id) AS n_docs,
+         |       min(doc_id) AS keeper_doc_id
+         |FROM chunks GROUP BY fp
+         |HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY fp""".stripMargin,
+    "ts_c4_filters" -> {
+      val meanLen = Money.Sql.ratio2(
+        "length(replace(text, ' ', ''))", "len(string_split(text, ' '))")
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || ' lorem ipsum dolor'
+         |              WHEN doc_id % 5 = 1 THEN text || ' function() { javascript'
+         |              WHEN doc_id % 5 = 2 THEN 'Too short.'
+         |              WHEN doc_id % 5 = 3 THEN text || ' It ends properly.'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         regexp_matches(text, '[.!?"]$$') AS has_terminal_punct,
+         |         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |         (contains(lower(text), 'javascript') OR contains(text, '{')) AS has_code_marker,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |         $meanLen AS mean_word_len
+         |  FROM v)
+         |SELECT *,
+         |       (has_terminal_punct AND NOT has_lorem AND NOT has_code_marker
+         |        AND n_words >= 5 AND mean_word_len BETWEEN 3.0 AND 10.0) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "ts_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 4 = 0 THEN text || ' contact john.doe@example.com now'
+         |              WHEN doc_id % 4 = 1 THEN text || ' call 555-123-4567 or 555-000-1111'
+         |              WHEN doc_id % 4 = 2 THEN text || ' from 10.0.0.1 mail a@b.io'
+         |              ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+         |       md5(regexp_replace(
+         |             regexp_replace(
+         |               regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |               '$phone', '<PHONE>', 'g'),
+         |             '$ip', '<IP>', 'g')) AS redacted_md5
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "dd_contamination" -> ("WITH " + shingleCtesFor("documents") +
       s""", bshing AS (
          |  SELECT DISTINCT doc_id AS bench_id,

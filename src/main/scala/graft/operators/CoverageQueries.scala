@@ -118,6 +118,32 @@ object CoverageQueries {
           sum(col("n_part")).as("n_events")))
         .orderBy("event_type")
     }),
+    // approx_count_distinct (HyperLogLog++, the cardinality path at
+    // 100 TB — exact countDistinct shuffles every distinct value; the
+    // sketch merges fixed 2^p-byte registers). Like the quantile-sketch
+    // rows, the oracle checks the CONTRACT, not the estimate: the
+    // default rsd=0.05 estimate must sit within 3 sigma of the exact
+    // count computed in the same plan. HLL register merge is max-based
+    // (commutative/associative), so the estimate is partition-order
+    // deterministic and the booleans are stable.
+    "q_approx_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        abs(a.cast("double") - e.cast("double")) <= lit(0.15) * e.cast("double")
+      li.agg(
+        approx_count_distinct(col("l_orderkey")).as("a_ok"),
+        countDistinct(col("l_orderkey")).as("e_ok"),
+        approx_count_distinct(col("l_partkey")).as("a_pk"),
+        countDistinct(col("l_partkey")).as("e_pk"))
+        .select(explode(array(
+          struct(lit("l_orderkey").as("column_name"),
+            ok(col("a_ok"), col("e_ok")).as("within_bound")),
+          struct(lit("l_partkey").as("column_name"),
+            ok(col("a_pk"), col("e_pk")).as("within_bound")))).as("t"))
+        .select(col("t.column_name").as("column_name"),
+          col("t.within_bound").as("within_bound"))
+        .orderBy("column_name")
+    }),
     // Q2/Q3: column-level mismatch attribution
     "raptor_col_mismatch" -> ((s, d) =>
       raptor(s, d).colMismatch
@@ -322,6 +348,10 @@ object CoverageQueries {
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
         |       count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // boundary-tolerant contract oracle, like the quantile-sketch rows
+    "q_approx_distinct" ->
+      """SELECT 'l_orderkey' AS column_name, TRUE AS within_bound
+        |UNION ALL SELECT 'l_partkey', TRUE ORDER BY column_name""".stripMargin,
     "raptor_col_mismatch" -> (raptorCtes +
       """SELECT * FROM mis
         |ORDER BY o_orderkey, mismatch_column_name, source_value""".stripMargin),
