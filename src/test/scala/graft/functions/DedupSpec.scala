@@ -89,4 +89,31 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("chunk dedup: aligned repeats found, trailing partials dropped") {
+    // 12-token docs: one full 10-token chunk each (tokens 1-10); the
+    // 2-token tail is a partial chunk and must NOT participate.
+    // d1/d2 share tokens 1-10 but differ in the tail -> duplicate chunk.
+    // d3 shares d1's tail (a partial) but not the full chunk -> absent.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j tail1 x"),
+      (2L, "a b c d e f g h i j tail2 y"),
+      (3L, "z z z z z z z z z z tail1 x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, chunkTokens = 10).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_occurrences") == 2L)
+    assert(r.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("chunk dedup: within-doc repetition counts occurrences, not docs") {
+    // 20 tokens = two aligned chunks, both identical -> n_occurrences 2
+    // in ONE doc; n_docs stays 1, so it is NOT a cross-doc duplicate
+    val tokens = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, s"$tokens $tokens")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, chunkTokens = 10).collect()
+    assert(out.isEmpty, "single-doc repeats must not be cross-doc groups")
+  }
 }

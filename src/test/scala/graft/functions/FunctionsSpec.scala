@@ -122,4 +122,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((4, 0.0, 0.25, 1.0 / 3)), s"got ${out(2L)}")
     assert(out(3L) == ((1, 0.0, 1.0, 0.0)), "no bigrams -> coverage 0")
   }
+
+  test("redactPii: adjacent and repeated PII all redacted, counts exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "mail a.b@x.io and c@d.org call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "ip 192.168.1.1 twice 192.168.1.1 and 999-999-9999")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 2)
+    assert(out(0).getAs[Int]("n_phones") == 1)
+    assert(out(0).getAs[Int]("n_ips") == 1)
+    assert(out(1).getAs[Int]("n_emails") == 0 &&
+      out(1).getAs[Int]("n_phones") == 0 && out(1).getAs[Int]("n_ips") == 0)
+    assert(out(2).getAs[Int]("n_ips") == 2)
+    assert(out(2).getAs[Int]("n_phones") == 1)
+    // the redacted text no longer matches any PII pattern
+    val re = TextAnalysis.redactPii(
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          col("text"), col("text")).as("text")))
+      .orderBy("doc_id").collect()
+    assert(re(0).getAs[Int]("n_emails") == 4)
+  }
+
+  test("c4Filters: each rule flips keep independently") {
+    val base = "This sentence has exactly eight small words here."
+    val docs = Seq(
+      (1L, base),                                  // keeps
+      (2L, base.dropRight(1)),                     // no terminal punct
+      (3L, s"$base lorem ipsum."),                 // boilerplate
+      (4L, s"$base { code }."),                    // code marker
+      (5L, "Tiny one.")).toDF("doc_id", "text")    // too few words
+    val out = TextAnalysis.c4Filters(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("keep") &&
+      !out(1).getAs[Boolean]("has_terminal_punct"))
+    assert(!out(2).getAs[Boolean]("keep") && out(2).getAs[Boolean]("has_lorem"))
+    assert(!out(3).getAs[Boolean]("keep") &&
+      out(3).getAs[Boolean]("has_code_marker"))
+    assert(!out(4).getAs[Boolean]("keep") && out(4).getAs[Int]("n_words") < 5)
+  }
 }
