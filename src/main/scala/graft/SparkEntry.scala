@@ -184,6 +184,13 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
+    // watermarked stream-stream interval join; the oracle is the batch
+    // semantics (DuckDB) — on a fully-available source the watermark
+    // drops nothing, so streaming == batch
+    "st_click_purchase_join" -> ((s, d) =>
+      streaming.EventsStream.clickPurchaseStreaming(s, d,
+        s"graft_cpjoin_${streamCounter.incrementAndGet()}")
+        .orderBy("click_id", "purchase_id")),
 
     // ── correlated subqueries through the SQL front door (Catalyst
     //    decorrelates to a join; identical SQL runs on both engines) ───
@@ -372,6 +379,17 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st_click_purchase_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |             value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts, purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND purchase_ts >= click_ts
+        | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

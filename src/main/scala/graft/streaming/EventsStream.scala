@@ -95,6 +95,67 @@ object EventsStream {
         max("ts").as("session_end"))
   }
 
+  /** Batch twin of the stream-stream interval join: clicks attributed to
+    * same-user purchases within the hour AFTER the click. The join
+    * condition (equi-key + time band) is exactly what lets the streaming
+    * form bound its state.
+    */
+  def clickPurchaseBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Watermarked stream-stream interval join (§2.13 widening): both
+    * sides carry watermarks and the join condition carries the time
+    * band, so the state store holds only one watermark-plus-band window
+    * of each side — the bounded-state contract that makes stream-stream
+    * joins viable at 100 TB/day (an unconstrained stream join buffers
+    * both streams forever). Two independent file-source streams over the
+    * same parquet stand in for the two live topics.
+    */
+  def clickPurchaseStreaming(spark: SparkSession, sfDir: String,
+                             queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def stream(): DataFrame = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   final case class SessionState(sessionIdx: Long, lastUs: Long,
                                 n: Long, startUs: Long)

@@ -80,7 +80,7 @@ class PlanSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin or CartesianProduct in any plan is a bug.
     // Streaming queries are exercised by StreamingSpec instead (building
     // the plan here would drain a live stream).
-    val streaming = Set("st_events_hourly")
+    val streaming = Set("st_events_hourly", "st_click_purchase_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!streaming(name)) {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -17,6 +17,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val batch = EventsStream.clickPurchaseBatch(
+      Tables.events(spark, TestSpark.sf))
+    val stream = EventsStream.clickPurchaseStreaming(spark, TestSpark.sf,
+      "spec_cpjoin")
+    assert(stream.count() == batch.count())
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+    // the band is directional: every purchase follows its click
+    assert(stream.filter(col("purchase_ts") < col("click_ts")).isEmpty)
+  }
+
   test("stateful sessionizer agrees with the batch sessionizer") {
     val events = Tables.events(spark, TestSpark.sf)
     val batch = EventsStream.sessionizeBatch(events)
