@@ -277,6 +277,25 @@ object SparkEntry {
         .na.fill(0)  // pivot yields NULL for absent combos; oracle yields 0
         .orderBy("order_status")),
 
+    // ── unpivot (melt): the wide→long inverse of q_pivot, proving the
+    //    round-trip — Dataset.unpivot plans a single Expand over the
+    //    wide frame (no join, no shuffle beyond the source pivot's) ────
+    "q_unpivot" -> ((s, d) => {
+      val wide = sources.Entities.sales(s, d)
+        .groupBy("order_status")
+        .pivot("payment_mode",
+          Seq("Credit Card", "Debit Card", "UPI", "Cash on Delivery"))
+        .agg(count(lit(1)))
+        .toDF("order_status", "credit_card", "debit_card", "upi", "cash_on_delivery")
+        .na.fill(0)
+      wide.unpivot(
+        Array(col("order_status")),
+        Array(col("credit_card"), col("debit_card"), col("upi"),
+          col("cash_on_delivery")),
+        "payment_mode", "n")
+        .orderBy("order_status", "payment_mode")
+    }),
+
     // ── §2.9 JSON functions over the events props payload ────────────
     "q_json_funcs" -> ((s, d) => {
       val ev = sources.Tables.events(s, d)
@@ -472,6 +491,20 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN payment_mode = 'UPI' THEN 1 ELSE 0 END) AS BIGINT) AS upi,
         |       CAST(SUM(CASE WHEN payment_mode = 'Cash on Delivery' THEN 1 ELSE 0 END) AS BIGINT) AS cash_on_delivery
         |FROM sales GROUP BY order_status ORDER BY order_status""".stripMargin),
+    "q_unpivot" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, w AS (
+        |  SELECT order_status,
+        |         CAST(SUM(CASE WHEN payment_mode = 'Credit Card' THEN 1 ELSE 0 END) AS BIGINT) AS credit_card,
+        |         CAST(SUM(CASE WHEN payment_mode = 'Debit Card' THEN 1 ELSE 0 END) AS BIGINT) AS debit_card,
+        |         CAST(SUM(CASE WHEN payment_mode = 'UPI' THEN 1 ELSE 0 END) AS BIGINT) AS upi,
+        |         CAST(SUM(CASE WHEN payment_mode = 'Cash on Delivery' THEN 1 ELSE 0 END) AS BIGINT) AS cash_on_delivery
+        |  FROM sales GROUP BY order_status)
+        |SELECT order_status, payment_mode, n FROM (
+        |  SELECT order_status, 'credit_card' AS payment_mode, credit_card AS n FROM w
+        |  UNION ALL SELECT order_status, 'debit_card', debit_card FROM w
+        |  UNION ALL SELECT order_status, 'upi', upi FROM w
+        |  UNION ALL SELECT order_status, 'cash_on_delivery', cash_on_delivery FROM w)
+        |ORDER BY order_status, payment_mode""".stripMargin),
     "q_json_funcs" ->
       """SELECT event_type,
         |       count(*) AS n,
