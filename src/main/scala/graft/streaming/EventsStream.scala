@@ -147,11 +147,24 @@ object EventsStream {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start()
+    // State-store count is pinned per stream at its FIRST micro-batch
+    // from spark.sql.shuffle.partitions; a stream-stream join keeps 4
+    // store instances per partition (two sides × key/index), and on
+    // local mode the per-batch HDFS-backed snapshot cost scales with
+    // store count, not data. 8 partitions is plenty for a single-file
+    // demo stream; a production deployment sizes this to the topic's
+    // key cardinality. The conf is restored immediately — batch queries
+    // in the session keep the session default.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    val q =
+      try joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      finally spark.conf.set(key, prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
