@@ -313,6 +313,76 @@ object Dedup {
       .filter(col("n_common") >= minOverlap)
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * step every dedup family needs AFTER pair generation: near-duplicate
+    * relations are not transitive pairwise, so "keep one doc per group"
+    * requires the transitive closure. Returns one row per vertex that
+    * appears in any pair: `(v, label)` where `label` is the component's
+    * minimum vertex id (the canonical keeper).
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the min of its own label and its neighbors' labels (one join +
+    * one groupBy — two shuffles over edge-sized data); labels are
+    * monotonically non-increasing, so the fixpoint check is a single
+    * cheap aggregate (the label SUM strictly decreases until converged).
+    * Rounds needed = the largest component's diameter — for near-dup
+    * clusters (dense, star-like around boilerplate) that is small; the
+    * worst case is a path graph, where large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") drops rounds to
+    * O(log n) at the price of two joins per round. `localCheckpoint`
+    * truncates lineage each round — without it the plan doubles per
+    * iteration and Catalyst analysis time dominates (on a multi-executor
+    * cluster prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+    * for fault-tolerant truncation; localCheckpoint pins executor blocks).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint() // materialized once; every round re-reads it
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), col("label"))
+        .unionByName(labels)
+        .groupBy("v")
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment for near-dup groups: every doc in a component,
+    * its canonical cluster id (= min doc_id reachable), the component
+    * size, and whether the doc is the keeper. Docs in no pair are their
+    * own trivial cluster and are not emitted (callers union them back if
+    * a total assignment is needed — they are by definition unchanged).
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    // sizes via a window, not a broadcast join: the cluster-count frame
+    // grows with the corpus (it is NOT a dim table at 100 TB)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    connectedComponents(pairs)
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("v") === col("label")).as("is_keeper"))
+  }
+
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
     * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
     * least one of the 4 bands — standard pigeonhole blocking).

@@ -179,6 +179,13 @@ object TrainingQueries {
           .otherwise(col("text")).as("text"))
       TextAnalysis.redactPii(v).orderBy("doc_id")
     }),
+    // transitive closure of the LSH pair graph → canonical keeper per
+    // near-dup cluster (pairwise similarity is not transitive; dedup
+    // needs components, not pairs). Oracle = recursive-CTE closure.
+    "dd_cluster" -> ((s, d) =>
+      Dedup.dedupClusters(
+        Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25))
+        .orderBy("doc_id")),
     // decontamination vs a held-out "benchmark" slice of the corpus
     "dd_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -387,6 +394,22 @@ object TrainingQueries {
       """SELECT doc_a, doc_b, est_jaccard
         |FROM lshp WHERE est_jaccard >= 0.25
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // closure of the same lshp pair graph dd_minhash_lsh verifies; the
+    // recursive CTE computes min-reachable-vertex per vertex — exactly
+    // the label-propagation fixpoint the engine iterates to
+    "dd_cluster" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
+      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |            UNION ALL SELECT doc_b, doc_a FROM prs)
+        |, reach(v, r) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |, comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT v AS doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       (v = cluster_id) AS is_keeper
+        |FROM comp ORDER BY doc_id""".stripMargin),
     // the full curation pipeline: quality gate → exact-dedup keepers →
     // LSH near-dup removal (drop the higher doc_id of each pair) →
     // deterministic hash split. Every stage reuses a primitive that is

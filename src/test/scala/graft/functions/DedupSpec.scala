@@ -108,6 +108,29 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("keeper_doc_id") == 1L)
   }
 
+  test("connected components: path graph converges to min label") {
+    // 0-1-2-3-4-5 as a path: diameter 5 forces multiple propagation
+    // rounds (each round moves the min label one hop), plus a separate
+    // 2-cycle component {10,11} and pair {20,21}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
+  }
+
+  test("connected components: bridge doc merges two LSH clusters") {
+    // {1,2} and {3,4} would be separate pairwise clusters; 2-3 bridges
+    // them — the transitivity near-dup pairs lack and closure restores
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(clusters.toSet ==
+      Set((1L, 1L, 4L, true), (2L, 1L, 4L, false),
+        (3L, 1L, 4L, false), (4L, 1L, 4L, false)))
+  }
+
   test("chunk dedup: within-doc repetition counts occurrences, not docs") {
     // 20 tokens = two aligned chunks, both identical -> n_occurrences 2
     // in ONE doc; n_docs stays 1, so it is NOT a cross-doc duplicate
