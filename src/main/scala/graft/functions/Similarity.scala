@@ -91,10 +91,12 @@ object Similarity {
           struct(c.getField("_1").as("cid"), sim.as("sim")))
           .otherwise(acc)
       })
+    // schema-preserving: input columns pass through untouched (callers
+    // carry label/text/etc.), plus the assigned centroid_id
     embeddings
       .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
-      .select(col("vec_id"), col("label"), col("embedding"),
-        best.getField("cid").as("centroid_id"))
+      .withColumn("centroid_id", best.getField("cid"))
+      .drop("__nrm")
   }
 
   // The assignment scan is identical for every query against the same
@@ -175,6 +177,41 @@ object Similarity {
         roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * embeddings around centroids, then compare pairs ONLY within a
+    * cluster — near-semantic-duplicates land in the same cell, so the
+    * all-pairs comparison shrinks to Σ cell² instead of n². Emits pairs
+    * (a < b) in the same cell with cosine ≥ threshold; downstream keeps
+    * the lowest vec_id of each component (compose with
+    * [[Dedup.connectedComponents]] for the closure).
+    *
+    * Cell assignment is the zero-shuffle [[assign]] fold; the only
+    * shuffles are the window cap and the cell self-join. `maxCell` is
+    * the same bounded-candidates skew guard as [[signLshPairs]]: a hot
+    * cell (real embedding sets are anisotropic) is capped to its
+    * `maxCell` lowest vec_ids, so per-cell pairs are ≤ maxCell²/2
+    * always. At 100 TB one sizes k so |corpus|/k ≈ maxCell — SemDeDup's
+    * own operating point (k ~ 100k cells for billions of docs).
+    */
+  def semDedup(embeddings: DataFrame, centroids: DataFrame,
+               threshold: Double, maxCell: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy("vec_id")
+    // assignCached: an IVF serving stack and its dedup pass share one
+    // materialized assignment of the same (embeddings, centroids) pair
+    val capped = assignCached(embeddings, centroids)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCell)
+      .select("vec_id", "embedding", "centroid_id")
+    capped.toDF("vec_a", "emb_a", "centroid_id")
+      .join(capped.toDF("vec_b", "emb_b", "centroid_id"), "centroid_id")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Symmetric int8 quantization of the embedding column — the vector

@@ -126,6 +126,16 @@ object TrainingQueries {
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
+    // SemDeDup: centroid-cell blocking instead of sign-LSH; fixed
+    // first-16 centroids (the ann_ivf oracle config) so DuckDB mirrors
+    // the assignment argmax exactly
+    "dd_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.semDedup(e, cents, threshold = 0.25, maxCell = 256)
+        .orderBy("vec_a", "vec_b")
+    }),
     // unsampled: the (first-token, length-band) composite block bounds
     // per-block size even over the small synthetic first-word vocab
     "dd_fuzzy" -> ((s, d) =>
@@ -538,6 +548,30 @@ object TrainingQueries {
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    // mirrors semDedup: the assigned CTE is ann_ivf's argmax assignment,
+    // the cap is dd_embed_cos' deterministic row_number guard
+    "dd_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r
+         |  WHERE rn = 1),
+         |capped AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rn
+         |    FROM assigned) r
+         |  WHERE rn <= 256)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
+         |       ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM capped a JOIN capped b USING (centroid_id)
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "dd_simhash" -> {
       val votes = (0 until 64).map { b =>
         s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"

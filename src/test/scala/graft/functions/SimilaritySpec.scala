@@ -88,6 +88,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids.forall(_ < maxBucket), s"non-lowest ids survived: $ids")
   }
 
+  test("semDedup pairs only within a cell; near-identical pair found") {
+    import spark.implicits._
+    // two well-separated directions; 1/2 near-identical (same cell),
+    // 3 the opposite direction (own cell) — cross-cell pairs must not
+    // appear even though 1·3 cosine is a perfectly valid number
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("centroid_id", "cvec")
+    val pairs = Similarity.semDedup(vecs, cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
+  test("semDedup maxCell caps a hot cell deterministically") {
+    import spark.implicits._
+    // every vector in one cell; cap to 10 lowest vec_ids → ≤ 45 pairs
+    val vecs = (0 until 100)
+      .map(i => (i.toLong, Array(1.0f, (i % 5) * 0.001f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((1, Array(1.0f, 0.0f))).toDF("centroid_id", "cvec")
+    val pairs = Similarity.semDedup(vecs, cents, threshold = -1.0, maxCell = 10)
+    assert(pairs.count() == 45L)
+    val ids = pairs.select("vec_a").union(pairs.select("vec_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 10L).toSet)
+  }
+
   test("IVF recall@10 vs brute force: ≥0.9 at the documented config") {
     // The quality number every ANN user asks first. Corpus: the sf0.01
     // embeddings (500 × 64-dim synthetic vectors — near-random, i.e. the
