@@ -57,26 +57,45 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Exactly the `floor(len/n)` stride-aligned n-token segments of a
+    * token array (the trailing partial segment is dropped). Builds ONLY
+    * the kept segments — no overlapping-shingle construction followed by
+    * a stride filter, which would concat ~n× the strings it keeps.
+    *
+    * CALLER CONTRACT: `toks` must be a materialized attribute (e.g. a
+    * column that crossed an Exchange), not an inline expression —
+    * Catalyst's CollapseProject inlines column aliases into lambdas, and
+    * an inline `split(regexp_replace(…))` here would re-run the regex
+    * once per SEGMENT (see [[shinglesFromTokens]]).
+    */
+  def strideSegments(toks: Column, n: Int): Column = {
+    val nSeg = floor(size(toks) / n).cast("int")
+    when(nSeg >= 1,
+      transform(sequence(lit(1), nSeg),
+        i => concat_ws(" ", slice(toks, (i - 1) * n + 1, lit(n)))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
   /** Corpus-level segment dedup (the training-data dedup of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"):
     * documents are cut into NON-overlapping `chunkTokens`-token segments
     * (the trailing partial segment is dropped — full segments only,
     * mirrored by the oracle) and segments repeated across documents are
-    * reported with their occurrence counts and keeper. Implementation
-    * reuses the zip_with shingle builder (no per-element lambda
-    * re-evaluation) and keeps only stride-aligned positions; grouping on
-    * the md5 fingerprint is the standard inverted-index shape — one
-    * shuffle at segment grain, no pairwise comparison anywhere.
+    * reported with their occurrence counts and keeper. [[strideSegments]]
+    * builds exactly the kept segments; grouping on the md5 fingerprint is
+    * the standard inverted-index shape — no pairwise comparison anywhere.
+    * Shuffles: the repartition spreading the (often single-file) corpus
+    * scan across threads before the per-row tokenize+hash work — which
+    * doubles as the Exchange barrier the strideSegments contract needs —
+    * then the one real shuffle at segment grain for the groupBy.
     */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame =
     docs
-      .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        posexplode(shinglesFromTokens(col("toks"), chunkTokens))
-          .as(Seq("pos", "chunk")))
-      .filter(col("pos") % chunkTokens === 0)
+        explode(strideSegments(col("toks"), chunkTokens)).as("chunk"))
       .groupBy(md5(col("chunk")).as("fp"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -320,51 +339,108 @@ object Dedup {
     * appears in any pair: `(v, label)` where `label` is the component's
     * minimum vertex id (the canonical keeper).
     *
-    * Algorithm: iterative min-label propagation. Each round every vertex
-    * takes the min of its own label and its neighbors' labels (one join +
-    * one groupBy — two shuffles over edge-sized data); labels are
-    * monotonically non-increasing, so the fixpoint check is a single
-    * cheap aggregate (the label SUM strictly decreases until converged).
-    * Rounds needed = the largest component's diameter — for near-dup
-    * clusters (dense, star-like around boilerplate) that is small; the
-    * worst case is a path graph, where large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond") drops rounds to
-    * O(log n) at the price of two joins per round. `localCheckpoint`
-    * truncates lineage each round — without it the plan doubles per
-    * iteration and Catalyst analysis time dominates (on a multi-executor
-    * cluster prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
-    * for fault-tolerant truncation; localCheckpoint pins executor blocks).
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014). The edge set
+    * is kept canonical (larger → smaller endpoint, deduped); each round
+    *   - LARGE-STAR: every node connects its strictly-larger neighbors
+    *     to the minimum of its closed neighborhood, and
+    *   - SMALL-STAR: every node rewires its smaller-or-equal neighbors
+    *     (and itself) to that minimum,
+    * which contracts components to stars rooted at their minimum vertex
+    * in a logarithmic number of rounds — unlike naive min-label
+    * propagation, whose round count is the component DIAMETER (O(n) on a
+    * path graph). Convergence is exact: the round loop stops when the
+    * canonical edge set reaches a fixpoint (a one-shuffle symmetric
+    * difference probe per round), at which point the edge set is a star
+    * forest and the labels are read off the star roots.
+    *
+    * Lineage truncation per round is mandatory (the plan doubles per
+    * iteration otherwise and Catalyst analysis time dominates). The seam
+    * is cluster-aware: when `spark.sparkContext.setCheckpointDir` has
+    * been called, rounds truncate through fault-tolerant `checkpoint()`
+    * (safe on a real cluster — a lost executor recomputes from the
+    * checkpoint store); otherwise `localCheckpoint` (executor-pinned
+    * blocks — fine for local mode, not for a 1000-executor job).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
-                          maxIter: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .localCheckpoint() // materialized once; every round re-reads it
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took —
+    * the observable the convergence-rate spec pins (≤ 2·log₂(n) + c on
+    * an adversarial scrambled path, vs O(n) for label propagation).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "doc_a",
+                                    bCol: String = "doc_b",
+                                    maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    // canonical directed edges (src = larger endpoint), self-pairs dropped
+    var e = truncate(pairs
+      .select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    // a clean corpus with no near-dup pairs is a normal production input:
+    // the closure of an empty graph is empty, not a crash
+    if (e.isEmpty)
+      return (e.select(col("src").as("v"), col("dst").as("label")), 0)
+    val nVerts = e.select("src")
+      .unionByName(e.select(col("dst").as("src")))
+      .distinct().count()
+
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val next = edges
-        .join(labels.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), col("label"))
-        .unionByName(labels)
-        .groupBy("v")
-        .agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum("label")).head.getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // large-star over the symmetric adjacency: for each u with closed-
+      // neighborhood min m(u), emit (v → m(u)) for every neighbor v > u.
+      // Every emitted edge stays canonical (v > u ≥ m(u)).
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val m1 = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = sym.join(m1, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star over the (all-canonical) large output: each node a
+      // rewires its smaller neighbors to their min m, keeping (a → m)
+      val m2 = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(m2, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(m2.select(col("src"), col("m").as("dst")))
+        .distinct()
+      val eNew = truncate(small)
+      // exact fixpoint probe: both sides are deduped canonical sets, so
+      // the symmetric difference is the edges seen on exactly one side
+      converged = eNew.select(col("src"), col("dst"), lit(1).as("side"))
+        .unionByName(e.select(col("src"), col("dst"), lit(2).as("side")))
+        .groupBy("src", "dst").agg(countDistinct("side").as("ns"))
+        .filter(col("ns") === 1)
+        .isEmpty
+      e = eNew
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    // fixpoint edge set is a star forest: leaves point at their root,
+    // roots appear only as targets
+    val leaf = e.groupBy("src").agg(min("dst").as("label"))
+      .select(col("src").as("v"), col("label"))
+    val roots = e.select(col("dst").as("v")).distinct()
+      .join(leaf.select("v"), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("label"))
+    val labels = truncate(leaf.unionByName(roots))
+    // every vertex that appeared in a pair must come out labeled — a
+    // star-contraction bug must fail loudly, not drop documents
+    val nLabeled = labels.count()
+    require(nLabeled == nVerts,
+      s"connectedComponents labeled $nLabeled of $nVerts vertices")
+    (labels, round)
   }
 
   /** Cluster assignment for near-dup groups: every doc in a component,
@@ -386,20 +462,31 @@ object Dedup {
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
     * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
     * least one of the 4 bands — standard pigeonhole blocking).
+    *
+    * Single-join shape (the lesson [[minhashLsh]] learned): the band rows
+    * CARRY the 64-bit fingerprint — nearly free, it is one long — so the
+    * hamming distance is computed directly on the bucket join's output.
+    * No candidate `distinct()`, no signature re-joins. A pair agreeing on
+    * several bands meets several times; keeping only the meeting at the
+    * HIGHEST matching band (no band above the current one may also
+    * match, read straight off the XOR of the carried fingerprints) emits
+    * each pair exactly once without a dedup shuffle.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs).cache()
-    val bands = (0 until 4).map { b =>
-      sh.select(col("doc_id"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-    }.reduce(_ union _)
-    val cand = bands.toDF("doc_a", "band", "bucket")
-      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+    val sh = simhash(docs).cache() // both sides of the self-join read it
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bucket")))
+    val xor = col("sh_a").bitwiseXOR(col("sh_b"))
+    val highestMatchingBand = (1 to 3).map { k =>
+      (lit(k) <= col("band")) ||
+        (shiftright(xor, k * 16).bitwiseAND(0xFFFFL) =!= 0)
+    }.reduce(_ && _)
+    bands.toDF("doc_a", "sh_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "sh_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .filter(highestMatchingBand)
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")

@@ -79,6 +79,11 @@ object Similarity {
         (r.getInt(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
       }
       .sortBy(_._1)
+    // an empty centroid set would silently assign the fold's initial
+    // accumulator (centroid_id = -1) to EVERY row — a wrong-answer path
+    // (semDedup would treat the whole corpus as one capped cell), so it
+    // must fail loudly instead
+    require(cents.nonEmpty, "assign: empty centroid set")
     val centArr = typedLit(cents)
     val best = aggregate(
       centArr,

@@ -205,7 +205,11 @@ object TextAnalysis {
     val nWords = size(tokens(t))
     docs.select(
       col("doc_id"),
-      t.rlike("[.!?\"]$").as("has_terminal_punct"),
+      // \z (absolute end of input), not $: Java-regex $ also matches
+      // BEFORE a final line terminator, so a document ending ".\n" would
+      // count as terminally-punctuated here but not in an RE2-family
+      // engine — \z means both engines agree on newline-terminated text
+      t.rlike("[.!?\"]\\z").as("has_terminal_punct"),
       contains(lower(t), lit("lorem ipsum")).as("has_lorem"),
       (contains(lower(t), lit("javascript")) || contains(t, lit("{")))
         .as("has_code_marker"),
@@ -228,20 +232,26 @@ object TextAnalysis {
     * counts for the scrub audit log. The patterns use the portable
     * regex subset (character classes, bounded repetition, `\b`) that
     * Java regex and RE2-family engines agree on.
+    *
+    * The audit counts are computed on the PROGRESSIVELY-REDACTED
+    * intermediates (emails on the raw text, phones on the email-redacted
+    * text, IPs on the phone-redacted text) — each count is the number of
+    * replacements its redaction pass actually performed. Counting every
+    * kind on the original text would double-count nested matches (an
+    * IPv4 inside an email's domain is consumed by the `<EMAIL>`
+    * replacement and never redacted as an IP), making the audit log
+    * claim redactions that never happened.
     */
   def redactPii(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IpRe, "<IP>")
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val redacted = regexp_replace(afterPhone, IpRe, "<IP>")
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
-      size(regexp_extract_all(t, lit(IpRe), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(IpRe), lit(0))).as("n_ips"),
       md5(redacted.cast("binary")).as("redacted_md5"))
   }
 }

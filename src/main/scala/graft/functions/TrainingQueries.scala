@@ -351,23 +351,27 @@ object TrainingQueries {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\d{3}-\\d{3}-\\d{4}"
       val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      // staged intermediates mirror the engine's sequential audit:
+      // each kind is counted on the text its redaction pass actually saw
       s"""WITH v AS (
          |  SELECT doc_id,
          |         CASE WHEN doc_id % 4 = 0 THEN text || ' contact john.doe@example.com now'
          |              WHEN doc_id % 4 = 1 THEN text || ' call 555-123-4567 or 555-000-1111'
          |              WHEN doc_id % 4 = 2 THEN text || ' from 10.0.0.1 mail a@b.io'
          |              ELSE text END AS text
-         |  FROM documents)
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |              regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+         |       FROM v),
+         |r2 AS (SELECT doc_id, text, t1,
+         |              regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+         |       FROM r1)
          |SELECT doc_id,
          |       CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
-         |       CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
-         |       CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
-         |       md5(regexp_replace(
-         |             regexp_replace(
-         |               regexp_replace(text, '$email', '<EMAIL>', 'g'),
-         |               '$phone', '<PHONE>', 'g'),
-         |             '$ip', '<IP>', 'g')) AS redacted_md5
-         |FROM v ORDER BY doc_id""".stripMargin
+         |       CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+         |       CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+         |       md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS redacted_md5
+         |FROM r2 ORDER BY doc_id""".stripMargin
     },
     "dd_contamination" -> ("WITH " + shingleCtesFor("documents") +
       s""", bshing AS (

@@ -120,6 +120,70 @@ class DedupSpec extends AnyFunSuite {
       5L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
   }
 
+  test("connected components: empty pair list yields empty labels, no crash") {
+    // a clean corpus with no near-dup pairs is a normal production input
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(pairs).collect().isEmpty)
+    assert(Dedup.dedupClusters(pairs).collect().isEmpty)
+  }
+
+  test("connected components: star rounds are logarithmic on a scrambled path") {
+    // 2048-vertex path whose labels are scrambled (i*1031 mod 2048, 1031
+    // coprime to 2048 → a permutation): the component min sits at an
+    // arbitrary chain position, so naive min-label propagation needs
+    // ~diameter (2047) rounds; the star algorithm must land in O(log n)
+    val n = 2048
+    val perm = (0 until n).map(i => (i.toLong * 1031L) % n)
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, maxIter = 40)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "single component labeled by its min (0)")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connected components: checkpoint-dir seam produces identical labels") {
+    // with a checkpoint dir configured the rounds must truncate through
+    // fault-tolerant checkpoint() instead of executor-pinned blocks
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    } finally {
+      // Option(null) inside setCheckpointDir resets it to None — later
+      // suites must exercise the default localCheckpoint path again
+      sc.setCheckpointDir(null)
+    }
+  }
+
+  test("strideSegments: exactly floor(len/n) aligned segments, no waste") {
+    val df = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 toks -> 2 segs
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")), // exactly one
+      (3L, "only nine tokens are here so none gets emitted"))
+      .toDF("doc_id", "text")
+    val segs = df
+      .select($"doc_id", org.apache.spark.sql.functions.split($"text", " ").as("toks"))
+      .repartition($"doc_id")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          Dedup.strideSegments($"toks", 10)).as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = segs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byDoc.getOrElse(1L, Nil).size == 2)
+    assert(byDoc(1L).head == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(byDoc(1L)(1) == (11 to 20).map(i => s"w$i").mkString(" "))
+    assert(byDoc.getOrElse(2L, Nil) == Seq((1 to 10).map(i => s"w$i").mkString(" ")))
+    assert(!byDoc.contains(3L), "9-token doc emits no segment")
+  }
+
   test("connected components: bridge doc merges two LSH clusters") {
     // {1,2} and {3,4} would be separate pairwise clusters; 2-3 bridges
     // them — the transitivity near-dup pairs lack and closure restores
