@@ -497,34 +497,40 @@ object TrainingQueries {
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     // The oracle PREDICTS what the JDK decoders must return: the asset
-    // generator pins image dims / audio frame counts as arithmetic in
-    // doc_id, and n_bytes follows from the container layout (BMP: 54-byte
-    // headers + 4-aligned 24-bit rows; WAV: 44-byte header + 2 bytes per
-    // mono 16-bit frame). A decode bug cannot agree with this by accident.
+    // generator pins image dims / audio frame counts / video dims+frames
+    // as arithmetic in doc_id, and n_bytes follows from the container
+    // layout (BMP: 54-byte headers + 4-aligned 24-bit rows; WAV: 44-byte
+    // header + 2 bytes per mono 16-bit frame; GIF: 398-byte fixed header
+    // + per frame 12 bytes of descriptors + the uncompressed-LZW stream
+    // of 2·W·H+1 byte-aligned codes + its sub-block prefixes). A decode
+    // bug cannot agree with this by accident.
     "mm_features" ->
       """WITH a AS (
-        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb,
+        |  SELECT doc_id, text,
         |         1 + doc_id % 8 AS iw, 1 + doc_id % 5 AS ih,
-        |         16 + doc_id % 240 AS af
-        |  FROM documents)
+        |         16 + doc_id % 240 AS af,
+        |         2 + doc_id % 7 AS vw, 2 + doc_id % 4 AS vh,
+        |         1 + doc_id % 5 AS vf
+        |  FROM documents),
+        |b AS (SELECT *, 2 * vw * vh + 1 AS dl FROM a)
         |SELECT doc_id AS asset_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
         |                 WHEN doc_id % 3 = 1 THEN 44 + 2 * af
-        |                 ELSE nb END AS INT) AS n_bytes,
+        |                 ELSE 398 + vf * (12 + dl + (dl + 254) // 255) END AS INT) AS n_bytes,
         |       md5(text) AS src_md5,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN iw
         |                 WHEN doc_id % 3 = 1 THEN 0
-        |                 ELSE nb % 640 END AS INT) AS width,
+        |                 ELSE vw END AS INT) AS width,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN ih
         |                 WHEN doc_id % 3 = 1 THEN 0
-        |                 ELSE (nb * 7) % 480 END AS INT) AS height,
+        |                 ELSE vh END AS INT) AS height,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
         |                 WHEN doc_id % 3 = 1 THEN af
-        |                 ELSE least(nb // 32, 16) END AS INT) AS n_frames
-        |FROM a ORDER BY asset_id""".stripMargin,
+        |                 ELSE vf END AS INT) AS n_frames
+        |FROM b ORDER BY asset_id""".stripMargin,
     "dd_embed_cos" -> {
       // mirrors signLshPairs' skew guard: refine oversized 8-dim buckets
       // to 16 dims, then cap each bucket at its 256 lowest vec_ids

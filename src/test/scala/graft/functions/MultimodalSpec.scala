@@ -55,6 +55,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GifCodec bytes decode through the JDK GIF reader: dims, frames, pixels") {
+    for ((w, h, f) <- Seq((1, 1, 1), (3, 2, 4), (8, 5, 3), (200, 2, 2))) {
+      val seed = w * 31L + h * 7L + f
+      val bytes = Multimodal.GifCodec.encode(w, h, f, seed)
+      val dl = 2 * w * h + 1
+      assert(bytes.length == 398 + f * (12 + dl + (dl + 254) / 255),
+        s"container size formula broke for ${w}x${h}x$f")
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "JDK found no reader for the GIF payload")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        assert(r.getNumImages(true) == f)
+        assert(r.getWidth(0) == w && r.getHeight(0) == h)
+        // pixel content survives: frame 0, pixel (0,0) is palette entry
+        // (seed*31) % 128, a grayscale value of twice the index
+        val img = r.read(0)
+        val expected = (((seed * 31) % 128) * 2).toInt
+        assert((img.getRGB(0, 0) & 0xff) == expected,
+          "decoded raster does not match the encoded pixel stream")
+      } finally { r.dispose(); in.close() }
+    }
+  }
+
   test("extractFeatures runs the real decoders per kind over testdata") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assets(Tables.documents(spark, TestSpark.sf)))
@@ -73,8 +99,11 @@ class MultimodalSpec extends AnyFunSuite {
           assert(f.n_bytes == 44 + 2 * f.n_frames)
           assert(f.width == 0 && f.height == 0)
         case "video" =>
-          assert(f.width == f.n_bytes % 640)
-          assert(f.height == (f.n_bytes * 7) % 480)
+          assert(f.width == Multimodal.videoWidth(f.asset_id))
+          assert(f.height == Multimodal.videoHeight(f.asset_id))
+          assert(f.n_frames == Multimodal.videoFrames(f.asset_id))
+          val dl = 2 * f.width * f.height + 1
+          assert(f.n_bytes == 398 + f.n_frames * (12 + dl + (dl + 254) / 255))
         case other => fail(s"unexpected kind $other")
       }
     }
