@@ -121,6 +121,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == (0L until 10L).toSet)
   }
 
+  test("SemDeDup pair recall at the shipped config: measured, floored") {
+    // The analogue of the IVF recall@10 contract, for the dd_semdedup
+    // operating point (fixed first-16 centroids, threshold 0.25,
+    // maxCell 256) on the sf0.01 embeddings. The reference pair set is
+    // the UNCAPPED brute-force cosine pairs — obtained through semDedup
+    // itself with a single centroid and maxCell = |corpus|, which puts
+    // every vector in one uncapped cell (all 124 750 pairs scored).
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf01).cache()
+    try {
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val one = Seq((1, Array.fill(dim)(1.0f))).toDF("centroid_id", "cvec")
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("vec_a", "vec_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = e.count()
+      val brute = pairSet(
+        Similarity.semDedup(e, one, threshold = 0.25, maxCell = n.toInt))
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val shipped = pairSet(
+        Similarity.semDedup(e, cents, threshold = 0.25, maxCell = 256))
+      assert(shipped.subsetOf(brute),
+        "precision must be 1.0: exact cosines, same threshold")
+      val biggestCell = Similarity.assign(e, cents)
+        .groupBy("centroid_id").count().agg(max("count")).head.getLong(0)
+      val recall = shipped.size.toDouble / brute.size
+      info(f"pair recall $recall%.3f (${shipped.size}/${brute.size}), " +
+        s"largest cell $biggestCell (cap 256)")
+      // the cap is NOT the loss at this SF (largest cell ≪ 256): all
+      // recall loss is cell blocking over near-random synthetic vectors —
+      // the blocking-hostile case, same as IVF's fixed-centroid 0.536.
+      // Measured 0.182 here; floored with headroom for noise.
+      assert(biggestCell <= 256,
+        "cap binds at this SF — update the recall attribution above")
+      assert(recall >= 0.15, s"pair recall was $recall")
+      // k-means-trained cells (the recommended config) concentrate
+      // near-dups better even on this corpus; measured 0.224
+      val trained = pairSet(Similarity.semDedup(e,
+        Similarity.trainCentroids(e, k = 16, iters = 2),
+        threshold = 0.25, maxCell = 256))
+      val trainedRecall = trained.size.toDouble / brute.size
+      info(f"trained-centroid pair recall $trainedRecall%.3f")
+      assert(trainedRecall >= recall * 0.9,
+        "trained cells should not be materially worse than fixed cells")
+    } finally e.unpersist()
+  }
+
   test("IVF recall@10 vs brute force: ≥0.9 at the documented config") {
     // The quality number every ANN user asks first. Corpus: the sf0.01
     // embeddings (500 × 64-dim synthetic vectors — near-random, i.e. the
