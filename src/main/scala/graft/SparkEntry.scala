@@ -191,6 +191,14 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseStreaming(s, d,
         s"graft_cpjoin_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // CSV-drop ingest replayed against a real drop directory (two of the
+    // three files appear only mid-stream); batch sales derivation is the
+    // oracle. sale_id is non-unique → full-row ORDER BY for determinism.
+    "st_csv_drop" -> ((s, d) =>
+      streaming.EventsStream.csvDropReplay(s, d,
+        s"graft_csvdrop_${streamCounter.incrementAndGet()}")
+        .orderBy("sale_id", "customer_id", "product_id", "quantity",
+          "discount", "shipping_cost", "order_status", "payment_mode")),
 
     // ── correlated subqueries through the SQL front door (Catalyst
     //    decorrelates to a join; identical SQL runs on both engines) ───
@@ -409,6 +417,10 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "st_csv_drop" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """SELECT * FROM sales
+        |ORDER BY sale_id, customer_id, product_id, quantity,
+        |         discount, shipping_cost, order_status, payment_mode""".stripMargin),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

@@ -74,6 +74,49 @@ object EventsStream {
       .option("maxFilesPerTrigger", "16")
       .csv(dropDir)
 
+  /** End-to-end CSV-drop replay, the oracle harness for
+    * [[csvDropStream]]: the sales entity is written as three CSV drop
+    * files — the first present at stream start, the other two appearing
+    * only AFTER the first micro-batch completes (the continuous-ingest
+    * case the file source exists for) — then streamed with the pinned
+    * schema into a memory sink. The batch twin (the sales derivation
+    * itself) is the oracle: hash equality proves the CSV encode →
+    * stream-decode round trip preserves every value (dates, doubles,
+    * statuses) and that late-arriving files are picked up exactly once.
+    */
+  def csvDropReplay(spark: SparkSession, sfDir: String,
+                    queryName: String): DataFrame = {
+    val sales = graft.sources.Entities.sales(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_csv_drop")
+    val dropDir = root.resolve("drop")
+    java.nio.file.Files.createDirectories(dropDir)
+    def drop(mod: Int): Unit = {
+      val stage = root.resolve(s"stage_$mod")
+      sales.filter(col("sale_id") % 3 === mod)
+        .coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(stage.toString)
+      val parts = java.nio.file.Files.list(stage)
+      try {
+        val part = parts.filter(p => p.getFileName.toString.endsWith(".csv"))
+          .findFirst.orElseThrow()
+        java.nio.file.Files.move(part, dropDir.resolve(s"sales_$mod.csv"))
+      } finally parts.close()
+    }
+    drop(0)
+    val q = csvDropStream(spark, dropDir.toString, sales.schema)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable() // drains the file present at start
+      drop(1); drop(2)        // late arrivals: new files mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Batch sessionizer: sessions split on gaps > gapMinutes, windowed
     * lag + running sum (exact integer epoch math, oracle-comparable).
     */
