@@ -19,18 +19,28 @@ import graft.sources.{Entities, OracleCtes}
   *    SQL text runs on both engines — see graft.core.Money);
   *  - ranking queries get an explicit unique tie-break column.
   *
-  * THREE reference texts additionally run with ZERO adaptation — byte-
+  * FIVE reference texts additionally run with ZERO adaptation — byte-
   * identical to the .sql files, leading comments, trailing semicolons,
   * quoting and all ([[verbatimSupplierPerfSql]],
-  * [[verbatimPaymentModeSql]], [[verbatimProductContribSql]]): ANSI
+  * [[verbatimPaymentModeSql]], [[verbatimProductContribSql]],
+  * [[verbatimMonthlyHeatmapSql]], [[verbatimRevenueByRegionSql]]): ANSI
   * double-quoted identifiers and the `legacy.*` schema are served
   * natively, proving the adaptations above are conveniences, not
-  * dialect gaps. The remaining texts cannot run verbatim for REASONS,
-  * not dialect: free-running double SUMs are FP-order-nondeterministic
-  * across engines (the adapted rows route them through the decimal
-  * pattern), and `Top_Selling_Supplier_Products`' untied ROW_NUMBER is
-  * nondeterministic on this data (duplicate (supplier, product_name)
-  * pairs exist — the adapted row adds the tie-break).
+  * dialect gaps. The `legacy` serving schema types its money columns
+  * DECIMAL(38,6) — NUMERIC-style money, the standard warehouse
+  * practice — which makes the reference texts' free-running
+  * `SUM(money)` exact and therefore order-independent: the texts run
+  * verbatim with deterministic results on both engines (a double-typed
+  * column would make the same SUM FP-order-nondeterministic, which is
+  * why the ADAPTED rows route their sums through the decimal pattern
+  * explicitly). The remaining three texts cannot run verbatim for
+  * REASONS, not dialect: `Top_Selling_Supplier_Products`' untied
+  * ROW_NUMBER is nondeterministic on this data (duplicate
+  * (supplier, product_name) pairs exist — the adapted row adds the
+  * tie-break), and `Average_Order_Value` / `Total_Order_Over_Time`
+  * filter on `current_date`, which on 2001-era testdata selects zero
+  * rows at any real run date — their adapted rows pin the reference's
+  * intent to the injected run date instead.
   */
 object SqlLab {
   private val clock = RunClock.fixed
@@ -87,7 +97,17 @@ object SqlLab {
       // mart + source tables (the same amortization Postgres gives the
       // reference).
       spark.sql("CREATE DATABASE IF NOT EXISTS legacy")
-      materializeLegacy(spark, "supplier_performance", sp)
+      // money columns are typed DECIMAL(38,6) in the legacy serving
+      // schema (NUMERIC-style money): free-running SUMs over them are
+      // exact and order-independent, which is what lets the reference
+      // texts run verbatim with deterministic cross-engine results
+      val money = org.apache.spark.sql.types.DecimalType(38, 6)
+      materializeLegacy(spark, "supplier_performance", sp.withColumn(
+        "TOTAL_REVENUE", org.apache.spark.sql.functions.col("TOTAL_REVENUE")
+          .cast(money)))
+      materializeLegacy(spark, "customer_sales_report", csr.withColumn(
+        "SALE_AMOUNT", org.apache.spark.sql.functions.col("SALE_AMOUNT")
+          .cast(money)))
       materializeLegacy(spark, "suppliers", suppliers)
       materializeLegacy(spark, "products", products)
       materializeLegacy(spark, "sales", sales)
@@ -136,19 +156,36 @@ object SqlLab {
   val verbatimProductContribSql: String =
     "SELECT \n    s.\"REGION\",\n    count(p.\"PRODUCT_ID\")\nFROM \n    legacy.products p\njoin \n    legacy.suppliers s \non\n    trim(s.\"SUPPLIER_ID\") = trim(p.\"SUPPLIER_ID\")\nGROUP BY\n    s.\"REGION\""
 
+  /** `Sales/Monthly_Sales_Heatmap.sql:1-30` UNMODIFIED — the CASE month
+    * map, the `legacy.customer_sales_report` read, ORDER BY the computed
+    * alias, LIMIT, trailing semicolon. `SUM("SALE_AMOUNT")` is exact
+    * (the legacy schema's DECIMAL money typing), so the free-running sum
+    * is deterministic.
+    */
+  val verbatimMonthlyHeatmapSql: String =
+    "SELECT \n    CONCAT(\n        CASE \"SALE_MONTH\"\n            WHEN 'January' THEN '01'\n            WHEN 'February' THEN '02'\n            WHEN 'March' THEN '03'\n            WHEN 'April' THEN '04'\n            WHEN 'May' THEN '05'\n            WHEN 'June' THEN '06'\n            WHEN 'July' THEN '07'\n            WHEN 'August' THEN '08'\n            WHEN 'September' THEN '09'\n            WHEN 'October' THEN '10'\n            WHEN 'November' THEN '11'\n            WHEN 'December' THEN '12'\n        END,\n        ' - ',\n        \"SALE_MONTH\"\n    ) AS SALE_MONTH_ORDERED,\n    \"SALE_YEAR\",\n    SUM(\"SALE_AMOUNT\") AS SUM_SALE\nFROM \n    legacy.customer_sales_report\nGROUP BY \n    \"SALE_MONTH\",\n    \"SALE_YEAR\"\nORDER BY \n    SALE_MONTH_ORDERED ASC,\n    \"SALE_YEAR\" DESC\nLIMIT 100;\n"
+
+  /** `Sales/Revenue_By_Region.sql:1-11` UNMODIFIED — trim-key join of
+    * two `legacy.*` tables, quoted output alias, no ORDER BY (the
+    * deterministic presentation order is applied outside the text).
+    */
+  val verbatimRevenueByRegionSql: String =
+    "SELECT \n    s.\"REGION\",  \n    SUM(sp.\"TOTAL_REVENUE\") as \"REGIONAL_REVENUE\"\nFROM \n    legacy.supplier_performance sp \nJOIN \n    legacy.suppliers s \non \n    trim(s.\"SUPPLIER_ID\")= trim(sp.\"SUPPLIER_ID\")\nGROUP BY \n    s.\"REGION\""
+
   /** Run a reference text byte-identical under ANSI double-quoted
     * identifiers. sql() parses eagerly, so the conf can be restored
     * immediately; the deterministic presentation order is applied
-    * OUTSIDE the verbatim text (the gate requires row determinism, the
-    * reference texts have no ORDER BY).
+    * OUTSIDE the verbatim text (the gate requires row determinism; the
+    * reference texts either have no ORDER BY or order on a non-unique
+    * prefix).
     */
-  private def verbatim(text: String, orderCol: String)
+  private def verbatim(text: String, orderCols: String*)
       : (SparkSession, String) => DataFrame = (s, d) => {
     registerViews(s, d)
     val key = "spark.sql.ansi.doubleQuotedIdentifiers"
     val prev = s.conf.get(key, "false")
     s.conf.set(key, "true")
-    try s.sql(text).orderBy(orderCol)
+    try s.sql(text).orderBy(orderCols.head, orderCols.tail: _*)
     finally s.conf.set(key, prev)
   }
 
@@ -236,7 +273,13 @@ object SqlLab {
       "sql_payment_mode_verbatim" ->
         verbatim(verbatimPaymentModeSql, "PAYMENT_MODE"),
       "sql_product_contrib_verbatim" ->
-        verbatim(verbatimProductContribSql, "REGION"))
+        verbatim(verbatimProductContribSql, "REGION"),
+      // the text's own ORDER BY prefix is non-unique (same month across
+      // years) — the outer presentation order totalizes it
+      "sql_monthly_heatmap_verbatim" ->
+        verbatim(verbatimMonthlyHeatmapSql, "SALE_MONTH_ORDERED", "SALE_YEAR"),
+      "sql_revenue_region_verbatim" ->
+        verbatim(verbatimRevenueByRegionSql, "REGION"))
 
   /** DuckDB oracles: the same SQL over CTE-materialized mart views (the
     * mart oracle queries nest as scoped WITH-subqueries).
@@ -267,9 +310,11 @@ object SqlLab {
       // name); sums cast to the Spark result types (sum of BIGINT is
       // BIGINT in Spark, HUGEINT in DuckDB).
       ("sql_supplier_perf_verbatim" -> (martCtes +
+        // money reaches the verbatim reads as DECIMAL(38,6) (the legacy
+        // schema's NUMERIC-style typing) — the twin casts the same way
         """SELECT "SUPPLIER_ID" AS "SUPPLIER_ID",
           |       CAST(SUM("TOTAL_PRODUCTS_SOLD") AS BIGINT) AS "sum(TOTAL_PRODUCTS_SOLD)",
-          |       SUM("TOTAL_REVENUE") AS "sum(TOTAL_REVENUE)"
+          |       CAST(SUM(CAST("TOTAL_REVENUE" AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS "sum(TOTAL_REVENUE)"
           |FROM supplier_performance
           |GROUP BY "SUPPLIER_ID" ORDER BY "SUPPLIER_ID"""".stripMargin)) +
       ("sql_payment_mode_verbatim" -> (martCtes +
@@ -280,6 +325,33 @@ object SqlLab {
           |       CAST(count(p.product_id) AS BIGINT) AS "count(PRODUCT_ID)"
           |FROM products p
           |JOIN suppliers s ON trim(s.supplier_id) = trim(p.supplier_id)
+          |GROUP BY s.region ORDER BY s.region""".stripMargin)) +
+      // the inner subquery replays the TEXT's own order + LIMIT (month
+      // asc, year DESC) so the kept 100-row subset matches Spark's; the
+      // outer ORDER BY is the presentation order the harness applies
+      ("sql_monthly_heatmap_verbatim" -> (martCtes +
+        """SELECT * FROM (
+          |  SELECT CONCAT(
+          |           CASE SALE_MONTH
+          |             WHEN 'January' THEN '01' WHEN 'February' THEN '02'
+          |             WHEN 'March' THEN '03' WHEN 'April' THEN '04'
+          |             WHEN 'May' THEN '05' WHEN 'June' THEN '06'
+          |             WHEN 'July' THEN '07' WHEN 'August' THEN '08'
+          |             WHEN 'September' THEN '09' WHEN 'October' THEN '10'
+          |             WHEN 'November' THEN '11' WHEN 'December' THEN '12'
+          |           END, ' - ', SALE_MONTH) AS SALE_MONTH_ORDERED,
+          |         SALE_YEAR,
+          |         CAST(SUM(CAST(SALE_AMOUNT AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS SUM_SALE
+          |  FROM customer_sales_report
+          |  GROUP BY SALE_MONTH, SALE_YEAR
+          |  ORDER BY SALE_MONTH_ORDERED ASC, SALE_YEAR DESC
+          |  LIMIT 100)
+          |ORDER BY SALE_MONTH_ORDERED, SALE_YEAR""".stripMargin)) +
+      ("sql_revenue_region_verbatim" -> (martCtes +
+        """SELECT s.region AS "REGION",
+          |       CAST(SUM(CAST(sp.TOTAL_REVENUE AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS "REGIONAL_REVENUE"
+          |FROM supplier_performance sp
+          |JOIN suppliers s ON trim(s.supplier_id) = trim(sp.SUPPLIER_ID)
           |GROUP BY s.region ORDER BY s.region""".stripMargin))
   }
 }

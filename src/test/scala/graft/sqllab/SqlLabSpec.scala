@@ -17,6 +17,10 @@ class SqlLabSpec extends AnyFunSuite {
       ref("Sales/Payment_Mode_Distribution.sql"))
     assert(SqlLab.verbatimProductContribSql ==
       ref("Suppliers/Product_Contribution_By_Region.sql"))
+    assert(SqlLab.verbatimMonthlyHeatmapSql ==
+      ref("Sales/Monthly_Sales_Heatmap.sql"))
+    assert(SqlLab.verbatimRevenueByRegionSql ==
+      ref("Sales/Revenue_By_Region.sql"))
   }
 
   test("queries stay pure in (session, sfDir) when the dir alternates") {
