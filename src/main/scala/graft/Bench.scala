@@ -72,7 +72,20 @@ object Bench {
           }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val cold = pass("cold") // fills shared caches, codegen, page cache
+    // The SQL-lab queries share one set of materialized mart views
+    // (SqlLab.registerViews: cached marts + legacy catalog tables).
+    // Filling them inside the cold pass would land the whole build cost
+    // on whichever sql_* query runs first alphabetically (round-4 cold
+    // artifact: three 10-15 s lines that were ~0.5 s queries); fill them
+    // ONCE here and attribute the cost to an explicit named line so cold
+    // numbers mean per-query cost.
+    val fill: Seq[(String, Double, Boolean)] =
+      if (ordered.exists(_._1.startsWith("sql_"))) {
+        val t0 = System.nanoTime()
+        sqllab.SqlLab.registerViews(spark, sfDir)
+        Seq(("__sqllab_fill", (System.nanoTime() - t0) / 1e9, true))
+      } else Seq.empty
+    val cold = fill ++ pass("cold") // fills remaining caches, codegen, page cache
     val warm1 = pass("warm1")
     val warm2 = pass("warm2")
     val warm = warm1.zip(warm2).map { case ((k, a, okA), (_, b, okB)) =>
