@@ -112,6 +112,10 @@ object TrainingQueries {
     // simhash bit-votes come from md5 nibbles — oracle-comparable
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    // single-shuffle-join banded pair generation over the fingerprints
+    "dd_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 8)
+        .orderBy("doc_a", "doc_b")),
     "ann_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteTopK(e, e.filter(col("vec_id") === 0), k = 10)
@@ -582,25 +586,46 @@ object TrainingQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "dd_simhash" -> {
-      val votes = (0 until 64).map { b =>
-        s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
-      }.mkString(",\n         ")
-      // bit 63 can't be built as 1<<63 (DuckDB checks shift overflow);
-      // the bits are disjoint so arithmetic sum == bitwise OR
-      val fp = (0 until 64).map { b =>
-        val term = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
-        s"CASE WHEN v_$b > 0 THEN $term ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
-         |  FROM documents),
-         |hsh AS (SELECT doc_id, md5(token) AS h FROM tok),
-         |votes AS (
-         |  SELECT doc_id,
-         |         $votes
-         |  FROM hsh GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-         |FROM votes ORDER BY doc_id""".stripMargin
-    })
+    "dd_simhash" -> (simhashFpsCtes +
+      "SELECT doc_id, simhash FROM fps ORDER BY doc_id"),
+    // pigeonhole 16-bit band blocking over the same fingerprints; the
+    // engine dedups band meetings with the highest-matching-band filter,
+    // the oracle with DISTINCT — identical result sets
+    "dd_simhash_pairs" -> (simhashFpsCtes +
+      """, bands AS (
+        |  SELECT doc_id, simhash, band,
+        |         (simhash >> CAST(16 * band AS INT)) & 65535 AS bucket
+        |  FROM fps, (SELECT unnest(range(4)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b USING (band, bucket)
+        |WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** DuckDB twin of [[Dedup.simhash]], ending in
+    * `fps(doc_id, simhash BIGINT)` — shared by the fingerprint and pair
+    * oracles.
+    */
+  private def simhashFpsCtes: String = {
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (('0x' || substr(h, ${b / 4 + 1}, 1))::INT >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
+    }.mkString(",\n         ")
+    // bit 63 can't be built as 1<<63 (DuckDB checks shift overflow);
+    // the bits are disjoint so arithmetic sum == bitwise OR
+    val fp = (0 until 64).map { b =>
+      val term = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+      s"CASE WHEN v_$b > 0 THEN $term ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents),
+       |hsh AS (SELECT doc_id, md5(token) AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM hsh GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
+       |""".stripMargin
+  }
 }

@@ -92,6 +92,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pair generation plans exactly one join") {
+    // the band frame carries the fingerprint, so the bucket self-join IS
+    // the whole pair pipeline: no candidate distinct, no re-joins back
+    // to the signature frame (the shape minhashLsh pioneered)
+    val df = functions.Dedup.simhashPairs(
+      Tables.documents(spark, sf).limit(200), maxDist = 8)
+    df.collect()
+    // count only the executed plan — the AQE toString repeats operators
+    // in its "== Initial Plan ==" section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF centroid assignment plans zero exchanges") {
     // The assignment must be a narrow projection over the corpus scan
     // (argmax fold over a centroid literal) — the cross×window form it
