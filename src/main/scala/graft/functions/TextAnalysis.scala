@@ -191,6 +191,38 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Sequence packing: assign documents to fixed-token-budget bins (the
+    * context windows of a pretraining run) with the contiguous streaming
+    * heuristic large-scale packers use — documents in a deterministic
+    * order, running token offset, a document's bin is the budget-window
+    * its START offset falls in. Whether an overflowing tail truncates or
+    * continues into the next window is the consumer's policy; the
+    * operator emits the exact `(bin_id, bin_offset)` layout either needs.
+    *
+    * Scale: packing is per-SHARD (the md5 hash-shard of [[hashSplit]]),
+    * so the window sort parallelizes over 256 independent partitions
+    * instead of one global order — the same sharding a distributed
+    * packer uses, and deterministic across runs and cluster layouts.
+    * All arithmetic is integer-exact, so the DuckDB twin matches
+    * bit-for-bit.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val base = docs.select(
+      col("doc_id"),
+      shard.as("shard"),
+      size(tokens(normalized(col("text")))).as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prev_cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"CAST(prev_cum DIV $budget AS BIGINT)").as("bin_id"),
+        expr(s"CAST(prev_cum % $budget AS BIGINT)").as("bin_offset"))
+  }
+
   /** C4-style heuristic quality filters (Raffel et al. §2.2, adapted to
     * single-line documents): terminal punctuation, boilerplate markers
     * (`lorem ipsum`), code markers (`javascript`, `{`), minimum word

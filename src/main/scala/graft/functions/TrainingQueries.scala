@@ -154,6 +154,10 @@ object TrainingQueries {
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
     "ts_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    // sequence packing into 2048-token context windows, sharded by the
+    // md5 hash shard (deterministic, parallel)
+    "ts_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // int8 quantization; q rendered as csv (array hashing is
     // representation-fragile across engines, a string is not)
     "ann_quantize" -> ((s, d) =>
@@ -300,6 +304,21 @@ object TrainingQueries {
          |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
          |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
          |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ts_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) AS shard,
+         |         CAST(len(string_split($normSql, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(prev_cum // 2048 AS BIGINT) AS bin_id,
+         |       CAST(prev_cum % 2048 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
     "ann_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

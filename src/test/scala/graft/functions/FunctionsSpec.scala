@@ -163,4 +163,31 @@ class FunctionsSpec extends AnyFunSuite {
       out(3).getAs[Boolean]("has_code_marker"))
     assert(!out(4).getAs[Boolean]("keep") && out(4).getAs[Int]("n_words") < 5)
   }
+
+  test("packSequences: per-shard contiguous layout matches a reference model") {
+    // 40 docs with varying token counts; verify against an independent
+    // in-memory packer: per shard in doc_id order, a doc's bin is the
+    // budget window its start offset falls in
+    val docs = (1L to 40L)
+      .map(i => (i, (1L to (1 + i % 7)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 10
+    val out = TextAnalysis.packSequences(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 40)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin == cum / budget, s"doc $id bin")
+        assert(off == cum % budget, s"doc $id offset")
+        assert(off < budget)
+        cum += n
+      }
+    }
+    // shards are the hashSplit md5 shard — deterministic across runs
+    val shardOf = out.map(r => r._1 -> r._2).toMap
+    val again = TextAnalysis.packSequences(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shardOf == again)
+  }
 }
