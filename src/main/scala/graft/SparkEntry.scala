@@ -197,8 +197,9 @@ object SparkEntry {
     "st_csv_drop" -> ((s, d) =>
       streaming.EventsStream.csvDropReplay(s, d,
         s"graft_csvdrop_${streamCounter.incrementAndGet()}")
-        .orderBy("sale_id", "customer_id", "product_id", "quantity",
-          "discount", "shipping_cost", "order_status", "payment_mode")),
+        .orderBy("sale_id", "customer_id", "product_id", "sale_date",
+          "quantity", "discount", "shipping_cost", "order_status",
+          "payment_mode")),
 
     // ── correlated subqueries through the SQL front door (Catalyst
     //    decorrelates to a join; identical SQL runs on both engines) ───
@@ -419,7 +420,7 @@ object SparkEntry {
         |ORDER BY click_id, purchase_id""".stripMargin,
     "st_csv_drop" -> (graft.sources.OracleCtes.withEntities("sales") +
       """SELECT * FROM sales
-        |ORDER BY sale_id, customer_id, product_id, quantity,
+        |ORDER BY sale_id, customer_id, product_id, sale_date, quantity,
         |         discount, shipping_cost, order_status, payment_mode""".stripMargin),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),

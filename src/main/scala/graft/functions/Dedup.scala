@@ -85,15 +85,17 @@ object Dedup {
     * builds exactly the kept segments; grouping on the md5 fingerprint is
     * the standard inverted-index shape — no pairwise comparison anywhere.
     * Shuffles: the repartition spreading the (often single-file) corpus
-    * scan across threads before the per-row tokenize+hash work — which
-    * doubles as the Exchange barrier the strideSegments contract needs —
+    * scan across threads BEFORE the per-row tokenize work — raw text
+    * crosses the exchange, so the regex+split pass parallelizes too and
+    * the tokens projection lands above the Exchange, where it doubles as
+    * the materialization barrier the strideSegments contract needs —
     * then the one real shuffle at segment grain for the groupBy.
     */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame =
     docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(strideSegments(col("toks"), chunkTokens)).as("chunk"))
       .groupBy(md5(col("chunk")).as("fp"))
@@ -337,7 +339,8 @@ object Dedup {
     * relations are not transitive pairwise, so "keep one doc per group"
     * requires the transitive closure. Returns one row per vertex that
     * appears in any pair: `(v, label)` where `label` is the component's
-    * minimum vertex id (the canonical keeper).
+    * minimum vertex id (the canonical keeper); a vertex seen only in
+    * self-pairs `(v, v)` is its own singleton component.
     *
     * Algorithm: alternating large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", 2014). The edge set
@@ -379,20 +382,26 @@ object Dedup {
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
 
-    // canonical directed edges (src = larger endpoint), self-pairs dropped
-    var e = truncate(pairs
+    // canonical pairs (src = larger endpoint), deduped; self-pairs are
+    // KEPT here — they carry vertices that must come out labeled as
+    // their own singleton component — and filtered from the edge set
+    // below. The upstream pair generator (often an expensive LSH
+    // pipeline) is scanned exactly once: everything downstream reads
+    // this one truncated frame.
+    val canon = truncate(pairs
       .select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct())
-    // a clean corpus with no near-dup pairs is a normal production input:
-    // the closure of an empty graph is empty, not a crash
+    val vertsAll = canon.select(col("src").as("v"))
+      .unionByName(canon.select(col("dst").as("v")))
+      .distinct()
+    var e = canon.filter(col("src") =!= col("dst"))
+    // a clean corpus with no (or only self-) near-dup pairs is a normal
+    // production input: the closure is the singletons, not a crash
     if (e.isEmpty)
-      return (e.select(col("src").as("v"), col("dst").as("label")), 0)
-    val nVerts = e.select("src")
-      .unionByName(e.select(col("dst").as("src")))
-      .distinct().count()
+      return (vertsAll.select(col("v"), col("v").as("label")), 0)
+    val nVerts = vertsAll.count()
 
     var converged = false
     var round = 0
@@ -428,14 +437,18 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint edge set is a star forest: leaves point at their root,
-    // roots appear only as targets
+    // roots appear only as targets; vertices seen only in self-pairs
+    // never entered the edge set and label themselves
     val leaf = e.groupBy("src").agg(min("dst").as("label"))
       .select(col("src").as("v"), col("label"))
     val roots = e.select(col("dst").as("v")).distinct()
       .join(leaf.select("v"), Seq("v"), "left_anti")
       .select(col("v"), col("v").as("label"))
-    val labels = truncate(leaf.unionByName(roots))
-    // every vertex that appeared in a pair must come out labeled — a
+    val inStars = leaf.unionByName(roots)
+    val singletons = vertsAll.join(inStars.select("v"), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("label"))
+    val labels = truncate(inStars.unionByName(singletons))
+    // every vertex that appeared in any pair must come out labeled — a
     // star-contraction bug must fail loudly, not drop documents
     val nLabeled = labels.count()
     require(nLabeled == nVerts,
@@ -459,9 +472,28 @@ object Dedup {
         (col("v") === col("label")).as("is_keeper"))
   }
 
+  /** The `maxDist+1` pigeonhole band layout over a 64-bit fingerprint:
+    * band i covers bits `[i·64/nb, (i+1)·64/nb)`. A pair within hamming
+    * `maxDist` has at most `maxDist` differing bits across `maxDist+1`
+    * disjoint bands, so SOME band matches exactly — FULL recall, not the
+    * probabilistic kind. Fixing the band count (e.g. 4×16 bits) while
+    * letting maxDist grow past bands−1 would silently drop qualifying
+    * pairs whose differing bits spread across all bands.
+    */
+  private[functions] def simhashBands(maxDist: Int): Seq[(Int, Int, Long)] = {
+    require(0 <= maxDist && maxDist < 32, s"maxDist $maxDist out of range")
+    val nb = maxDist + 1
+    (0 until nb).map { i =>
+      val start = i * 64 / nb
+      val width = (i + 1) * 64 / nb - start
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      (i, start, mask)
+    }
+  }
+
   /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
-    * on 16-bit sub-bands (a pair within distance d ≤ 3 must agree on at
-    * least one of the 4 bands — standard pigeonhole blocking).
+    * on `maxDist+1` pigeonhole sub-bands ([[simhashBands]] — guaranteed
+    * recall at any maxDist, unlike a fixed band count).
     *
     * Single-join shape (the lesson [[minhashLsh]] learned): the band rows
     * CARRY the 64-bit fingerprint — nearly free, it is one long — so the
@@ -473,16 +505,18 @@ object Dedup {
     * each pair exactly once without a dedup shuffle.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val layout = simhashBands(maxDist)
+    def bucketOf(c: Column, start: Int, mask: Long): Column =
+      shiftright(c, start).bitwiseAND(mask)
     val sh = simhash(docs).cache() // both sides of the self-join read it
     val bands = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(array(layout.map { case (_, start, mask) =>
+        bucketOf(col("simhash"), start, mask)
+      }: _*)).as(Seq("band", "bucket")))
     val xor = col("sh_a").bitwiseXOR(col("sh_b"))
-    val highestMatchingBand = (1 to 3).map { k =>
-      (lit(k) <= col("band")) ||
-        (shiftright(xor, k * 16).bitwiseAND(0xFFFFL) =!= 0)
-    }.reduce(_ && _)
+    val highestMatchingBand = layout.tail.map { case (k, start, mask) =>
+      (lit(k) <= col("band")) || (bucketOf(xor, start, mask) =!= 0)
+    }.foldLeft(lit(true))(_ && _)
     bands.toDF("doc_a", "sh_a", "band", "bucket")
       .join(bands.toDF("doc_b", "sh_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))

@@ -176,8 +176,7 @@ object TextAnalysis {
     */
   def hashSplit(docs: DataFrame, idCol: String = "doc_id",
                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
-      .cast("int")
+    val bucket = md5Shard(col(idCol))
     val trainCut = trainPct * 256 / 100
     val valCut = (trainPct + valPct) * 256 / 100
     docs.withColumn("split_bucket", bucket)
@@ -190,6 +189,13 @@ object TextAnalysis {
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 256-bucket md5 shard of an id column — the ONE sharding primitive
+    * [[hashSplit]] and [[packSequences]] share (they must never
+    * diverge: a packing shard is the same unit a split cut selects).
+    */
+  def md5Shard(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("int")
 
   /** Sequence packing: assign documents to fixed-token-budget bins (the
     * context windows of a pretraining run) with the contiguous streaming
@@ -208,11 +214,9 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("int")
     val base = docs.select(
       col("doc_id"),
-      shard.as("shard"),
+      md5Shard(col("doc_id")).as("shard"),
       size(tokens(normalized(col("text")))).as("n_tokens"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

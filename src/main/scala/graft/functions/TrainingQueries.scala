@@ -607,20 +607,25 @@ object TrainingQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "dd_simhash" -> (simhashFpsCtes +
       "SELECT doc_id, simhash FROM fps ORDER BY doc_id"),
-    // pigeonhole 16-bit band blocking over the same fingerprints; the
-    // engine dedups band meetings with the highest-matching-band filter,
-    // the oracle with DISTINCT — identical result sets
-    "dd_simhash_pairs" -> (simhashFpsCtes +
-      """, bands AS (
-        |  SELECT doc_id, simhash, band,
-        |         (simhash >> CAST(16 * band AS INT)) & 65535 AS bucket
-        |  FROM fps, (SELECT unnest(range(4)) AS band) b)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM bands a JOIN bands b USING (band, bucket)
-        |WHERE a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.simhash, b.simhash)) <= 8
-        |ORDER BY doc_a, doc_b""".stripMargin))
+    // pigeonhole band blocking (maxDist+1 bands, full recall) over the
+    // same fingerprints; the engine dedups band meetings with the
+    // highest-matching-band filter, the oracle with DISTINCT —
+    // identical result sets. Band constants come from the SAME
+    // Dedup.simhashBands layout the engine blocks with.
+    "dd_simhash_pairs" -> {
+      val bandSelects = Dedup.simhashBands(8).map { case (i, start, mask) =>
+        s"SELECT doc_id, simhash, $i AS band, (simhash >> $start) & $mask AS bucket FROM fps"
+      }.mkString("\n  UNION ALL ")
+      simhashFpsCtes +
+        s""", bands AS (
+           |  $bandSelects)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM bands a JOIN bands b USING (band, bucket)
+           |WHERE a.doc_id < b.doc_id
+           |  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY doc_a, doc_b""".stripMargin
+    })
 
   /** DuckDB twin of [[Dedup.simhash]], ending in
     * `fps(doc_id, simhash BIGINT)` — shared by the fingerprint and pair

@@ -86,7 +86,9 @@ object EventsStream {
     */
   def csvDropReplay(spark: SparkSession, sfDir: String,
                     queryName: String): DataFrame = {
-    val sales = graft.sources.Entities.sales(spark, sfDir)
+    // cached: the three slice writes would otherwise re-run the
+    // lineitem⨝orders derivation once per drop file
+    val sales = graft.sources.Entities.sales(spark, sfDir).cache()
     val root = java.nio.file.Files.createTempDirectory("graft_csv_drop")
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
@@ -102,18 +104,28 @@ object EventsStream {
         java.nio.file.Files.move(part, dropDir.resolve(s"sales_$mod.csv"))
       } finally parts.close()
     }
-    drop(0)
-    val q = csvDropStream(spark, dropDir.toString, sales.schema)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start()
     try {
-      q.processAllAvailable() // drains the file present at start
-      drop(1); drop(2)        // late arrivals: new files mid-stream
-      q.processAllAvailable()
-    } finally q.stop()
+      drop(0)
+      val q = csvDropStream(spark, dropDir.toString, sales.schema)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try {
+        q.processAllAvailable() // drains the file present at start
+        drop(1); drop(2)        // late arrivals: new files mid-stream
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      sales.unpersist(blocking = false)
+      // the memory-sink table owns the rows now — the CSV tree (a full
+      // copy of the sales fact) must not accumulate across gate runs
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.table(queryName)
   }
 

@@ -120,6 +120,31 @@ class DedupSpec extends AnyFunSuite {
       5L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
   }
 
+  test("simhash band layout: some band matches for any pair within maxDist") {
+    // pigeonhole recall proof, adversarially exercised: maxDist
+    // differing bits spread across the fingerprint must still leave one
+    // of the maxDist+1 bands untouched. (A fixed 4x16-bit layout fails
+    // this for maxDist > 3 — the bug this layout replaced.)
+    val rng = new scala.util.Random(42)
+    for (maxDist <- Seq(0, 3, 8, 16); _ <- 1 to 500) {
+      val layout = Dedup.simhashBands(maxDist)
+      val a = rng.nextLong()
+      val flips = rng.shuffle((0 until 64).toList).take(maxDist)
+      val b = flips.foldLeft(a)((v, bit) => v ^ (1L << bit))
+      val anyBand = layout.exists { case (_, start, mask) =>
+        ((a >> start) & mask) == ((b >> start) & mask)
+      }
+      assert(anyBand, s"maxDist=$maxDist flips=$flips evaded every band")
+    }
+  }
+
+  test("connected components: self-pairs label their vertex as a singleton") {
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
+
   test("connected components: empty pair list yields empty labels, no crash") {
     // a clean corpus with no near-dup pairs is a normal production input
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
