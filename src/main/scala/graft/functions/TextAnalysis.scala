@@ -190,6 +190,42 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unigram log-probability quality score — the corpus-statistics
+    * cousin of a KenLM perplexity filter, at unigram order: each token
+    * scores `ln(count(token) / N)` against the corpus' own unigram
+    * distribution, and a document's score is the mean over its tokens.
+    * Documents full of corpus-rare tokens (OCR noise, mojibake, code
+    * soup) score far below fluent text; curation pipelines threshold on
+    * it next to the heuristic C4 flags.
+    *
+    * Shuffles: one at token grain for the counts, one token-grain join
+    * back (vocab side is aggregate-sized; AQE broadcasts it when small),
+    * one at doc grain for the mean. Cross-engine parity: each ln routes
+    * through the 9-dp decimal rounding (libm ulp guard, as [[tfIdf]]),
+    * the per-doc SUM runs in decimal space (exact, order-independent),
+    * and the final mean divides as double then rounds through decimal.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(normalized(col("text")), " ")).as("token"))
+      .cache() // counts, total and the join-back all consume it
+    val tc = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val n = tok.select(count(lit(1)).as("total"))
+    graft.core.Scalars.crossBroadcast(tok.join(tc, "token"), n)
+      .withColumn("logp",
+        round(log(col("c").cast("double") / col("total")).cast(d2012), 9)
+          .cast(d3812))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round((sum("logp").cast("double") / count(lit(1))).cast(d3810), 6)
+          .cast("double").as("avg_logprob"))
+  }
+
   /** 256-bucket md5 shard of an id column — the ONE sharding primitive
     * [[hashSplit]] and [[packSequences]] share (they must never
     * diverge: a packing shard is the same unit a split cut selects).

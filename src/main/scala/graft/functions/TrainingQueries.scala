@@ -158,6 +158,10 @@ object TrainingQueries {
     // md5 hash shard (deterministic, parallel)
     "ts_pack" -> ((s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
+    // unigram log-probability quality score vs the corpus' own unigram
+    // distribution (the KenLM-style signal at unigram order)
+    "ts_unigram_lp" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
     // int8 quantization; q rendered as csv (array hashing is
     // representation-fragile across engines, a string is not)
     "ann_quantize" -> ((s, d) =>
@@ -304,6 +308,21 @@ object TrainingQueries {
          |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
          |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
          |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ts_unigram_lp" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |n AS (SELECT count(*) AS total FROM tok),
+         |lp AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(20,12)), 9)
+         |              AS DECIMAL(38,12)) AS logp
+         |  FROM tok JOIN tc USING (token) CROSS JOIN n)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |       CAST(ROUND(CAST(CAST(SUM(logp) AS DOUBLE) / count(*)
+         |            AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_logprob
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ts_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup evaluates the tokenize regex once per document") {
+    // strideSegments' caller contract: the split(regexp_replace(...))
+    // projection must not collapse into the per-segment lambda (Catalyst
+    // inlines aliases into lambdas — the re-evaluation trap of
+    // shinglesFromTokens). The Generate boundary prevents it; this pins
+    // that against future refactors and optimizer changes.
+    val plan = formatted(functions.Dedup.chunkDedup(
+      Tables.documents(spark, sf), chunkTokens = 10))
+    val regexCount = "regexp_replace".r.findAllIn(plan).size
+    assert(regexCount == 1,
+      s"tokenize regex must appear exactly once, found $regexCount:\n$plan")
+  }
+
   test("simhash pair generation plans exactly one join") {
     // the band frame carries the fingerprint, so the bucket self-join IS
     // the whole pair pipeline: no candidate distinct, no re-joins back

@@ -164,6 +164,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!out(4).getAs[Boolean]("keep") && out(4).getAs[Int]("n_words") < 5)
   }
 
+  test("unigramLogProb: rare-token documents score below common-token ones") {
+    // 10 docs of corpus-dominant tokens, one of hapaxes: the unigram
+    // model must rank the hapax doc far lower; a doc of the most common
+    // token scores exactly ln(count/total) (single distinct token)
+    val common = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val rare = Seq((99L, "zyx qwv jkl"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(99L)._1 == 3)
+    assert(out(1L)._1 == 6)
+    assert(out(99L)._2 < out(1L)._2 - 1.0,
+      s"hapax doc must score far below: ${out(99L)._2} vs ${out(1L)._2}")
+    // hand-check: hapax tokens each appear once in 63 total tokens
+    val expected = math.log(1.0 / 63.0)
+    assert(math.abs(out(99L)._2 - expected) < 1e-6)
+  }
+
   test("packSequences: per-shard contiguous layout matches a reference model") {
     // 40 docs with varying token counts; verify against an independent
     // in-memory packer: per shard in doc_id order, a doc's bin is the
