@@ -205,17 +205,24 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("centroid_id").orderBy("vec_id")
     // assignCached: an IVF serving stack and its dedup pass share one
-    // materialized assignment of the same (embeddings, centroids) pair
+    // materialized assignment of the same (embeddings, centroids) pair.
+    // The norm rides the capped frame: computed once per VECTOR, not
+    // once per candidate pair (same sequential fold, same division
+    // order as cosine() — bit-identical values, 3× less fold work in
+    // the self-join).
     val capped = assignCached(embeddings, centroids)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxCell)
-      .select("vec_id", "embedding", "centroid_id")
-    capped.toDF("vec_a", "emb_a", "centroid_id")
-      .join(capped.toDF("vec_b", "emb_b", "centroid_id"), "centroid_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        norm(col("embedding")).as("__nrm"))
+    capped.toDF("vec_a", "emb_a", "centroid_id", "nrm_a")
+      .join(capped.toDF("vec_b", "emb_b", "centroid_id", "nrm_b"),
+        "centroid_id")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         col("centroid_id").cast("long").as("centroid_id"),
-        roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+        roundSim(dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -280,15 +287,19 @@ object Similarity {
           .as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("vec_id")
+    // per-vector norm rides the capped frame (see semDedup): identical
+    // values, a third of the fold work in the bucket self-join
     val capped = refined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket)
-      .select("vec_id", "embedding", "bucket")
-    capped.toDF("vec_a", "emb_a", "bucket")
-      .join(capped.toDF("vec_b", "emb_b", "bucket"), "bucket")
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("__nrm"))
+    capped.toDF("vec_a", "emb_a", "bucket", "nrm_a")
+      .join(capped.toDF("vec_b", "emb_b", "bucket", "nrm_b"), "bucket")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+        roundSim(dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
