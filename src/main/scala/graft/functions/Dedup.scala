@@ -472,6 +472,36 @@ object Dedup {
         (col("v") === col("label")).as("is_keeper"))
   }
 
+  /** Quality-aware canonical selection: the end of the dedup funnel.
+    * [[dedupClusters]] keeps the MINIMUM doc_id of each component — fine
+    * as a deterministic tie-break, but production pipelines keep the
+    * BEST document of each near-dup cluster (longest, highest quality
+    * score), not the one with the smallest id. Given the corpus and a
+    * near-dup pair list, returns one row per clustered doc:
+    * `(doc_id, cluster_id, n_tokens, cluster_size, is_keeper)` where the
+    * keeper is the cluster's argmax of `n_tokens` (ties → min doc_id).
+    * Callers union the un-clustered remainder back (unchanged by
+    * definition) and filter `is_keeper` to materialize the deduped set.
+    *
+    * Scale: the component labels come from the O(log n)-round star
+    * contraction; the quality join is doc_id-keyed (co-partitioned with
+    * the label frame); both windows share ONE cluster_id shuffle — the
+    * frame under the windows is cluster-member-sized, not corpus-sized.
+    */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame,
+                    quality: Column = size(split(col("text"), " "))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = connectedComponents(pairs)
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    val scored = docs.select(col("doc_id"), quality.as("n_tokens"))
+    val w = Window.partitionBy("cluster_id")
+    val byQuality = w.orderBy(col("n_tokens").desc, col("doc_id").asc)
+    labeled.join(scored, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (row_number().over(byQuality) === 1).as("is_keeper"))
+  }
+
   /** The `maxDist+1` pigeonhole band layout over a 64-bit fingerprint:
     * band i covers bits `[i·64/nb, (i+1)·64/nb)`. A pair within hamming
     * `maxDist` has at most `maxDist` differing bits across `maxDist+1`

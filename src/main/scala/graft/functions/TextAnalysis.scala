@@ -186,6 +186,49 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Data-mixture sampling: downsample each source/domain to a token
+    * budget — the "mixture weights" step of assembling a pretraining
+    * corpus from heterogeneous sources. Rate-based: per source the keep
+    * rate is `min(1, budget / total_tokens)` and a document is kept when
+    * its deterministic md5 uniform draw falls under its source's rate,
+    * so expected kept tokens ≈ budget with zero per-source ordering.
+    *
+    * That design choice IS the 100 TB posture: the exact-prefix
+    * alternative (sort each source by hash, cumulative-sum tokens, cut
+    * at the budget) needs a total order per source — one reducer owns a
+    * dominant source. Here the only aggregation is at SOURCE grain
+    * (tiny), broadcast back over the corpus; the keep decision is a
+    * per-row projection. Deterministic across runs and cluster layouts
+    * (same md5 draw as [[hashSplit]]), reproducible by construction.
+    *
+    * Emits every doc with its `keep` verdict (filtering is the caller's
+    * one-liner; emitting all keeps the operator pure and auditable).
+    * A source absent from `budgets` gets `defaultBudget`.
+    */
+  def mixtureSample(docs: DataFrame, budgets: Map[String, Long],
+                    defaultBudget: Long = 0L): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tokens"))
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget)) { case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+      }
+    // integer token totals are exact; the rate division and comparison
+    // use identical operands on both engines → identical IEEE doubles
+    val rates = toks.groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .select(col("source"),
+        least(lit(1.0),
+          budgetCol.cast("double") / col("total_tokens").cast("double"))
+          .as("rate"))
+    // md5 uniform draw in [0, 1): first 8 hex chars = 32 bits
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    toks.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (u < col("rate")).as("keep"))
+  }
+
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -224,6 +267,49 @@ object TextAnalysis {
         count(lit(1)).cast("int").as("n_tokens"),
         round((sum("logp").cast("double") / count(lit(1))).cast(d3810), 6)
           .cast("double").as("avg_logprob"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every character k-gram of the normalized text,
+    * then keep the MINIMUM hash of each sliding window of `w`
+    * consecutive positions. The selected set is position-robust — any
+    * shared substring of length ≥ k+w−1 between two documents is
+    * GUARANTEED to contribute a common fingerprint — which is what the
+    * whole-document hashes in [[fingerprints]] cannot give: one edited
+    * character changes those completely. Downstream near-dup detection
+    * joins on `fp` exactly like [[Dedup.chunkDedup]]'s inverted index.
+    *
+    * Emits distinct `(doc_id, fp)`. The k-gram hash is the leading 32
+    * bits of md5 (hex-rendered identically in any engine, as all the
+    * dedup-family hashes here). Documents shorter than k+w−1 normalized
+    * chars yield no full window and therefore no fingerprints — the
+    * algorithm's contract, mirrored by the oracle.
+    *
+    * Scale: normalization is materialized through the repartition
+    * barrier (one regex pass per doc — the [[Dedup.strideSegments]]
+    * lambda-inlining lesson), the k-gram hashes explode from an array
+    * built in one projection, and the window min partitions by doc —
+    * per-doc work is O(chars·w) with no corpus-wide shuffle beyond the
+    * final distinct at fingerprint grain.
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("nt"))
+    val nPos = length(col("nt")) - (k - 1)
+    val hashes = nt.filter(nPos >= 1).select(col("doc_id"),
+      explode(transform(sequence(lit(1), nPos),
+        p => struct(p.as("p"),
+          conv(substring(md5(col("nt").substr(p, lit(k))), 1, 8), 16, 10)
+            .cast("long").as("h")))).as("ph"))
+      .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), 0)
+    hashes.withColumn("m", min("h").over(win))
+      .filter(col("p") >= w)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
   }
 
   /** 256-bucket md5 shard of an id column — the ONE sharding primitive

@@ -208,6 +208,29 @@ object TrainingQueries {
       Dedup.dedupClusters(
         Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25))
         .orderBy("doc_id")),
+    // winnowing (MOSS) rolling k-gram fingerprints: any shared substring
+    // of >= k+w-1 chars guarantees a shared fp — the position-robust
+    // complement of the whole-document hashes in ts_tokens_fp
+    "ts_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d), k = 8, w = 4)
+        .orderBy("doc_id", "fp")),
+    // quality-aware canonical selection over the same LSH pair graph:
+    // the keeper is the cluster's LONGEST doc (tie → min id), not its
+    // min id — what a production dedup actually keeps
+    "dd_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalDocs(docs, Dedup.minhashLsh(docs, minEstSim = 0.25))
+        .orderBy("doc_id")
+    }),
+    // data-mixture sampling: per-source token budgets → deterministic
+    // rate-based keep verdicts. Budgets exercise every branch: rate<1
+    // (src0), rate capped at 1 (src1), rate 0 (src2), default budget
+    // (all other sources)
+    "ts_mix" -> ((s, d) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, d),
+        budgets = Map("src0" -> 700L, "src1" -> 1000000L, "src2" -> 0L),
+        defaultBudget = 650L)
+        .orderBy("doc_id")),
     // decontamination vs a held-out "benchmark" slice of the corpus
     "dd_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -466,6 +489,61 @@ object TrainingQueries {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       (v = cluster_id) AS is_keeper
         |FROM comp ORDER BY doc_id""".stripMargin),
+    // winnowing twin: positions 1..len-k+1, trailing-window min, full
+    // windows only (p >= w) — the same contract the engine documents
+    "ts_winnow" ->
+      s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+         |  FROM nt WHERE length(t) >= 8),
+         |h AS (
+         |  SELECT doc_id, p,
+         |         CAST(('0x' || substr(md5(substr(t, p, 8)), 1, 8)) AS BIGINT) AS h
+         |  FROM pos),
+         |wm AS (
+         |  SELECT doc_id, p,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM h)
+         |SELECT DISTINCT doc_id, fp FROM wm WHERE p >= 4
+         |ORDER BY doc_id, fp""".stripMargin,
+    // same closure as dd_cluster, keeper re-picked by token count
+    "dd_canonical" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
+      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |            UNION ALL SELECT doc_b, doc_a FROM prs)
+        |, reach(v, r) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |, comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        |, tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |         FROM documents)
+        |SELECT v AS doc_id, cluster_id, n_tokens,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |          ORDER BY n_tokens DESC, v ASC) = 1) AS is_keeper
+        |FROM comp JOIN tk ON v = doc_id
+        |ORDER BY doc_id""".stripMargin),
+    "ts_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |         CASE WHEN source = 'src0' THEN 700
+        |              WHEN source = 'src1' THEN 1000000
+        |              WHEN source = 'src2' THEN 0
+        |              ELSE 650 END AS budget
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         least(1.0, CAST(max(budget) AS DOUBLE)
+        |                    / CAST(sum(n_tokens) AS DOUBLE)) AS rate
+        |  FROM t GROUP BY source)
+        |SELECT doc_id, source, n_tokens,
+        |       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 < rate) AS keep
+        |FROM t JOIN r USING (source)
+        |ORDER BY doc_id""".stripMargin,
     // the full curation pipeline: quality gate → exact-dedup keepers →
     // LSH near-dup removal (drop the higher doc_id of each pair) →
     // deterministic hash split. Every stage reuses a primitive that is

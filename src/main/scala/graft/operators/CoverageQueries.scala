@@ -157,6 +157,11 @@ object CoverageQueries {
     "raptor_summary" -> ((s, d) => raptor(s, d).summary.orderBy("ord")),
     // Q6: per-column mismatch summary
     "raptor_col_summary" -> ((s, d) => raptor(s, d).columnSummary),
+    // numeric column profiling: one aggregate pass, long-format output
+    "raptor_profile" -> ((s, d) =>
+      graft.quality.Raptor.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
 
     // compareTyped: the NULL≠'' hardening mode — native-type null-safe
     // compare, no string normalization. The fixture injects the exact
@@ -403,6 +408,20 @@ object CoverageQueries {
         |         AS "Percentage_Of_Mismatch"
         |FROM mis GROUP BY mismatch_column_name
         |ORDER BY "Percentage_Of_Mismatch" DESC, "Mismatch_Column_Name" ASC""".stripMargin),
+    "raptor_profile" -> {
+      def colSql(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |       count($c) AS n,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_value,
+           |       CAST(max($c) AS DOUBLE) AS max_value,
+           |       CAST(ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(38,9))) AS DOUBLE)
+           |            / count($c) AS DECIMAL(38,12)), 9) AS DOUBLE) AS mean_value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(colSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
     // Native-type diff — NO string normalization anywhere: IS DISTINCT
     // FROM on the native columns, values rendered to VARCHAR only for
     // display. NULL vs '' must survive as a real mismatch row.

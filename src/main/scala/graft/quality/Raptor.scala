@@ -189,6 +189,44 @@ object Raptor {
     Result(colMismatch, sourceExtra, targetExtra, summary, columnSummary)
   }
 
+  /** Single-pass numeric column profiling — the "know your data before
+    * you reconcile it" side of the quality module: per column, non-null
+    * count, null count, exact distinct count, min/max, and mean. One
+    * aggregate job over the table regardless of column count (the
+    * reshape to long format explodes a 1-row frame); at 100 TB that is
+    * one scan + one tiny final-combine, never a per-column pass.
+    *
+    * Cross-engine parity of the mean: values sum in DECIMAL(38,9) space
+    * (exact, order-independent — a double sum would depend on partition
+    * order), then one double division rounded through decimal.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val d389 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        count(lit(1)).as(s"__all_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum(col(c).cast(d389)).as(s"__s_$c"))
+    }
+    val rows = columns.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__n_$c").as("n"),
+        (col(s"__all_$c") - col(s"__n_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"),
+        round((col(s"__s_$c").cast("double") / col(s"__n_$c")).cast(d3812), 9)
+          .cast("double").as("mean_value"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls
     * for): no string canonicalization, no `na.fill('')` — each column is
     * compared with null-safe `<=>` on its NATIVE type, so NULL ≠ '' and

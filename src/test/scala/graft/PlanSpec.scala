@@ -105,6 +105,20 @@ class PlanSpec extends AnyFunSuite {
       s"tokenize regex must appear exactly once, found $regexCount:\n$plan")
   }
 
+  test("winnow evaluates the normalize regex once per document") {
+    // winnow references its normalized-text column from both the
+    // sequence bound and the per-position hash lambda; if Catalyst
+    // inlined the alias (the shinglesFromTokens trap), the regex text
+    // would appear once per REFERENCE and execute once per k-gram
+    // position. The Generate boundary + repartition barrier keep it to
+    // one evaluation per document.
+    val plan = formatted(functions.TextAnalysis.winnow(
+      Tables.documents(spark, sf)))
+    val regexCount = "regexp_replace".r.findAllIn(plan).size
+    assert(regexCount <= 2,
+      s"normalize regex must not inline into the k-gram lambda:\n$plan")
+  }
+
   test("simhash pair generation plans exactly one join") {
     // the band frame carries the fingerprint, so the bucket self-join IS
     // the whole pair pipeline: no candidate distinct, no re-joins back

@@ -220,6 +220,23 @@ class DedupSpec extends AnyFunSuite {
         (3L, 1L, 4L, false), (4L, 1L, 4L, false)))
   }
 
+  test("canonical selection keeps the longest doc, not the min id") {
+    // cluster {1,2,3}: doc 3 is longest -> keeper, despite max id;
+    // cluster {5,6}: equal lengths -> tie falls to min id 5;
+    // doc 4 is unclustered -> not emitted
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "a b c d e f"),
+      (4L, "unrelated text"), (5L, "x y z"), (6L, "p q r"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalDocs(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSet == Set(
+      (1L, 1L, 2, 3L, false), (2L, 1L, 4, 3L, false), (3L, 1L, 6, 3L, true),
+      (5L, 5L, 3, 2L, true), (6L, 5L, 3, 2L, false)))
+  }
+
   test("chunk dedup: within-doc repetition counts occurrences, not docs") {
     // 20 tokens = two aligned chunks, both identical -> n_occurrences 2
     // in ONE doc; n_docs stays 1, so it is NOT a cross-doc duplicate

@@ -182,6 +182,61 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(99L)._2 - expected) < 1e-6)
   }
 
+  test("winnow: shared substrings guarantee shared fingerprints") {
+    import org.apache.spark.sql.functions.col
+    // k=8, w=4: any common substring of length >= 11 chars must yield a
+    // common selected fingerprint (the winnowing guarantee); doc 3 is
+    // unrelated; doc 4 is shorter than k+w-1 -> no full window, no fps
+    val docs = Seq(
+      (1L, "the shared fragment here sits inside completely different prose"),
+      (2L, "unrelated words surround the shared fragment here as well ok"),
+      (3L, "zq xv jk wm pl nb tr cd fg hs yu io"),
+      (4L, "tiny text"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySet = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((bySet(1L) & bySet(2L)).nonEmpty,
+      "docs sharing 'the shared fragment here' must share a fingerprint")
+    assert((bySet(1L) & bySet.getOrElse(3L, Set.empty)).isEmpty,
+      "no shared substring -> overlap would be a hash accident")
+    assert(!bySet.contains(4L), "doc below k+w-1 chars has no full window")
+    // determinism + identical docs give identical sets
+    val twin = Seq((9L, "the shared fragment here sits inside completely different prose"))
+      .toDF("doc_id", "text")
+    val twinFps = TextAnalysis.winnow(twin, k = 8, w = 4).collect()
+      .map(_.getLong(1)).toSet
+    assert(twinFps == bySet(1L))
+  }
+
+  test("mixtureSample: rates hit every branch, draws are deterministic") {
+    import org.apache.spark.sql.functions.col
+    // keep_all: budget >> tokens (rate caps at 1); none: budget 0;
+    // partial: budget = half the source's tokens; deflt: default budget
+    val docs = (1L to 400L).map { i =>
+      val src = Seq("keep_all", "none", "partial", "deflt")((i % 4).toInt)
+      (i, "w1 w2 w3 w4 w5", src)
+    }.toDF("doc_id", "text", "source")
+    // each source: 100 docs x 5 tokens = 500 tokens
+    val out = TextAnalysis.mixtureSample(docs,
+      Map("keep_all" -> 99999L, "none" -> 0L, "partial" -> 250L),
+      defaultBudget = 250L)
+    val kept = out.filter(col("keep")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("keep_all") == 100, "rate 1 keeps every doc")
+    assert(!bySrc.contains("none"), "rate 0 keeps nothing")
+    // rate 0.5 over 100 md5-uniform draws: comfortably inside (20, 80)
+    assert(bySrc("partial") > 20 && bySrc("partial") < 80)
+    assert(bySrc("deflt") > 20 && bySrc("deflt") < 80)
+    // deterministic: the same doc ids are kept on a re-run
+    val again = TextAnalysis.mixtureSample(docs,
+      Map("keep_all" -> 99999L, "none" -> 0L, "partial" -> 250L),
+      defaultBudget = 250L)
+      .filter(col("keep")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
   test("packSequences: per-shard contiguous layout matches a reference model") {
     // 40 docs with varying token counts; verify against an independent
     // in-memory packer: per shard in doc_id order, a doc's bin is the

@@ -83,6 +83,23 @@ class RaptorSpec extends AnyFunSuite {
     assert(typed == Set((2, "v"), (3, "amount")))
   }
 
+  test("profile: per-column stats in one pass, nulls and dups counted") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (3.0, 10.0), (null, 20.0))
+      .toDF("a", "b")
+    val rows = Raptor.profile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L, "a: n=2, n_null=1")
+    assert(a.getLong(3) == 2L, "a: 2 distinct non-null values")
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 3.0)
+    assert(a.getDouble(6) == 2.0, "a: mean of {1,3}")
+    val b = rows("b")
+    assert(b.getLong(1) == 3L && b.getLong(2) == 0L && b.getLong(3) == 2L)
+    assert(b.getDouble(6) == 13.333333333, "b: mean rounded to 9 dp")
+  }
+
   test("summary percentage uses exact half-up rendering") {
     // 1 mismatch out of 3 common = 33.33%
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
