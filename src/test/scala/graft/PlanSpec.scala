@@ -105,6 +105,42 @@ class PlanSpec extends AnyFunSuite {
       s"tokenize regex must appear exactly once, found $regexCount:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100 TB shape: a shuffle join of a huge fact against a
+    // selectively-filtered dim. Catalyst's InjectRuntimeFilter builds a
+    // bloom filter from the dim's join keys and pushes a might_contain
+    // probe onto the FACT scan — fact rows that cannot match are dropped
+    // before the shuffle, the difference between shuffling 100 TB and
+    // shuffling the matching slice. On a real cluster the default
+    // thresholds (creation side <= 10 MB, application side >= 10 GB) arm
+    // this automatically; the test lowers the application-side floor so
+    // the rule fires at fixture scale and pins that our plain
+    // filter-dim-then-join shape qualifies — no hint, no rewrite.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1") // force a shuffle join: broadcast would not need the bloom
+      val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+      spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") % 7).as("grp"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      spark.range(0, 100000)
+        .select((col("id") % 5000).as("k"), col("id").as("v"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === 3)
+      val fact = spark.read.parquet(s"$dir/fact")
+      val plan = fact.join(dim, "k").queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("winnow evaluates the normalize regex once per document") {
     // winnow references its normalized-text column from both the
     // sequence bound and the per-position hash lambda; if Catalyst
