@@ -191,6 +191,13 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseStreaming(s, d,
         s"graft_cpjoin_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // stream-static enrichment: event stream left-joined to a selective
+    // static customer dim (stateless — no state store, no watermark);
+    // batch join semantics are the oracle
+    "st_enrich" -> ((s, d) =>
+      streaming.EventsStream.enrichStreaming(s, d,
+        s"graft_enrich_${streamCounter.incrementAndGet()}")
+        .orderBy("event_id")),
     // CSV-drop ingest replayed against a real drop directory (two of the
     // three files appear only mid-stream); batch sales derivation is the
     // oracle. sale_id is non-unique → full-row ORDER BY for determinism.
@@ -418,6 +425,12 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "st_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        |FROM events e
+        |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        |  ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
     "st_csv_drop" -> (graft.sources.OracleCtes.withEntities("sales") +
       """SELECT * FROM sales
         |ORDER BY sale_id, customer_id, product_id, sale_date, quantity,

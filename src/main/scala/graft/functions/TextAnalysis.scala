@@ -38,18 +38,23 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(englishStopwords.map(lit): _*)
+    // nullif guards: a zero-length text (legal input the fixtures never
+    // carry) must yield NULL ratios, not an ANSI DIVIDE_BY_ZERO crash —
+    // downstream quality gates then drop the row, the right semantics
+    val nChars = nullif(length(col("text")), lit(0))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
       size(regexTokens(col("text"))).as("n_lex_tokens"),
       (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
-        length(col("text"))).as("punct_ratio"),
+        nChars).as("punct_ratio"),
       (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        length(col("text"))).as("alpha_ratio"),
+        nChars).as("alpha_ratio"),
       (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks)).as("stopword_ratio"),
-      (length(col("text")).cast("double") / size(toks)).as("avg_token_len"))
+        nullif(size(toks), lit(0))).as("stopword_ratio"),
+      (length(col("text")).cast("double") /
+        nullif(size(toks), lit(0))).as("avg_token_len"))
   }
 
   /** Stopword-marker language ID: score = marker hits per language,

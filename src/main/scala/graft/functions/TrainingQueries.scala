@@ -69,6 +69,21 @@ object TrainingQueries {
   private def cosSql(a: String, b: String): String =
     s"CAST(ROUND(CAST(${dotSql(a, b)} / (${normSqlOf(a)} * ${normSqlOf(b)}) AS DECIMAL(20,12)), 9) AS DOUBLE)"
 
+  // The near-dup funnel's pair graph is ONE computation feeding both
+  // cluster assignment (dd_cluster) and canonical selection
+  // (dd_canonical) — exactly as a production pipeline materializes
+  // pairs once and fans out. Memoized per (session, dir) and cached,
+  // mirroring the raptor/sql-lab shared frames; entries for stopped
+  // sessions are dropped so the map cannot grow across gate runs.
+  private val lshMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    lshMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lshMemo.computeIfAbsent((s, d), { _ =>
+      Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25).cache()
+    })
+  }
+
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
@@ -107,8 +122,7 @@ object TrainingQueries {
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.2)
         .orderBy("doc_a", "doc_b")),
     "dd_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25)
-        .orderBy("doc_a", "doc_b")),
+      lshPairs(s, d).orderBy("doc_a", "doc_b")),
     // simhash bit-votes come from md5 nibbles — oracle-comparable
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
@@ -205,9 +219,7 @@ object TrainingQueries {
     // near-dup cluster (pairwise similarity is not transitive; dedup
     // needs components, not pairs). Oracle = recursive-CTE closure.
     "dd_cluster" -> ((s, d) =>
-      Dedup.dedupClusters(
-        Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25))
-        .orderBy("doc_id")),
+      Dedup.dedupClusters(lshPairs(s, d)).orderBy("doc_id")),
     // winnowing (MOSS) rolling k-gram fingerprints: any shared substring
     // of >= k+w-1 chars guarantees a shared fp — the position-robust
     // complement of the whole-document hashes in ts_tokens_fp
@@ -217,11 +229,9 @@ object TrainingQueries {
     // quality-aware canonical selection over the same LSH pair graph:
     // the keeper is the cluster's LONGEST doc (tie → min id), not its
     // min id — what a production dedup actually keeps
-    "dd_canonical" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.canonicalDocs(docs, Dedup.minhashLsh(docs, minEstSim = 0.25))
-        .orderBy("doc_id")
-    }),
+    "dd_canonical" -> ((s, d) =>
+      Dedup.canonicalDocs(Tables.documents(s, d), lshPairs(s, d))
+        .orderBy("doc_id")),
     // data-mixture sampling: per-source token budgets → deterministic
     // rate-based keep verdicts. Budgets exercise every branch: rate<1
     // (src0), rate capped at 1 (src1), rate 0 (src2), default budget

@@ -224,6 +224,45 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Batch twin of the stream-static enrichment: events left-joined to a
+    * (selective) customer dimension. The dim keeps every third customer
+    * so both join branches carry rows — enriched hits AND null-padded
+    * misses — on real data.
+    */
+  def enrichBatch(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(customers.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+
+  /** Stream-static enrichment join (§2.13 widening): a live event stream
+    * joined to a STATIC dimension — the standard streaming-enrichment
+    * pattern, and the stateless member of the streaming-join family: the
+    * static side is planned as an ordinary (broadcastable) batch
+    * relation re-read per micro-batch, so there is NO state store, no
+    * watermark requirement, and nothing to bound — the property that
+    * makes dim enrichment free at any stream rate. Left-outer keeps
+    * events with no dim hit (null-padded), exactly as the batch twin.
+    */
+  def enrichStreaming(spark: SparkSession, sfDir: String,
+                      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val customers = graft.sources.Tables.customer(spark, sfDir)
+    val q = enrichBatch(events, customers).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   final case class SessionState(sessionIdx: Long, lastUs: Long,
                                 n: Long, startUs: Long)

@@ -27,33 +27,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("centroid_id", "cvec")
 
-  private def emptyCases: Seq[(String, () => DataFrame)] = Seq(
-    "exact" -> (() => Dedup.exact(noDocs)),
-    "chunkDedup" -> (() => Dedup.chunkDedup(noDocs)),
-    "ngramJaccard" -> (() => Dedup.ngramJaccard(noDocs)),
-    "minhashLsh" -> (() => Dedup.minhashLsh(noDocs)),
-    "simhash" -> (() => Dedup.simhash(noDocs)),
-    "simhashPairs" -> (() => Dedup.simhashPairs(noDocs)),
-    "fuzzyPairs" -> (() => Dedup.fuzzyPairs(noDocs, "doc_id", "text", 2)),
-    "contamination" -> (() => Dedup.contamination(noDocs, noDocs)),
-    "canonicalDocs" -> (() => Dedup.canonicalDocs(noDocs, noPairs)),
-    "dedupClusters" -> (() => Dedup.dedupClusters(noPairs)),
-    "quality" -> (() => TextAnalysis.quality(noDocs)),
-    "languageId" -> (() => TextAnalysis.languageId(noDocs)),
-    "tokenCounts" -> (() => TextAnalysis.tokenCounts(noDocs)),
-    "fingerprints" -> (() => TextAnalysis.fingerprints(noDocs)),
-    "vocabulary" -> (() => TextAnalysis.vocabulary(noDocs)),
-    "tfIdf" -> (() => TextAnalysis.tfIdf(noDocs)),
-    "repetition" -> (() => TextAnalysis.repetition(noDocs)),
-    "hashSplit" -> (() => TextAnalysis.hashSplit(noDocs)),
-    "unigramLogProb" -> (() => TextAnalysis.unigramLogProb(noDocs)),
-    "packSequences" -> (() => TextAnalysis.packSequences(noDocs)),
-    "c4Filters" -> (() => TextAnalysis.c4Filters(noDocs)),
-    "redactPii" -> (() => TextAnalysis.redactPii(noDocs)),
+  private def docCases(in: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "exact" -> (() => Dedup.exact(in)),
+    "chunkDedup" -> (() => Dedup.chunkDedup(in)),
+    "ngramJaccard" -> (() => Dedup.ngramJaccard(in)),
+    "minhashLsh" -> (() => Dedup.minhashLsh(in)),
+    "simhash" -> (() => Dedup.simhash(in)),
+    "simhashPairs" -> (() => Dedup.simhashPairs(in)),
+    "fuzzyPairs" -> (() => Dedup.fuzzyPairs(in, "doc_id", "text", 2)),
+    "contamination" -> (() => Dedup.contamination(in, in)),
+    "canonicalDocs" -> (() => Dedup.canonicalDocs(in, noPairs)),
+    "quality" -> (() => TextAnalysis.quality(in)),
+    "languageId" -> (() => TextAnalysis.languageId(in)),
+    "tokenCounts" -> (() => TextAnalysis.tokenCounts(in)),
+    "fingerprints" -> (() => TextAnalysis.fingerprints(in)),
+    "vocabulary" -> (() => TextAnalysis.vocabulary(in)),
+    "tfIdf" -> (() => TextAnalysis.tfIdf(in)),
+    "repetition" -> (() => TextAnalysis.repetition(in)),
+    "hashSplit" -> (() => TextAnalysis.hashSplit(in)),
+    "unigramLogProb" -> (() => TextAnalysis.unigramLogProb(in)),
+    "packSequences" -> (() => TextAnalysis.packSequences(in)),
+    "c4Filters" -> (() => TextAnalysis.c4Filters(in)),
+    "redactPii" -> (() => TextAnalysis.redactPii(in)),
     "mixtureSample" -> (() =>
-      TextAnalysis.mixtureSample(noDocs, Map("a" -> 10L), 5L)),
-    "winnow" -> (() => TextAnalysis.winnow(noDocs)),
-    "curate" -> (() => Curation.curate(noDocs)),
+      TextAnalysis.mixtureSample(in, Map("a" -> 10L), 5L)),
+    "winnow" -> (() => TextAnalysis.winnow(in)),
+    "curate" -> (() => Curation.curate(in)))
+
+  private def vecCases: Seq[(String, () => DataFrame)] = Seq(
+    "dedupClusters" -> (() => Dedup.dedupClusters(noPairs)),
     "bruteTopK" -> (() => Similarity.bruteTopK(noVecs, noVecs, 5)),
     "semDedup" -> (() => Similarity.semDedup(noVecs, someCents, 0.5)),
     "signLshPairs" -> (() => Similarity.signLshPairs(noVecs, 0.5)),
@@ -61,9 +63,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     "multimodal" -> (() =>
       Multimodal.extractFeatures(Multimodal.assets(noDocs)).toDF()))
 
-  for ((name, mk) <- emptyCases)
+  for ((name, mk) <- docCases(noDocs) ++ vecCases)
     test(s"$name: empty input -> empty output, no crash") {
       assert(mk().count() == 0L, s"$name emitted rows from an empty corpus")
+    }
+
+  // NULL text (and the empty string — its normalized cousin) rides along
+  // real rows: operators may drop or null-propagate such rows, but must
+  // never throw. The fixtures' text column is never null, so this class
+  // is equally oracle-invisible.
+  private lazy val nullDocs: DataFrame = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a normal document with plenty of ordinary words inside", "s0"),
+        Row(2L, null, "s0"),
+        Row(3L, "", "s1"))),
+      noDocs.schema)
+  }
+
+  for ((name, mk) <- docCases(nullDocs))
+    test(s"$name: null/empty text rows never throw") {
+      assert(mk().count() >= 0L)
     }
 
   test("topkSketch: empty input -> empty token map, no crash") {

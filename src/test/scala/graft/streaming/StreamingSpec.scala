@@ -28,6 +28,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.filter(col("purchase_ts") < col("click_ts")).isEmpty)
   }
 
+  test("stream-static enrichment equals the batch twin, stateless plan") {
+    val batch = EventsStream.enrichBatch(
+      Tables.events(spark, TestSpark.sf), Tables.customer(spark, TestSpark.sf))
+    val stream = EventsStream.enrichStreaming(spark, TestSpark.sf,
+      "spec_enrich")
+    assert(stream.count() == batch.count())
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+    // left join: both enriched hits and null-padded misses are present
+    assert(stream.filter(col("c_name").isNull).count() > 0)
+    assert(stream.filter(col("c_name").isNotNull).count() > 0)
+  }
+
   test("stateful sessionizer agrees with the batch sessionizer") {
     val events = Tables.events(spark, TestSpark.sf)
     val batch = EventsStream.sessionizeBatch(events)
