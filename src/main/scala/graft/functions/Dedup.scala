@@ -462,11 +462,19 @@ object Dedup {
     * own trivial cluster and are not emitted (callers union them back if
     * a total assignment is needed — they are by definition unchanged).
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    clustersOf(connectedComponents(pairs))
+
+  /** [[dedupClusters]] over an already-computed `(v, label)` frame — the
+    * fan-out entry point when one closure feeds several consumers (the
+    * closure is the expensive iterative step; the assignments below are
+    * one window over it).
+    */
+  def clustersOf(labels: DataFrame): DataFrame = {
     // sizes via a window, not a broadcast join: the cluster-count frame
     // grows with the corpus (it is NOT a dim table at 100 TB)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
-    connectedComponents(pairs)
+    labels
       .select(col("v").as("doc_id"), col("label").as("cluster_id"),
         count(lit(1)).over(w).as("cluster_size"),
         (col("v") === col("label")).as("is_keeper"))
@@ -489,9 +497,16 @@ object Dedup {
     * frame under the windows is cluster-member-sized, not corpus-sized.
     */
   def canonicalDocs(docs: DataFrame, pairs: DataFrame,
-                    quality: Column = size(split(col("text"), " "))): DataFrame = {
+                    quality: Column = size(split(col("text"), " "))): DataFrame =
+    canonicalOf(docs, connectedComponents(pairs), quality)
+
+  /** [[canonicalDocs]] over an already-computed `(v, label)` closure —
+    * shares one component computation with [[clustersOf]] consumers.
+    */
+  def canonicalOf(docs: DataFrame, labels: DataFrame,
+                  quality: Column = size(split(col("text"), " "))): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labeled = connectedComponents(pairs)
+    val labeled = labels
       .select(col("v").as("doc_id"), col("label").as("cluster_id"))
     val scored = docs.select(col("doc_id"), quality.as("n_tokens"))
     val w = Window.partitionBy("cluster_id")

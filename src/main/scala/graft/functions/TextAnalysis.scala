@@ -287,9 +287,13 @@ object TextAnalysis {
     *
     * Emits distinct `(doc_id, fp)`. The k-gram hash is the leading 32
     * bits of md5 (hex-rendered identically in any engine, as all the
-    * dedup-family hashes here). Documents shorter than k+w−1 normalized
-    * chars yield no full window and therefore no fingerprints — the
-    * algorithm's contract, mirrored by the oracle.
+    * dedup-family hashes here); md5's string churn dominates the
+    * operator's runtime, so a production deployment should swap the
+    * hash expression for `xxhash64(kgram)` (~10× cheaper, one line) —
+    * the winnowing selection algebra is hash-agnostic, md5 is the
+    * cross-engine-verifiability choice. Documents shorter than k+w−1
+    * normalized chars yield no full window and therefore no
+    * fingerprints — the algorithm's contract, mirrored by the oracle.
     *
     * Scale: normalization is materialized through the repartition
     * barrier (one regex pass per doc — the [[Dedup.strideSegments]]

@@ -83,6 +83,17 @@ object TrainingQueries {
       Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25).cache()
     })
   }
+  // ... and its transitive closure, the second expensive funnel stage
+  // (iterative star contraction): computed once, read by dd_cluster and
+  // dd_canonical
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    ccMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ccMemo.computeIfAbsent((s, d), { _ =>
+      Dedup.connectedComponents(lshPairs(s, d)).cache()
+    })
+  }
 
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
@@ -219,7 +230,7 @@ object TrainingQueries {
     // near-dup cluster (pairwise similarity is not transitive; dedup
     // needs components, not pairs). Oracle = recursive-CTE closure.
     "dd_cluster" -> ((s, d) =>
-      Dedup.dedupClusters(lshPairs(s, d)).orderBy("doc_id")),
+      Dedup.clustersOf(ccLabels(s, d)).orderBy("doc_id")),
     // winnowing (MOSS) rolling k-gram fingerprints: any shared substring
     // of >= k+w-1 chars guarantees a shared fp — the position-robust
     // complement of the whole-document hashes in ts_tokens_fp
@@ -230,7 +241,7 @@ object TrainingQueries {
     // the keeper is the cluster's LONGEST doc (tie → min id), not its
     // min id — what a production dedup actually keeps
     "dd_canonical" -> ((s, d) =>
-      Dedup.canonicalDocs(Tables.documents(s, d), lshPairs(s, d))
+      Dedup.canonicalOf(Tables.documents(s, d), ccLabels(s, d))
         .orderBy("doc_id")),
     // data-mixture sampling: per-source token budgets → deterministic
     // rate-based keep verdicts. Budgets exercise every branch: rate<1

@@ -157,9 +157,15 @@ object CoverageQueries {
     "raptor_summary" -> ((s, d) => raptor(s, d).summary.orderBy("ord")),
     // Q6: per-column mismatch summary
     "raptor_col_summary" -> ((s, d) => raptor(s, d).columnSummary),
-    // numeric column profiling: one aggregate pass, long-format output
+    // numeric column profiling: one aggregate pass, long-format output.
+    // lineitem carries no NULLs, so NULLs are injected in-query on both
+    // engines (the ts_redact pattern) — the null-count and null-skipping
+    // mean branches are exercised by the ORACLE, not just by specs
     "raptor_profile" -> ((s, d) =>
-      graft.quality.Raptor.profile(Tables.lineitem(s, d),
+      graft.quality.Raptor.profile(
+        Tables.lineitem(s, d).withColumn("l_quantity",
+          when(col("l_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("l_quantity"))),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")),
 
@@ -418,9 +424,12 @@ object CoverageQueries {
            |       CAST(max($c) AS DOUBLE) AS max_value,
            |       CAST(ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(38,9))) AS DOUBLE)
            |            / count($c) AS DECIMAL(38,12)), 9) AS DOUBLE) AS mean_value
-           |FROM lineitem""".stripMargin
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        .map(colSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+           |FROM li""".stripMargin
+      "WITH li AS (SELECT l_extendedprice, l_discount, l_tax,\n" +
+        "  CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS l_quantity\n" +
+        "  FROM lineitem)\n" +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(colSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
     // Native-type diff — NO string normalization anywhere: IS DISTINCT
     // FROM on the native columns, values rendered to VARCHAR only for
