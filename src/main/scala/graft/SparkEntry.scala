@@ -282,6 +282,27 @@ object SparkEntry {
         .orderBy(asc("gid"), asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    // ── grouping sets: CUBE over the lineitem flag/status pair — all
+    //    four grouping combinations in one pass (one Expand, one agg) ──
+    "q_cube" -> ((s, d) =>
+      sources.Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          core.Money.round2(core.Money.moneySum(col("l_quantity")))
+            .as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // ── bucket-grain table checksum: the first stage of reconciling two
+    //    100 TB tables without moving either (order-independent hash
+    //    sums; only mismatching buckets need row-level Raptor) ─────────
+    "raptor_checksum" -> ((s, d) =>
+      quality.Raptor.checksum(sources.Tables.orders(s, d), "o_orderkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        buckets = 16)
+        .orderBy("bucket")),
+
     // ── pivot: payment-mode counts as columns ────────────────────────
     "q_pivot" -> ((s, d) =>
       sources.Entities.sales(s, d)
@@ -510,6 +531,23 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid ASC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       """ + core.Money.Sql.round2(
+        core.Money.Sql.moneySum("l_quantity")) + """ AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""").stripMargin,
+    "raptor_checksum" ->
+      """WITH h AS (
+        |  SELECT o_orderkey % 16 AS bucket,
+        |         CAST(('0x' || substr(md5(
+        |           o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
+        |           o_orderstatus), 1, 8)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS checksum
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pivot" -> (graft.sources.OracleCtes.withEntities("sales") +
       """SELECT order_status,
         |       CAST(SUM(CASE WHEN payment_mode = 'Credit Card' THEN 1 ELSE 0 END) AS BIGINT) AS credit_card,

@@ -122,6 +122,25 @@ object TrainingQueries {
     "ts_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(Tables.documents(s, d))
         .orderBy("doc_id", "token")),
+    // the sketch's GROUPED path: one SpaceSaving instance per source,
+    // partials merged per group across partitions (a different execution
+    // shape from the global ts_topk_sketch aggregate); capacity >> vocab
+    // keeps it in the exact regime so DuckDB can twin it
+    "ts_topk_by_source" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("est_count").desc, col("token").asc)
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+        .groupBy("source")
+        .agg(SpaceSavingTopK.topkSketch(col("token"), 100000).as("m"))
+        .selectExpr("source", "explode(m) AS (token, est_count)")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    }),
     "ts_split" -> ((s, d) =>
       TextAnalysis.hashSplit(Tables.documents(s, d))
         .groupBy("split")
@@ -301,6 +320,17 @@ object TrainingQueries {
       s"""SELECT token, count(*) AS est_count
          |FROM (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents) t
          |GROUP BY token ORDER BY token""".stripMargin,
+    "ts_topk_by_source" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT source, token, count(*) AS est_count
+         |      FROM tok GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY est_count DESC, token ASC) AS INT) AS rnk
+         |      FROM c)
+         |SELECT source, token, est_count, rnk FROM r WHERE rnk <= 5
+         |ORDER BY source, rnk""".stripMargin,
     "ts_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token

@@ -227,6 +227,26 @@ object Raptor {
       .select("p.*")
   }
 
+  /** Bucket-grain table checksum — the first stage of reconciling two
+    * 100 TB tables WITHOUT moving either: each side computes `buckets`
+    * rows of (row count, sum of per-row content hashes), the tiny
+    * checksum frames are exchanged and diffed, and only mismatching
+    * buckets proceed to row-level [[compare]] on a key-range slice (the
+    * Merkle-tree idea at one level). Hash sums are order-independent by
+    * construction (addition commutes), so no sort anywhere; the per-row
+    * hash is the leading 32 bits of md5 over the same ''-joined
+    * string rendering [[fingerprint]] uses.
+    */
+  def checksum(df: DataFrame, keyCol: String, columns: Seq[String],
+               buckets: Int = 1024): DataFrame = {
+    val rec = concat_ws(Sep,
+      columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.select(pmod(col(keyCol), lit(buckets)).as("bucket"),
+        conv(substring(md5(rec), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+  }
+
   /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls
     * for): no string canonicalization, no `na.fill('')` — each column is
     * compared with null-safe `<=>` on its NATIVE type, so NULL ≠ '' and

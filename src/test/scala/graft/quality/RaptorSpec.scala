@@ -100,6 +100,27 @@ class RaptorSpec extends AnyFunSuite {
     assert(b.getDouble(6) == 13.333333333, "b: mean rounded to 9 dp")
   }
 
+  test("checksum: single-cell drift flips exactly its bucket") {
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Raptor.checksum(df, "id", Seq("id", "name", "amount"), buckets = 4)
+        .collect()
+        .map(r => r.getAs[Number](0).longValue ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+      (4, "d", 4.0), (5, "e", 5.0), (6, "f", 6.0))
+    val tgt = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+      (4, "d", 4.0), (5, "e", 99.0), (6, "f", 6.0))
+    val (a, b) = (sums(src), sums(tgt))
+    assert(a.keySet == b.keySet)
+    val drifted = a.keySet.filter(k => a(k) != b(k))
+    assert(drifted == Set(5L % 4), "only the mutated row's bucket differs")
+    assert(a.forall { case (k, (n, _)) => b(k)._1 == n },
+      "row counts agree — the drift is content, not cardinality")
+    // checksum is order-independent: a shuffled frame checksums identically
+    val shuffled = sums(src.orderBy(org.apache.spark.sql.functions.rand(7)))
+    assert(shuffled == a)
+  }
+
   test("summary percentage uses exact half-up rendering") {
     // 1 mismatch out of 3 common = 33.33%
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
