@@ -546,7 +546,7 @@ object SparkEntry {
         |           o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
         |           o_orderstatus), 1, 8)) AS BIGINT) AS h
         |  FROM orders)
-        |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS checksum
+        |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS DECIMAL(38,0)) AS checksum
         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pivot" -> (graft.sources.OracleCtes.withEntities("sales") +
       """SELECT order_status,

@@ -72,28 +72,35 @@ object TrainingQueries {
   // The near-dup funnel's pair graph is ONE computation feeding both
   // cluster assignment (dd_cluster) and canonical selection
   // (dd_canonical) — exactly as a production pipeline materializes
-  // pairs once and fans out. Memoized per (session, dir) and cached,
-  // mirroring the raptor/sql-lab shared frames; entries for stopped
-  // sessions are dropped so the map cannot grow across gate runs.
-  private val lshMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    lshMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    lshMemo.computeIfAbsent((s, d), { _ =>
-      Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25).cache()
-    })
+  // pairs once and fans out. Memoized+cached per session with only the
+  // LAST sfDir retained (the csrAggMemo/SqlLab discipline: a superseded
+  // dir's frame is unpersisted on switch, so a long-lived session
+  // iterating over scale factors cannot accumulate pinned executor
+  // storage); stopped sessions evicted before each lookup.
+  private def lastDirMemo(
+      memo: java.util.concurrent.ConcurrentHashMap[SparkSession, (String, DataFrame)],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    memo.keySet.removeIf(k => k.sparkContext.isStopped)
+    memo.compute(s, (_, prev) =>
+      Option(prev) match {
+        case Some(hit @ (dir, _)) if dir == d => hit
+        case stale =>
+          stale.foreach(_._2.unpersist(blocking = false))
+          (d, build.cache())
+      })._2
   }
+  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(lshMemo, s, d)(
+      Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25))
   // ... and its transitive closure, the second expensive funnel stage
   // (iterative star contraction): computed once, read by dd_cluster and
   // dd_canonical
-  private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    ccMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    ccMemo.computeIfAbsent((s, d), { _ =>
-      Dedup.connectedComponents(lshPairs(s, d)).cache()
-    })
-  }
+  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(ccMemo, s, d)(Dedup.connectedComponents(lshPairs(s, d)))
 
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>

@@ -201,12 +201,14 @@ object Raptor {
     * order), then one double division rounded through decimal.
     */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile: empty column list")
     val d389 = org.apache.spark.sql.types.DecimalType(38, 9)
     val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val aggs = columns.flatMap { c =>
+    // ONE shared row counter; per-column counters would each run on the
+    // countDistinct-Expanded input stream for no information
+    val aggs = count(lit(1)).as("__all") +: columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"__n_$c"),
-        count(lit(1)).as(s"__all_$c"),
         countDistinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("double").as(s"__mn_$c"),
         max(col(c)).cast("double").as(s"__mx_$c"),
@@ -215,7 +217,7 @@ object Raptor {
     val rows = columns.map { c =>
       struct(lit(c).as("col_name"),
         col(s"__n_$c").as("n"),
-        (col(s"__all_$c") - col(s"__n_$c")).as("n_null"),
+        (col("__all") - col(s"__n_$c")).as("n_null"),
         col(s"__nd_$c").as("n_distinct"),
         col(s"__mn_$c").as("min_value"),
         col(s"__mx_$c").as("max_value"),
@@ -239,10 +241,15 @@ object Raptor {
     */
   def checksum(df: DataFrame, keyCol: String, columns: Seq[String],
                buckets: Int = 1024): DataFrame = {
+    // DECIMAL(38,0) sum: a LongType sum of ~2^31-mean hashes overflows
+    // past ~4e9 rows per bucket, and under ANSI mode (this engine's
+    // default) that is a job-killing ARITHMETIC_OVERFLOW at exactly the
+    // table sizes the operator exists for
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
     val rec = concat_ws(Sep,
       columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     df.select(pmod(col(keyCol), lit(buckets)).as("bucket"),
-        conv(substring(md5(rec), 1, 8), 16, 10).cast("long").as("h"))
+        conv(substring(md5(rec), 1, 8), 16, 10).cast(d380).as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
   }

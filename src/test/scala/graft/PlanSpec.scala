@@ -120,10 +120,11 @@ class PlanSpec extends AnyFunSuite {
     val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> conf.getOption(k))
+    val root = java.nio.file.Files.createTempDirectory("bloomspec")
     try {
       conf.set(keys(0), "0")
       conf.set(keys(1), "-1") // force a shuffle join: broadcast would not need the bloom
-      val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+      val dir = root.toString
       spark.range(0, 1000)
         .select(col("id").as("k"), (col("id") % 7).as("grp"))
         .write.mode("overwrite").parquet(s"$dir/dim")
@@ -135,9 +136,15 @@ class PlanSpec extends AnyFunSuite {
       val plan = fact.join(dim, "k").queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
         s"runtime bloom filter was not injected:\n$plan")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

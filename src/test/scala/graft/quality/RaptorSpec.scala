@@ -105,7 +105,7 @@ class RaptorSpec extends AnyFunSuite {
       Raptor.checksum(df, "id", Seq("id", "name", "amount"), buckets = 4)
         .collect()
         .map(r => r.getAs[Number](0).longValue ->
-          (r.getLong(1), r.getLong(2))).toMap
+          (r.getLong(1), r.getDecimal(2).longValueExact)).toMap
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
       (4, "d", 4.0), (5, "e", 5.0), (6, "f", 6.0))
     val tgt = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
