@@ -104,6 +104,50 @@ object Dedup {
         min("doc_id").as("keeper_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** The stored-index side of [[incrementalExact]]: the corpus's exact-
+    * dedup fingerprint index, `(fp, keeper_doc_id)` — one row per
+    * distinct normalized content. At production scale this frame lives
+    * on disk bucketed by `fp` (it is the corpus's dedup state, written
+    * once per ingest wave), so the daily-batch probe join below is a
+    * bucket-local join with NO corpus-side shuffle.
+    */
+  def exactIndex(docs: DataFrame): DataFrame =
+    exact(docs).select(col("fp"), col("keeper_doc_id"))
+
+  /** Incremental exact dedup — the shape that actually runs at 100 TB:
+    * a new ingest batch is classified against the EXISTING corpus
+    * fingerprint index without rescanning (or re-hashing) the corpus.
+    * Each batch document comes out as
+    *   - `corpus_dup`: content already in the corpus (keeper = the
+    *     corpus document),
+    *   - `batch_dup`:  novel vs the corpus but repeated within the
+    *     batch (keeper = the batch's min doc_id for that content),
+    *   - `novel`:      first sighting anywhere (keeper = itself).
+    * `filter(status != 'corpus_dup' AND doc_id = keeper_doc_id)` is the
+    * set to append; `exactIndex(batch-novel-keepers)` unioned into the
+    * stored index is the state update for the next wave.
+    *
+    * Shape: one shuffle to fingerprint-group the batch (batch-sized,
+    * not corpus-sized) and one join against the index — bucket-local
+    * when the index is stored bucketed by `fp` ([[exactIndex]]); the
+    * batch side is always the small side, so at cluster scale this is
+    * the textbook big-bucketed-build / small-probe layout.
+    */
+  def incrementalExact(index: DataFrame, batch: DataFrame): DataFrame = {
+    val fps = batch.select(col("doc_id"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val withMin = fps.withColumn("batch_min", min("doc_id").over(w))
+    withMin.join(index.select(col("fp"),
+        col("keeper_doc_id").as("corpus_keeper")), Seq("fp"), "left")
+      .select(
+        col("doc_id"),
+        when(col("corpus_keeper").isNotNull, lit("corpus_dup"))
+          .when(col("batch_min") < col("doc_id"), lit("batch_dup"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("corpus_keeper"), col("batch_min")).as("keeper_doc_id"))
+  }
+
   /** Distinct (doc_id, shingle) pairs, with very frequent shingles
     * dropped (document frequency > maxDf) — the classic stop-shingle
     * skew guard: a shingle appearing in half the corpus would otherwise

@@ -155,6 +155,15 @@ object TrainingQueries {
         .orderBy("split")),
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
+    // incremental wave: docs %5==0 arrive as a new batch against the
+    // stored index of the rest — classifies corpus_dup / batch_dup /
+    // novel without touching corpus text
+    "dd_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.exactIndex(docs.filter(col("doc_id") % 5 =!= 0))
+      Dedup.incrementalExact(index, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.2)
         .orderBy("doc_a", "doc_b")),
@@ -514,6 +523,21 @@ object TrainingQueries {
          |       min(doc_id) AS keeper_doc_id,
          |       count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH idx AS (
+         |  SELECT md5($normSql) AS fp, min(doc_id) AS corpus_keeper
+         |  FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+         |batch AS (
+         |  SELECT doc_id, md5($normSql) AS fp,
+         |         min(doc_id) OVER (PARTITION BY md5($normSql)) AS batch_min
+         |  FROM documents WHERE doc_id % 5 = 0)
+         |SELECT b.doc_id,
+         |       CASE WHEN i.corpus_keeper IS NOT NULL THEN 'corpus_dup'
+         |            WHEN b.batch_min < b.doc_id THEN 'batch_dup'
+         |            ELSE 'novel' END AS status,
+         |       COALESCE(i.corpus_keeper, b.batch_min) AS keeper_doc_id
+         |FROM batch b LEFT JOIN idx i USING (fp)
+         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" -> (shingleCtes +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)
         |, common AS (

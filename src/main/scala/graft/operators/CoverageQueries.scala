@@ -216,6 +216,41 @@ object CoverageQueries {
         .orderBy("c_custkey")
     }),
 
+    // K5-family: SCD Type 2 merge — history rows pass through, changed
+    // keys close+reopen, unchanged stage rows replay as a no-op, new
+    // keys insert open. Every branch is exercised at every SF: %4 keys
+    // change segment, %3-not-%4 keys replay unchanged, %25 keys arrive
+    // under a fresh business key, %10 keys carry prior history.
+    "k5_scd2" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val t2000 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val t2001 = java.sql.Timestamp.valueOf("2001-01-01 00:00:00")
+      val hist = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("segment", lit("LEGACY"))
+        .withColumn("valid_from", lit(t2000))
+        .withColumn("valid_to", lit(t2001))
+        .withColumn("is_current", lit(false))
+      val cur = c
+        .withColumn("valid_from", lit(t2001))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val stage = c
+        .filter(col("c_custkey") % 4 === 0 || col("c_custkey") % 3 === 0)
+        .withColumn("segment",
+          when(col("c_custkey") % 4 === 0, lit("PROMO"))
+            .otherwise(col("segment")))
+        .unionByName(c.filter(col("c_custkey") % 25 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_name"), lit("NEWKEY").as("segment"), col("bal")))
+      ScdType2.merge(hist.unionByName(cur), stage, Seq("c_custkey"),
+        java.sql.Timestamp.valueOf("2002-06-01 00:00:00"))
+        .withColumn("bal", col("bal").cast("double"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     // W1-family: top-1 part per supplier by revenue (window + rnk=1)
     "q_window_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -339,6 +374,21 @@ object CoverageQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Z-order layout: per-target-file min/max envelopes of the Morton
+    // layout over (partkey-bucket, shipdate-bucket) — the footer stats
+    // a 100 TB scan prunes on. The full 64-file envelope set is pinned
+    // cross-engine; ZOrderSpec asserts the tighter-than-linear-sort
+    // quantitative claim.
+    "q_zorder" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val day = datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1992-01-01")))
+      val dims = Seq(
+        "pk_bucket" -> pmod(col("l_partkey"), lit(64)),
+        "day_bucket" -> least(greatest(floor(day / 40), lit(0)), lit(63)))
+      ZOrder.fileStats(li, dims, bits = 6, fileBits = 6).orderBy("file_id")
+    }),
+
     // A3/A6: conditional aggregation + guarded ratio-of-sums
     "q_conditional_agg" -> ((s, d) =>
       Tables.orders(s, d)
@@ -352,6 +402,22 @@ object CoverageQueries {
         .orderBy("o_orderpriority")))
 
   def oracles: Map[String, String] = Map(
+    // the bit-interleave SQL is GENERATED from the same lattice as the
+    // Spark expression (ZOrder.zvalueSql) — the two sides cannot drift
+    "q_zorder" -> {
+      val zsql = ZOrder.zvalueSql(Seq("pk_bucket", "day_bucket"), 6)
+      s"""WITH b AS (
+         |  SELECT l_partkey % 64 AS pk_bucket,
+         |         LEAST(GREATEST(date_diff('day', DATE '1992-01-01',
+         |           CAST(l_shipdate AS DATE)) // 40, 0), 63) AS day_bucket
+         |  FROM lineitem)
+         |SELECT ($zsql >> 6) AS file_id, count(*) AS n_rows,
+         |       min(pk_bucket) AS min_pk_bucket,
+         |       max(pk_bucket) AS max_pk_bucket,
+         |       min(day_bucket) AS min_day_bucket,
+         |       max(day_bucket) AS max_day_bucket
+         |FROM b GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
     // direct (unsalted) aggregate: equality proves the two-phase salted
     // path computes the same answer as the textbook single groupBy
     "q_salted_agg" ->
@@ -488,6 +554,58 @@ object CoverageQueries {
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.update_ts ELSE t.update_ts END AS update_ts
         |FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "k5_scd2" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_mktsegment AS segment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |hist AS (
+        |  SELECT c_custkey, c_name, 'LEGACY' AS segment, bal,
+        |         TIMESTAMP '2000-01-01 00:00:00' AS valid_from,
+        |         TIMESTAMP '2001-01-01 00:00:00' AS valid_to,
+        |         FALSE AS is_current
+        |  FROM c WHERE c_custkey % 10 = 0),
+        |cur AS (
+        |  SELECT c_custkey, c_name, segment, bal,
+        |         TIMESTAMP '2001-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM c),
+        |stg AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 4 = 0 THEN 'PROMO' ELSE segment END
+        |           AS segment, bal
+        |  FROM c WHERE c_custkey % 4 = 0 OR c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, 'NEWKEY', bal
+        |  FROM c WHERE c_custkey % 25 = 0),
+        |j AS (
+        |  SELECT t.c_custkey AS t_key, s.c_custkey AS s_key,
+        |         t.c_name AS t_name, s.c_name AS s_name,
+        |         t.segment AS t_seg, s.segment AS s_seg,
+        |         t.bal AS t_bal, s.bal AS s_bal,
+        |         t.valid_from AS t_from, t.valid_to AS t_to,
+        |         (t.c_name IS DISTINCT FROM s.c_name)
+        |           OR (t.segment IS DISTINCT FROM s.segment)
+        |           OR (t.bal IS DISTINCT FROM s.bal) AS changed
+        |  FROM cur t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey)
+        |SELECT c_custkey, c_name, segment, CAST(bal AS DOUBLE) AS bal,
+        |       valid_from, valid_to, is_current FROM (
+        |  SELECT t_key AS c_custkey, t_name AS c_name, t_seg AS segment,
+        |         t_bal AS bal, t_from AS valid_from, t_to AS valid_to,
+        |         TRUE AS is_current
+        |  FROM j WHERE t_key IS NOT NULL AND (s_key IS NULL OR NOT changed)
+        |  UNION ALL
+        |  SELECT t_key, t_name, t_seg, t_bal, t_from,
+        |         TIMESTAMP '2002-06-01 00:00:00', FALSE
+        |  FROM j WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND changed
+        |  UNION ALL
+        |  SELECT s_key, s_name, s_seg, s_bal,
+        |         TIMESTAMP '2002-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, segment, bal, valid_from, valid_to,
+        |         is_current
+        |  FROM hist)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "q_window_topk" ->
       s"""WITH per_part AS (
          |  SELECT l_suppkey, l_partkey,
