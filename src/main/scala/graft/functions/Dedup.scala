@@ -344,6 +344,31 @@ object Dedup {
         col("edit_dist"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: documents sharing at least
+    * `minShared` selected k-gram fingerprints ([[TextAnalysis.winnow]]).
+    * Where [[ngramJaccard]] compares WORD-shingle sets, winnowing selects
+    * ~1/w of the CHARACTER k-grams with a positional guarantee (any
+    * shared run of ≥ k+w−1 chars contributes a common fingerprint), so
+    * this family catches partial-overlap/containment cases — a paragraph
+    * lifted into an otherwise different document — that whole-document
+    * similarity scores dilute away. Same inverted-index candidate shape
+    * as every pair generator here: join on fingerprint, never O(n²),
+    * with the [[docShingles]]-style stop-fingerprint cap (document
+    * frequency > maxDf dropped) guarding the boilerplate-hot keys.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Long = 3, maxDf: Long = 1000): DataFrame = {
+    val wfp = TextAnalysis.winnow(docs, k, w).cache()
+    val flt = wfp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val wds = wfp.join(flt.select("fp"), "fp")
+    wds.toDF("fp", "doc_a").join(wds.toDF("fp", "doc_b"), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minShared)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minOverlap` word shingles with any benchmark/eval document — the
     * n-gram-overlap contamination check every training pipeline runs

@@ -297,27 +297,33 @@ object TextAnalysis {
     *
     * Scale: normalization is materialized through the repartition
     * barrier (one regex pass per doc — the [[Dedup.strideSegments]]
-    * lambda-inlining lesson), the k-gram hashes explode from an array
-    * built in one projection, and the window min partitions by doc —
-    * per-doc work is O(chars·w) with no corpus-wide shuffle beyond the
-    * final distinct at fingerprint grain.
+    * lambda-inlining lesson); hashing and window-min selection both run
+    * as array transforms INSIDE each document's row — per-doc work is
+    * O(chars·w) with no corpus-wide shuffle beyond the final distinct
+    * at fingerprint grain.
     */
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nt = docs.repartition(col("doc_id"))
       .select(col("doc_id"), normalized(col("text")).as("nt"))
     val nPos = length(col("nt")) - (k - 1)
-    val hashes = nt.filter(nPos >= 1).select(col("doc_id"),
-      explode(transform(sequence(lit(1), nPos),
-        p => struct(p.as("p"),
-          conv(substring(md5(col("nt").substr(p, lit(k))), 1, 8), 16, 10)
-            .cast("long").as("h")))).as("ph"))
-      .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(-(w - 1), 0)
-    hashes.withColumn("m", min("h").over(win))
-      .filter(col("p") >= w)
-      .select(col("doc_id"), col("m").as("fp"))
+    // whole selection stays in ARRAY land inside one row: k-gram hashes
+    // in one projection, the trailing-window min as an array_min over a
+    // w-slice per position, per-doc dedup BEFORE the explode. Earlier
+    // revisions exploded every position and ran a doc-partitioned window
+    // min — same answer, but it paid a 10M-row sort at sf0.1 and
+    // materialized the per-position frame through the window operator;
+    // this form's only shuffle is the final distinct at (doc, fp) grain,
+    // over the already-deduped per-doc survivors (~1/w of positions).
+    // nPos >= w ⟺ length >= k+w−1: the no-full-window contract, and it
+    // keeps sequence(w, size) ascending (a shorter doc would flip it
+    // descending and drive slice's start to 0 — a runtime error)
+    val hashed = nt.filter(nPos >= w).select(col("doc_id"),
+      transform(sequence(lit(1), nPos),
+        p => conv(substring(md5(col("nt").substr(p, lit(k))), 1, 8), 16, 10)
+          .cast("long")).as("hs"))
+    hashed.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(w), size(col("hs"))),
+        j => array_min(slice(col("hs"), j - (w - 1), lit(w)))))).as("fp"))
       .distinct()
   }
 

@@ -28,6 +28,24 @@ object TrainingQueries {
        |ds AS (SELECT s.doc_id, s.shingle FROM shing s JOIN flt USING (shingle))
        |""".stripMargin
   private val shingleCtes: String = "WITH " + shingleCtesFor("documents")
+  // winnowing CTEs shared by ts_winnow / dd_winnow_pairs: k-gram (k=8)
+  // hash at positions 1..len-k+1, trailing-window (w=4) min, full
+  // windows only (p >= w), distinct at (doc, fp) grain
+  private val winnowCtes =
+    s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+       |  FROM nt WHERE length(t) >= 8),
+       |h AS (
+       |  SELECT doc_id, p,
+       |         CAST(('0x' || substr(md5(substr(t, p, 8)), 1, 8)) AS BIGINT) AS h
+       |  FROM pos),
+       |wm AS (
+       |  SELECT doc_id, p,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       |  FROM h),
+       |wfp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE p >= 4)""".stripMargin
 
   /** MinHash-LSH pair CTE chain (k=8, 2 rows/band) over any
     * (doc_id, text) source; ends with `lshp(doc_a, doc_b, est_jaccard)`.
@@ -272,6 +290,11 @@ object TrainingQueries {
     "ts_winnow" -> ((s, d) =>
       TextAnalysis.winnow(Tables.documents(s, d), k = 8, w = 4)
         .orderBy("doc_id", "fp")),
+    // pair generation over the winnow fingerprints: catches lifted-
+    // paragraph containment that whole-document similarity dilutes
+    "dd_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4,
+        minShared = 3).orderBy("doc_a", "doc_b")),
     // quality-aware canonical selection over the same LSH pair graph:
     // the keeper is the cluster's LONGEST doc (tie → min id), not its
     // min id — what a production dedup actually keeps
@@ -574,21 +597,17 @@ object TrainingQueries {
     // winnowing twin: positions 1..len-k+1, trailing-window min, full
     // windows only (p >= w) — the same contract the engine documents
     "ts_winnow" ->
-      s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
-         |pos AS (
-         |  SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
-         |  FROM nt WHERE length(t) >= 8),
-         |h AS (
-         |  SELECT doc_id, p,
-         |         CAST(('0x' || substr(md5(substr(t, p, 8)), 1, 8)) AS BIGINT) AS h
-         |  FROM pos),
-         |wm AS (
-         |  SELECT doc_id, p,
-         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
-         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-         |  FROM h)
-         |SELECT DISTINCT doc_id, fp FROM wm WHERE p >= 4
-         |ORDER BY doc_id, fp""".stripMargin,
+      (winnowCtes + "\nSELECT doc_id, fp FROM wfp ORDER BY doc_id, fp"),
+    // inverted-index pair join over the same fingerprints: stop-
+    // fingerprint cap (df <= 1000), lower-id-first, >= 3 shared
+    "dd_winnow_pairs" -> (winnowCtes +
+      """
+        |, kept AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 1000)
+        |, wds AS (SELECT doc_id, fp FROM wfp JOIN kept USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |FROM wds a JOIN wds b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // same closure as dd_cluster, keeper re-picked by token count
     "dd_canonical" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
       """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
