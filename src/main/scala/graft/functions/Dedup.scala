@@ -355,9 +355,20 @@ object Dedup {
     * as every pair generator here: join on fingerprint, never O(n²),
     * with the [[docShingles]]-style stop-fingerprint cap (document
     * frequency > maxDf dropped) guarding the boilerplate-hot keys.
+    *
+    * The `maxDf` default is deliberately LOW (16, vs 1000 for word
+    * shingles): a character k-gram fingerprint shared by more than a
+    * handful of documents is template/boilerplate text, which is (a)
+    * worthless as containment evidence and (b) quadratic join fuel —
+    * on the template-heavy test corpus at sf0.1, cap 1000 leaves 144M
+    * joined candidate rows where cap 16 leaves 283k, and the pairs the
+    * high-df fps add are precisely the everything-matches-everything
+    * noise. `minShared` = 5 ≈ a lifted run of ~80+ normalized chars
+    * (each full window past the guarantee adds ~1 selected fp per w
+    * positions).
     */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
-                  minShared: Long = 3, maxDf: Long = 1000): DataFrame = {
+                  minShared: Long = 5, maxDf: Long = 16): DataFrame = {
     val wfp = TextAnalysis.winnow(docs, k, w).cache()
     val flt = wfp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -293,8 +293,8 @@ object TrainingQueries {
     // pair generation over the winnow fingerprints: catches lifted-
     // paragraph containment that whole-document similarity dilutes
     "dd_winnow_pairs" -> ((s, d) =>
-      Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4,
-        minShared = 3).orderBy("doc_a", "doc_b")),
+      Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4)
+        .orderBy("doc_a", "doc_b")),
     // quality-aware canonical selection over the same LSH pair graph:
     // the keeper is the cluster's LONGEST doc (tie → min id), not its
     // min id — what a production dedup actually keeps
@@ -599,14 +599,15 @@ object TrainingQueries {
     "ts_winnow" ->
       (winnowCtes + "\nSELECT doc_id, fp FROM wfp ORDER BY doc_id, fp"),
     // inverted-index pair join over the same fingerprints: stop-
-    // fingerprint cap (df <= 1000), lower-id-first, >= 3 shared
+    // fingerprint cap (df <= 16 — char-gram boilerplate threshold),
+    // lower-id-first, >= 5 shared
     "dd_winnow_pairs" -> (winnowCtes +
       """
-        |, kept AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 1000)
+        |, kept AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 16)
         |, wds AS (SELECT doc_id, fp FROM wfp JOIN kept USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |FROM wds a JOIN wds b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY doc_a, doc_b HAVING count(*) >= 3
+        |GROUP BY doc_a, doc_b HAVING count(*) >= 5
         |ORDER BY doc_a, doc_b""".stripMargin),
     // same closure as dd_cluster, keeper re-picked by token count
     "dd_canonical" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
