@@ -302,4 +302,94 @@ object Similarity {
           (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Collect a small-by-contract codebook to the driver, ascending
+    * centroid_id, values as doubles (shared by [[pqEncode]]/[[pqTopK]];
+    * same contract as [[assign]]'s collection — the rows a broadcast
+    * would ship anyway, folded into the plan as a literal instead).
+    */
+  private def collectCodebook(centroids: DataFrame): Seq[(Int, Seq[Double])] = {
+    val cents = centroids
+      .select(col("centroid_id").cast("int"),
+        transform(col("cvec"), _.cast("double")))
+      .collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "pq: empty codebook")
+    require(cents.map(_._2.length).distinct.size == 1, "pq: ragged codebook")
+    cents
+  }
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split the d-dim space into
+    * `m` contiguous subspaces of d/m dims and quantize each subvector to
+    * its nearest codebook entry (argmin squared L2, centroid_id
+    * tie-break). A 64-dim float vector (256 B) becomes m=8 small codes —
+    * the standard way a 100 TB embedding corpus fits its serving tier.
+    * The codebook here reuses the corpus' own designated seed vectors
+    * (the `centroids` frame), sliced per subspace; real deployments
+    * train per-subspace k-means ([[trainCentroids]] on slices) — the
+    * encode/search algebra is identical either way.
+    *
+    * Zero-shuffle by the [[assign]] construction: the codebook is
+    * collected once (small by contract) and folded into the plan as a
+    * literal; encoding is a narrow projection over the scan — no
+    * exchange anywhere (PlanSpec pins this). Distances round through
+    * decimal space ([[roundSim]]) so the argmin — and therefore every
+    * code — is bit-identical in any engine; folding ascending-id with
+    * strict `<` keeps the lowest-id winner on ties, the same tie-break
+    * as `ORDER BY d2 ASC, centroid_id ASC`.
+    */
+  def pqEncode(embeddings: DataFrame, centroids: DataFrame,
+               m: Int = 8): DataFrame = {
+    val cents = collectCodebook(centroids)
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codes = array((0 until m).map { s =>
+      val subCents: Seq[(Int, Seq[Double])] =
+        cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
+      val x = slice(col("embedding"), s * sub + 1, sub)
+      aggregate(
+        typedLit(subCents),
+        struct(lit(-1).as("cid"), lit(Double.PositiveInfinity).as("d2")),
+        (acc, c) => {
+          val d2 = roundSim(aggregate(
+            zip_with(x, c.getField("_2"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (t, e) => t + e))
+          when(d2 < acc.getField("d2"),
+            struct(c.getField("_1").as("cid"), d2.as("d2")))
+            .otherwise(acc)
+        }).getField("cid")
+    }: _*)
+    embeddings.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
+    * is REPLACED by its reconstruction (the concatenation of its m
+    * codebook subvectors — a literal map lookup per subspace, no join)
+    * and ranked by exact cosine against the uncompressed query. This is
+    * how a PQ index answers queries: the corpus side pays only the code
+    * bytes; all full-precision work happens on the query side. Same
+    * plan shape as [[bruteTopK]]: one scan, one TakeOrderedAndProject.
+    */
+  def pqTopK(embeddings: DataFrame, centroids: DataFrame, query: DataFrame,
+             k: Int, m: Int = 8): DataFrame = {
+    val cents = collectCodebook(centroids)
+    val dim = cents.head._2.length
+    val sub = dim / m
+    val recon = flatten(array((0 until m).map { s =>
+      val lut: Map[Int, Seq[Double]] =
+        cents.map { case (cid, v) => cid -> v.slice(s * sub, (s + 1) * sub) }.toMap
+      element_at(typedLit(lut), element_at(col("codes"), s + 1))
+    }: _*))
+    crossBroadcast(
+      pqEncode(embeddings, centroids, m).withColumn("__recon", recon),
+      query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("label"),
+        roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
 }

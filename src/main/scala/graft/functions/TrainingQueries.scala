@@ -86,6 +86,29 @@ object TrainingQueries {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private def cosSql(a: String, b: String): String =
     s"CAST(ROUND(CAST(${dotSql(a, b)} / (${normSqlOf(a)} * ${normSqlOf(b)}) AS DECIMAL(20,12)), 9) AS DOUBLE)"
+  // PQ code assignment, DuckDB side (matches Similarity.pqEncode: 8
+  // subspaces of 8 dims over the fixed first-16 codebook; per-subspace
+  // argmin of 9dp-rounded squared L2, centroid-id tie-break)
+  private val pqBestCtes =
+    """WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+      |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |grid AS (
+      |  SELECT e.vec_id, ss.s, c.cid,
+      |         CAST(ROUND(CAST(list_sum(list_transform(
+      |           list_zip(list_slice(e.embedding, ss.s*8 + 1, ss.s*8 + 8),
+      |                    list_slice(c.cvec, ss.s*8 + 1, ss.s*8 + 8)),
+      |           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+      |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS d2
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+      |  CROSS JOIN cents c),
+      |best AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |             ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM grid) WHERE rn = 1)""".stripMargin
 
   // The near-dup funnel's pair graph is ONE computation feeding both
   // cluster assignment (dd_cluster) and canonical selection
@@ -248,6 +271,27 @@ object TrainingQueries {
           array_join(transform(col("q"), x => x.cast("string")), ",")
             .as("q_csv"))
         .orderBy("vec_id")),
+    // product quantization: per-subspace argmin-L2 codes against the
+    // fixed first-16 codebook (the ann_ivf centroid config); codes
+    // rendered csv (array hashing is representation-fragile, ann_quantize
+    // precedent)
+    "ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.pqEncode(e, cents, m = 8)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), x => x.cast("string")), ",")
+            .as("codes_csv"))
+        .orderBy("vec_id")
+    }),
+    // ADC search over the PQ codes: reconstruction vs uncompressed query
+    "ann_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.pqTopK(e, cents, e.filter(col("vec_id") === 0), k = 10, m = 8)
+    }),
     // corpus-level non-overlapping 10-token segment dedup (Lee et al.)
     "dd_chunks" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d)).orderBy("fp")),
@@ -706,6 +750,25 @@ object TrainingQueries {
          |SELECT a.vec_id, a.label, ${cosSql("a.embedding", "qv")} AS sim
          |FROM assigned a JOIN probes USING (centroid_id) CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // PQ codes: same per-subspace argmin the engine folds — squared L2
+    // in double space, 9dp decimal rounding, cid-ascending tie-break
+    "ann_pq" -> (pqBestCtes +
+      """
+        |SELECT vec_id,
+        |       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes_csv
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "ann_pq_adc" -> (pqBestCtes +
+      s"""
+         |, recon AS (
+         |  SELECT vec_id,
+         |         flatten(list(list_slice(c.cvec, s*8 + 1, s*8 + 8)
+         |                      ORDER BY s)) AS rv
+         |  FROM best JOIN cents c USING (cid)
+         |  GROUP BY vec_id),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT r.vec_id, e.label, ${cosSql("r.rv", "qv")} AS sim
+         |FROM recon r JOIN embeddings e USING (vec_id) CROSS JOIN q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
     // first-token blocking only: the engine's extra length-band key is a
     // pure refinement (levenshtein >= length difference), so the result
     // set is identical

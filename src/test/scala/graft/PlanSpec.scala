@@ -196,6 +196,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("PQ encoding plans zero exchanges") {
+    // Same contract as the IVF assignment: the codebook is a plan
+    // literal, encoding is a narrow projection over the corpus scan —
+    // compressing a 100 TB embedding corpus must not shuffle it.
+    val e = Tables.embeddings(spark, sf)
+    val centroids = e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val encoded = functions.Similarity.pqEncode(e, centroids, m = 8)
+    encoded.collect()
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PQ encode subplan must contain no Exchange:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("approxQuantile tier path (reference A10 mechanism) still tiers") {
     val out = CustomerSalesReport.build(
       Entities.customers(spark, sf), Entities.products(spark, sf),

@@ -204,4 +204,38 @@ class SimilaritySpec extends AnyFunSuite {
       cents.unpersist()
     } finally e.unpersist()
   }
+
+  test("PQ codes: seed vectors encode to themselves, codes in codebook") {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val codes = Similarity.pqEncode(emb, cents, m = 8)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.values.foreach { cs =>
+      assert(cs.length == 8)
+      assert(cs.forall(c => c >= 1 && c <= 16), s"code outside codebook: $cs")
+    }
+    // a codebook vector's nearest sub-centroid in EVERY subspace is its
+    // own slice at distance 0 — its code must be itself, all m times
+    (1L to 16L).foreach { cid =>
+      assert(codes(cid).forall(_ == cid.toInt),
+        s"seed $cid must self-encode, got ${codes(cid)}")
+    }
+  }
+
+  test("PQ ADC ranking: reconstruction beats quantization noise floor") {
+    // ADC top-10 for the corpus query must overlap the exact brute-force
+    // top-10 — PQ with a 16-entry codebook per subspace is lossy, but on
+    // near-random vectors the reconstruction keeps enough geometry to
+    // recover a meaningful share of the true neighborhood.
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0)
+    val adc = Similarity.pqTopK(emb, cents, q, k = 10, m = 8)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteTopK(emb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (adc & brute).size
+    assert(overlap >= 3, s"ADC top-10 shares only $overlap with brute")
+  }
 }
