@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyword search over a document corpus: BM25 ranking on an
+  * inverted-index shape (reference analogue: the SQL-lab's ranked
+  * reporting queries; the ranking function itself is the Robertson/
+  * Spärck Jones BM25 used by Lucene/Elasticsearch — public algebra).
+  *
+  * Scale shape: one tokenize+explode pass, the postings list is filtered
+  * to the query's terms BEFORE any shuffle (a query has a handful of
+  * terms — the filter drops ~|vocab|/|Q| of the exploded rows at the
+  * scan), per-term document frequencies are an aggregate over the
+  * filtered postings, and the final ranking is a TakeOrderedAndProject
+  * of per-doc sums. Corpus-level scalars (N, total token count) ride a
+  * 1-row broadcast ([[graft.core.Scalars.crossBroadcast]]). Nothing in
+  * the plan is proportional to vocabulary size.
+  *
+  * Determinism: the BM25 partial for each (doc, term) is computed in
+  * IEEE doubles with an identical expression tree on both engines, then
+  * rounded through decimal space at 9 dp and SUMMED AS DECIMAL — decimal
+  * addition is exact and order-independent, so per-doc scores are
+  * bit-identical regardless of aggregation order (the Money lesson; a
+  * double sum would be partition-order-sensitive). The idf log is
+  * rounded the same way first (the tfIdf libm precedent).
+  */
+object Search {
+
+  private val Dec = DecimalType(20, 12)
+  private def round9(c: Column): Column = round(c.cast(Dec), 9).cast("double")
+
+  /** BM25 top-k documents for a bag of query terms.
+    *
+    * score(d, Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    * Lucene form). `avgdl` enters as |d|·N/Σ|d| — exact-integer inputs to
+    * one double expression, no separately-rounded average.
+    *
+    * Emits (doc_id, n_hit, score) for the k best, score-desc with doc_id
+    * tie-break; documents matching no query term never leave the scan.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val terms = queryTerms.distinct
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+    // one pass over the exploded tokens feeds both doc lengths (all
+    // tokens) and the query postings (filtered before the shuffle)
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scalars = dlen.agg(
+      count(lit(1)).as("n_docs"), sum("dlen").as("tot_len"))
+    val idf = round9(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))))
+    val part = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dlen") * col("n_docs") / col("tot_len")))
+    graft.core.Scalars.crossBroadcast(
+      tf.join(broadcast(df), "token").join(dlen, "doc_id"), scalars)
+      .select(col("doc_id"),
+        round9(part).cast(DecimalType(20, 9)).as("part"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        sum("part").cast("double").as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -170,6 +170,11 @@ object TrainingQueries {
     "ts_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(Tables.documents(s, d))
         .orderBy("doc_id", "token")),
+    // BM25 keyword search: one rare + two common terms so idf spread is
+    // real (the rare term dominates any doc containing it)
+    "ts_bm25" -> ((s, d) =>
+      Search.bm25TopK(Tables.documents(s, d),
+        Seq("dup", "spark", "customer"), k = 10)),
     // the sketch's GROUPED path: one SpaceSaving instance per source,
     // partials merged per group across partitions (a different execution
     // shape from the global ts_topk_sketch aggregate); capacity >> vocab
@@ -425,6 +430,29 @@ object TrainingQueries {
          |       CAST(ROUND(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(20,12)), 9) AS DOUBLE) AS tf_idf
          |FROM tf JOIN idf USING (token) CROSS JOIN n
          |ORDER BY doc_id, token""".stripMargin,
+    // BM25 twin: identical expression tree (same literal constants and
+    // associativity), idf and each partial rounded 9dp through decimal,
+    // partials SUMMED AS DECIMAL so aggregation order cannot matter
+    "ts_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |       WHERE token IN ('dup', 'spark', 'customer') GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT count(*) AS n_docs, sum(dlen) AS tot_len FROM dlen),
+         |p AS (
+         |  SELECT tf.doc_id,
+         |    CAST(CAST(ROUND(CAST(
+         |      CAST(ROUND(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+         |                             / (df + 0.5)) AS DECIMAL(20,12)), 9)
+         |           AS DOUBLE)
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / tot_len))
+         |      AS DECIMAL(20,12)), 9) AS DOUBLE) AS DECIMAL(20,9)) AS part
+         |  FROM tf JOIN df USING (token) JOIN dlen USING (doc_id) CROSS JOIN sc)
+         |SELECT doc_id, count(*) AS n_hit, CAST(sum(part) AS DOUBLE) AS score
+         |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ts_split" ->
       """WITH s AS (
         |  SELECT doc_id,

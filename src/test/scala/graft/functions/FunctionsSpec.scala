@@ -182,6 +182,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(99L)._2 - expected) < 1e-6)
   }
 
+  test("bm25: rare term outranks repeated common term; misses never rank") {
+    // df(rare)=1 -> idf = ln(1 + 3.5/1.5) = 1.204; df(common)=3 -> idf =
+    // ln(1 + 1.5/3.5) = 0.357. tf saturation (k1) caps doc 2's 6x common
+    // count at 0.654 < one rare hit's 1.204; doc 4 matches nothing and
+    // must not appear at all (the posting filter drops it at the scan)
+    val docs = Seq(
+      (1L, "rare common alpha beta gamma delta"),
+      (2L, "common common common common common common"),
+      (3L, "common alpha beta gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), "only matching docs rank")
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "rare-hit doc first")
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 == 2 && byDoc(2L)._2 == 1 && byDoc(3L)._2 == 1)
+    assert(byDoc(1L)._3 - byDoc(3L)._3 > byDoc(2L)._3 - byDoc(3L)._3,
+      "the rare-term contribution must exceed five extra saturated common hits")
+    val scores = out.map(_._3).toSeq
+    assert(scores == scores.sorted.reverse, "descending by score")
+  }
+
   test("winnow: shared substrings guarantee shared fingerprints") {
     import org.apache.spark.sql.functions.col
     // k=8, w=4: any common substring of length >= 11 chars must yield a
