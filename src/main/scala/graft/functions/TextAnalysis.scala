@@ -191,6 +191,30 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Stratified deterministic sample: the `n` documents per stratum
+    * whose md5(id) ranks lowest — a balanced eval/inspection subset
+    * (equal representation per source) that is REPRODUCIBLE: the hash
+    * order is a property of the ids, not of partitioning, seed plumbing,
+    * or engine version, so any engine draws the identical subset (unlike
+    * `sampleBy`, whose draw depends on Spark's RNG stream). `id` breaks
+    * md5 collisions so the rank is total.
+    *
+    * Scale: rank-per-stratum is a window, but Spark rewrites the
+    * `row_number <= n` filter to a WindowGroupLimit — every partition
+    * pre-truncates to its local top-n BEFORE the stratum shuffle, so
+    * the exchange carries ≤ n·partitions rows, not the corpus. A few
+    * giant strata therefore cost n·partitions, not |stratum| (the same
+    * mechanism `q_window_topk` pins in PlanSpec).
+    */
+  def stratifiedSample(data: DataFrame, strata: String = "source",
+                       id: String = "doc_id", n: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata)
+      .orderBy(md5(col(id).cast("string")), col(id))
+    data.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Data-mixture sampling: downsample each source/domain to a token
     * budget — the "mixture weights" step of assembling a pretraining
     * corpus from heterogeneous sources. Rate-based: per source the keep

@@ -175,6 +175,11 @@ object TrainingQueries {
     "ts_bm25" -> ((s, d) =>
       Search.bm25TopK(Tables.documents(s, d),
         Seq("dup", "spark", "customer"), k = 10)),
+    // balanced per-source eval subset, reproducible by construction
+    "ts_stratified" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), n = 10)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")),
     // the sketch's GROUPED path: one SpaceSaving instance per source,
     // partials merged per group across partitions (a different execution
     // shape from the global ts_topk_sketch aggregate); capacity >> vocab
@@ -430,6 +435,15 @@ object TrainingQueries {
          |       CAST(ROUND(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(20,12)), 9) AS DOUBLE) AS tf_idf
          |FROM tf JOIN idf USING (token) CROSS JOIN n
          |ORDER BY doc_id, token""".stripMargin,
+    "ts_stratified" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |           AS sample_rank
+        |  FROM documents) r
+        |WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin,
     // BM25 twin: identical expression tree (same literal constants and
     // associativity), idf and each partial rounded 9dp through decimal,
     // partials SUMMED AS DECIMAL so aggregation order cannot matter

@@ -389,6 +389,14 @@ object CoverageQueries {
       ZOrder.fileStats(li, dims, bits = 6, fileBits = 6).orderBy("file_id")
     }),
 
+    // key-skew diagnostics: the pre-flight measurement a salting/AQE
+    // decision reads (SkewProfile scaladoc); nearest-rank percentiles
+    // keep the distribution row integer-exact cross-engine
+    "q_key_skew" -> ((s, d) =>
+      SkewProfile.summary(Tables.lineitem(s, d), "l_partkey")),
+    "q_key_hot" -> ((s, d) =>
+      SkewProfile.hotKeys(Tables.lineitem(s, d), "l_partkey", n = 5)),
+
     // A3/A6: conditional aggregation + guarded ratio-of-sums
     "q_conditional_agg" -> ((s, d) =>
       Tables.orders(s, d)
@@ -418,6 +426,26 @@ object CoverageQueries {
          |       max(day_bucket) AS max_day_bucket
          |FROM b GROUP BY 1 ORDER BY file_id""".stripMargin
     },
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn FROM c),
+        |nk AS (SELECT count(*) AS nk FROM c)
+        |SELECT max(nk) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       max(cnt) AS max_cnt,
+        |       max(CASE WHEN rn <= ceil(0.50 * nk) THEN cnt END) AS p50_cnt,
+        |       max(CASE WHEN rn <= ceil(0.90 * nk) THEN cnt END) AS p90_cnt,
+        |       max(CASE WHEN rn <= ceil(0.99 * nk) THEN cnt END) AS p99_cnt,
+        |       CAST(ROUND(CAST(CAST(max(cnt) AS DOUBLE) * max(nk) / sum(cnt)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS skew_ratio
+        |FROM r CROSS JOIN nk""".stripMargin,
+    "q_key_hot" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n_rows FROM c)
+        |SELECT l_partkey, cnt,
+        |       CAST(ROUND(CAST(CAST(cnt AS DOUBLE) / n_rows
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, l_partkey ASC LIMIT 5""".stripMargin,
     // direct (unsalted) aggregate: equality proves the two-phase salted
     // path computes the same answer as the textbook single groupBy
     "q_salted_agg" ->

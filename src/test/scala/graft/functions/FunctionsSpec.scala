@@ -182,6 +182,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(99L)._2 - expected) < 1e-6)
   }
 
+  test("stratifiedSample: balanced, order-independent, reproducible") {
+    val docs = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "source")
+    val pick = TextAnalysis.stratifiedSample(docs, n = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pick("big").size == 5, "stratum larger than n truncates to n")
+    assert(pick("small").size == 5, "stratum at n keeps all")
+    // the draw is a property of the ids: reversing input order (and
+    // therefore partition layout) must pick the identical subset
+    val reversed = TextAnalysis.stratifiedSample(
+      docs.orderBy(col("doc_id").desc), n = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(reversed == pick)
+  }
+
   test("bm25: rare term outranks repeated common term; misses never rank") {
     // df(rare)=1 -> idf = ln(1 + 3.5/1.5) = 1.204; df(common)=3 -> idf =
     // ln(1 + 1.5/3.5) = 0.357. tf saturation (k1) caps doc 2's 6x common
