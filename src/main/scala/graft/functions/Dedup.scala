@@ -218,6 +218,28 @@ object Dedup {
     hashed.groupBy("doc_id").agg(comps.head, comps.tail: _*)
   }
 
+  /** Band rows over a signature frame: (doc_id, band, bucket,
+    * mh_0..mh_{k-1}) — the bands carry the full signature (the
+    * single-join lesson every pair generator here follows).
+    */
+  private def bandsOf(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id") +: lit(b).as("band") +:
+        concat_ws("|", cols: _*).as("bucket") +:
+        (0 until k).map(i => col(s"mh_$i")): _*)
+    }.reduce(_ union _)
+
+  /** Band-bucket index rows for a corpus: the STATE an incremental
+    * near-dup pipeline stores between ingest waves (the LSH analogue of
+    * [[exactIndex]]). Persist bucketed by (band, bucket) and the
+    * per-wave probe join in [[incrementalMinhash]] is bucket-local.
+    */
+  def minhashBands(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                   n: Int = 3, maxDf: Long = 1000): DataFrame =
+    bandsOf(minhashSignatures(docs, k, n, maxDf), k, rowsPerBand)
+
   /** MinHash-LSH candidate pairs: signatures banded (rowsPerBand hashes
     * per band); docs sharing any band bucket become candidates; then the
     * estimated similarity = fraction of matching signature components.
@@ -229,13 +251,7 @@ object Dedup {
     // bands carry the full signature so the bucket self-join yields the
     // estimate directly — one shuffle join instead of candidate-distinct
     // plus two signature re-joins
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh_$i"))
-      sigs.select(col("doc_id") +: lit(b).as("band") +:
-        concat_ws("|", cols: _*).as("bucket") +:
-        (0 until k).map(i => col(s"mh_$i")): _*)
-    }.reduce(_ union _)
+    val bands = bandsOf(sigs, k, rowsPerBand)
     val aCols = Seq("doc_a", "band", "bucket") ++ (0 until k).map(i => s"a_$i")
     val bCols = Seq("doc_b", "band", "bucket") ++ (0 until k).map(i => s"b_$i")
     val simExpr = (0 until k)
@@ -248,6 +264,79 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstSim)
       .select("doc_a", "doc_b", "est_jaccard")
       .distinct()
+  }
+
+  /** Incremental NEAR-dup classification — [[incrementalExact]]'s shape
+    * lifted to MinHash-LSH: a new ingest wave is classified against the
+    * stored band index ([[minhashBands]]) without re-hashing the corpus.
+    * Each wave document comes out as
+    *   - `corpus_dup`: est_jaccard ≥ `minEstSim` against some indexed
+    *     document (keeper = the best match — highest estimate, lowest
+    *     doc_id on ties),
+    *   - `batch_dup`:  novel vs the index but near-duplicating an
+    *     EARLIER wave document (keeper = the lowest matching doc_id —
+    *     greedy first-occurrence, mirroring incrementalExact's
+    *     batch_min; the full transitive closure is deliberately NOT
+    *     rebuilt per wave — that is [[connectedComponents]]' job on the
+    *     consolidated pair set),
+    *   - `novel`:      neither (keeper = itself, est_jaccard null).
+    * `minhashBands(novel keepers)` unioned into the stored index is the
+    * state update for the next wave.
+    *
+    * Shape: wave signatures cost one batch-sized shingle pass; the probe
+    * is a single join against the index on (band, bucket) — bucket-local
+    * when the index is stored bucketed, and the wave side is always the
+    * small side. Bands carry both signatures, so the estimate computes
+    * at the join with no re-join. Note the stop-shingle `maxDf` caps are
+    * population-local (index df over the corpus at index-build time,
+    * wave df over the wave) — the standard incremental-LSH recall
+    * caveat: a shingle that became hot AFTER indexing still probes.
+    */
+  def incrementalMinhash(indexBands: DataFrame, wave: DataFrame,
+                         k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                         minEstSim: Double = 0.5,
+                         maxDf: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val waveBands = minhashBands(wave, k, rowsPerBand, n, maxDf).cache()
+    val aCols = Seq("doc_id", "band", "bucket") ++ (0 until k).map(i => s"a_$i")
+    val bCols = Seq("corpus_doc", "band", "bucket") ++ (0 until k).map(i => s"b_$i")
+    val estExpr = (0 until k)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    val cross = waveBands.toDF(aCols: _*)
+      .join(indexBands.toDF(bCols: _*), Seq("band", "bucket"))
+      .withColumn("est_jaccard", estExpr)
+      .filter(col("est_jaccard") >= minEstSim)
+      .select("doc_id", "corpus_doc", "est_jaccard").distinct()
+    val xw = Window.partitionBy("doc_id")
+      .orderBy(desc("est_jaccard"), asc("corpus_doc"))
+    val xbest = cross.withColumn("__rn", row_number().over(xw))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("corpus_doc"),
+        col("est_jaccard").as("x_est"))
+    val pCols = Seq("doc_a", "band", "bucket") ++ (0 until k).map(i => s"a_$i")
+    val qCols = Seq("doc_b", "band", "bucket") ++ (0 until k).map(i => s"b_$i")
+    val wPairs = waveBands.toDF(pCols: _*)
+      .join(waveBands.toDF(qCols: _*), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard", estExpr)
+      .filter(col("est_jaccard") >= minEstSim)
+      .select("doc_a", "doc_b", "est_jaccard").distinct()
+    val ww = Window.partitionBy("doc_b").orderBy(asc("doc_a"))
+    val wbest = wPairs.withColumn("__rn", row_number().over(ww))
+      .filter(col("__rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("batch_keeper"),
+        col("est_jaccard").as("w_est"))
+    wave.select("doc_id")
+      .join(xbest, Seq("doc_id"), "left")
+      .join(wbest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_doc").isNotNull, lit("corpus_dup"))
+          .when(col("batch_keeper").isNotNull, lit("batch_dup"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("corpus_doc"), col("batch_keeper"), col("doc_id"))
+          .as("keeper_doc_id"),
+        coalesce(col("x_est"), col("w_est")).as("est_jaccard"))
   }
 
   /** 64-bit SimHash: per-token 64-bit hash, each bit votes +1/−1, the

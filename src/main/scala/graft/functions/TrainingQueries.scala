@@ -79,6 +79,37 @@ object TrainingQueries {
          |  JOIN sigs b ON doc_b = b.doc_id)
          |""".stripMargin
   }
+  /** Prefixed signature+band CTEs over any (doc_id, text) source —
+    * the [[minhashCtesFor]] front half with `_pfx`-suffixed names so an
+    * index population and a wave population can coexist in one query
+    * (each keeps its own population-local stop-shingle df cap, exactly
+    * as [[Dedup.incrementalMinhash]] documents).
+    */
+  private def minhashSigCtesFor(src: String, pfx: String): String = {
+    val mins = (0 until 8)
+      .map(i => s"min(substr(md5('${i / 4}|' || shingle), ${1 + 8 * (i % 4)}, 8)) AS mh_$i")
+      .mkString(",\n         ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS bucket FROM sigs_$pfx")
+      .mkString("\n  UNION ALL ")
+    s"""toks_$pfx AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $src),
+       |shing_$pfx AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks_$pfx),
+       |flt_$pfx AS (SELECT shingle FROM shing_$pfx GROUP BY shingle
+       |             HAVING count(*) <= 1000),
+       |ds_$pfx AS (SELECT s.doc_id, s.shingle FROM shing_$pfx s
+       |            JOIN flt_$pfx USING (shingle)),
+       |sigs_$pfx AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM ds_$pfx GROUP BY doc_id),
+       |bands_$pfx AS (
+       |  $bands)""".stripMargin
+  }
   // double-fold dot product, DuckDB side (matches Similarity.dot)
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -349,6 +380,20 @@ object TrainingQueries {
     "dd_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4)
         .orderBy("doc_a", "doc_b")),
+    // incremental near-dup: 80% of the corpus is the stored band index,
+    // the doc_id % 5 == 0 slice arrives as the new ingest wave. The raw
+    // wave has no internal near-dups at sf0.01 (batch_dup would be a
+    // fixture-masked branch), so a verbatim copy of wave doc 0 — novel
+    // vs the corpus — is injected in-query, identically on both engines:
+    // the copy MUST classify batch_dup with keeper 0
+    "dd_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.minhashBands(docs.filter(col("doc_id") % 5 =!= 0))
+      val wave = docs.filter(col("doc_id") % 5 === 0).unionByName(
+        docs.filter(col("doc_id") === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.incrementalMinhash(idx, wave).orderBy("doc_id")
+    }),
     // quality-aware canonical selection over the same LSH pair graph:
     // the keeper is the cluster's LONGEST doc (tie → min id), not its
     // min id — what a production dedup actually keeps
@@ -435,6 +480,62 @@ object TrainingQueries {
          |       CAST(ROUND(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(20,12)), 9) AS DOUBLE) AS tf_idf
          |FROM tf JOIN idf USING (token) CROSS JOIN n
          |ORDER BY doc_id, token""".stripMargin,
+    // incremental-LSH twin: index and wave populations each build their
+    // own prefixed signature chain (population-local df caps), then the
+    // same best-match / first-occurrence selection the engine windows
+    "dd_incremental_lsh" -> {
+      val simSum = (0 until 8)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      "WITH " +
+        minhashSigCtesFor("(SELECT * FROM documents WHERE doc_id % 5 <> 0)", "o") +
+        ",\n" +
+        minhashSigCtesFor(
+          "(SELECT * FROM documents WHERE doc_id % 5 = 0 UNION ALL " +
+            "SELECT * REPLACE (doc_id + 1000000 AS doc_id) " +
+            "FROM documents WHERE doc_id = 0)", "n") +
+        s"""
+           |, xpair AS (
+           |  SELECT DISTINCT nb.doc_id AS doc_id, ob.doc_id AS corpus_doc
+           |  FROM bands_n nb JOIN bands_o ob USING (band, bucket)),
+           |xest AS (
+           |  SELECT xpair.doc_id AS doc_id, corpus_doc,
+           |         CAST($simSum AS DOUBLE) / 8 AS est
+           |  FROM xpair JOIN sigs_n a ON xpair.doc_id = a.doc_id
+           |             JOIN sigs_o b ON corpus_doc = b.doc_id),
+           |xbest AS (
+           |  SELECT doc_id, corpus_doc, est FROM (
+           |    SELECT doc_id, corpus_doc, est,
+           |           ROW_NUMBER() OVER (PARTITION BY doc_id
+           |             ORDER BY est DESC, corpus_doc ASC) AS rn
+           |    FROM xest WHERE est >= 0.5) r WHERE rn = 1),
+           |wpair AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_n a JOIN bands_n b USING (band, bucket)
+           |  WHERE a.doc_id < b.doc_id),
+           |west AS (
+           |  SELECT doc_a, doc_b, CAST($simSum AS DOUBLE) / 8 AS est
+           |  FROM wpair JOIN sigs_n a ON doc_a = a.doc_id
+           |             JOIN sigs_n b ON doc_b = b.doc_id),
+           |wbest AS (
+           |  SELECT doc_b AS doc_id, doc_a AS batch_keeper, est FROM (
+           |    SELECT doc_a, doc_b, est,
+           |           ROW_NUMBER() OVER (PARTITION BY doc_b
+           |             ORDER BY doc_a ASC) AS rn
+           |    FROM west WHERE est >= 0.5) r WHERE rn = 1)
+           |SELECT w.doc_id,
+           |       CASE WHEN x.corpus_doc IS NOT NULL THEN 'corpus_dup'
+           |            WHEN wb.batch_keeper IS NOT NULL THEN 'batch_dup'
+           |            ELSE 'novel' END AS status,
+           |       COALESCE(x.corpus_doc, wb.batch_keeper, w.doc_id) AS keeper_doc_id,
+           |       COALESCE(x.est, wb.est) AS est_jaccard
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+           |      UNION ALL SELECT doc_id + 1000000 FROM documents
+           |      WHERE doc_id = 0) w
+           |LEFT JOIN xbest x USING (doc_id)
+           |LEFT JOIN wbest wb ON w.doc_id = wb.doc_id
+           |ORDER BY w.doc_id""".stripMargin
+    },
     "ts_stratified" ->
       """SELECT doc_id, source, sample_rank FROM (
         |  SELECT doc_id, source,

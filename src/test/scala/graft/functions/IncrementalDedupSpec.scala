@@ -54,4 +54,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.filter($"status" === "novel").count() == 4,
       "10, 11, 12, 14 are all first sightings without corpus state")
   }
+
+  // ---- the LSH lift: near-dup classification against a stored index
+
+  private def lshCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "totally unrelated corpus content sits in this row here")
+  ).toDF("doc_id", "text")
+
+  private def lshWave = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup of 1
+    (11L, "fresh wave words that overlap with nothing else at all"), // novel
+    (12L, "one two three four five six seven eight"), // wave keeper
+    (13L, "one two three four five six seven eight"), // batch dup of 12
+    (14L, "alpha beta gamma delta epsilon zeta eta theta") // corpus wins over wave pair (10,14)
+  ).toDF("doc_id", "text")
+
+  test("incrementalMinhash: corpus_dup / batch_dup / novel with keepers") {
+    val idx = Dedup.minhashBands(lshCorpus)
+    val out = Dedup.incrementalMinhash(idx, lshWave).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(10L)._1 == "corpus_dup" && out(10L)._2 == 1L)
+    assert(out(10L)._3.contains(1.0), "identical text estimates 1.0")
+    assert(out(11L) == (("novel", 11L, None)))
+    assert(out(12L)._1 == "novel" && out(12L)._2 == 12L,
+      "first wave sighting is the keeper")
+    assert(out(13L)._1 == "batch_dup" && out(13L)._2 == 12L)
+    assert(out(14L)._1 == "corpus_dup" && out(14L)._2 == 1L,
+      "an index match outranks a concurrent wave match")
+  }
+
+  test("incrementalMinhash index update: next wave sees wave-1 novelty") {
+    val idx0 = Dedup.minhashBands(lshCorpus)
+    val wave1 = Dedup.incrementalMinhash(idx0, lshWave)
+    val novelKeepers = lshWave.join(
+      wave1.filter($"status" === "novel").select("doc_id"), Seq("doc_id"))
+    val idx1 = idx0.unionByName(Dedup.minhashBands(novelKeepers))
+    val wave2 = Dedup.incrementalMinhash(idx1,
+      Seq((20L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text"))
+    val r = wave2.head
+    assert(r.getString(1) == "corpus_dup" && r.getLong(2) == 12L,
+      "wave-1 novel content is wave-2 corpus state")
+  }
+
+  test("incrementalMinhash: empty index classifies without corpus dups") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(Dedup.minhashBands(empty), lshWave)
+    assert(out.filter($"status" === "corpus_dup").isEmpty)
+    // without corpus state, 13 pairs with 12 and 14 pairs with 10
+    assert(out.filter($"status" === "batch_dup").count() == 2)
+    assert(Dedup.incrementalMinhash(Dedup.minhashBands(lshCorpus), empty)
+      .isEmpty)
+  }
 }
