@@ -159,13 +159,12 @@ object Dedup {
     // The repartition matters: a small corpus arrives as ONE parquet
     // partition, which would run the whole shingle+hash computation on
     // a single thread before the first shuffle.
-    val ds = docs
+    val ds = graft.core.PlanMemo.cached("dedup.shingles", docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
-      .distinct()
-      .cache()
+      .distinct())
     val df = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     ds.join(df, "shingle").select("doc_id", "shingle")
@@ -177,7 +176,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 1000): DataFrame = {
-    val ds = docShingles(docs, n, maxDf).cache()
+    val ds = graft.core.PlanMemo.cached("dedup.dfShingles",
+      docShingles(docs, n, maxDf))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = ds.toDF("doc_a", "shingle")
     val b = ds.toDF("doc_b", "shingle")
@@ -238,7 +238,11 @@ object Dedup {
     */
   def minhashBands(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
                    n: Int = 3, maxDf: Long = 1000): DataFrame =
-    bandsOf(minhashSignatures(docs, k, n, maxDf), k, rowsPerBand)
+    // memoized at band grain: the index side of an incremental probe is
+    // re-read per wave (and per bench pass) — the signature aggregation
+    // behind it must fill once, not per call
+    graft.core.PlanMemo.cached("dedup.bands",
+      bandsOf(minhashSignatures(docs, k, n, maxDf), k, rowsPerBand))
 
   /** MinHash-LSH candidate pairs: signatures banded (rowsPerBand hashes
     * per band); docs sharing any band bucket become candidates; then the
@@ -247,7 +251,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
                  n: Int = 3, minEstSim: Double = 0.5,
                  maxDf: Long = 1000): DataFrame = {
-    val sigs = minhashSignatures(docs, k, n, maxDf).cache()
+    val sigs = graft.core.PlanMemo.cached("dedup.minhashSigs",
+      minhashSignatures(docs, k, n, maxDf))
     // bands carry the full signature so the bucket self-join yields the
     // estimate directly — one shuffle join instead of candidate-distinct
     // plus two signature re-joins
@@ -297,7 +302,7 @@ object Dedup {
                          minEstSim: Double = 0.5,
                          maxDf: Long = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val waveBands = minhashBands(wave, k, rowsPerBand, n, maxDf).cache()
+    val waveBands = minhashBands(wave, k, rowsPerBand, n, maxDf)
     val aCols = Seq("doc_id", "band", "bucket") ++ (0 until k).map(i => s"a_$i")
     val bCols = Seq("corpus_doc", "band", "bucket") ++ (0 until k).map(i => s"b_$i")
     val estExpr = (0 until k)
@@ -458,7 +463,8 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                   minShared: Long = 5, maxDf: Long = 16): DataFrame = {
-    val wfp = TextAnalysis.winnow(docs, k, w).cache()
+    val wfp = graft.core.PlanMemo.cached("dedup.winnowFps",
+      TextAnalysis.winnow(docs, k, w))
     val flt = wfp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val wds = wfp.join(flt.select("fp"), "fp")
@@ -722,7 +728,8 @@ object Dedup {
     val layout = simhashBands(maxDist)
     def bucketOf(c: Column, start: Int, mask: Long): Column =
       shiftright(c, start).bitwiseAND(mask)
-    val sh = simhash(docs).cache() // both sides of the self-join read it
+    // both sides of the self-join read it
+    val sh = graft.core.PlanMemo.cached("dedup.simhash", simhash(docs))
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(layout.map { case (_, start, mask) =>
         bucketOf(col("simhash"), start, mask)

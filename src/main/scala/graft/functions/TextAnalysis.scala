@@ -281,10 +281,11 @@ object TextAnalysis {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
     val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
-    val tok = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(split(normalized(col("text")), " ")).as("token"))
-      .cache() // counts, total and the join-back all consume it
+    // counts, total and the join-back all consume it
+    val tok = graft.core.PlanMemo.cached("text.unigramToks",
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(normalized(col("text")), " ")).as("token")))
     val tc = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val n = tok.select(count(lit(1)).as("total"))
     graft.core.Scalars.crossBroadcast(tok.join(tc, "token"), n)

@@ -96,8 +96,10 @@ object Raptor {
               datasetName: String = "dataset"): Result = {
     val colList = sourceDF.columns.toSeq
 
-    val source = fingerprint(sourceDF, colList, "Source_Record", keys).cache()
-    val target = fingerprint(targetDF, colList, "Target_Record", keys).cache()
+    val source = graft.core.PlanMemo.cached("raptor.srcFp",
+      fingerprint(sourceDF, colList, "Source_Record", keys))
+    val target = graft.core.PlanMemo.cached("raptor.tgtFp",
+      fingerprint(targetDF, colList, "Target_Record", keys))
 
     val validateData = source.join(target, keys)
       .where(col("Source_Record") =!= col("Target_Record"))
