@@ -51,6 +51,9 @@ object SkewProfile {
         atRank(0.99).as("p99_cnt"))
       .withColumn("skew_ratio",
         round9(col("max_cnt").cast("double") * col("n_keys") / col("n_rows")))
+      // a keyless (empty) input profiles to NO row, not an all-NULL row
+      // (the global agg would otherwise emit one)
+      .filter(col("n_keys").isNotNull)
   }
 
   /** The `n` hottest keys with count and row share (cnt/n_rows, 9 dp),

@@ -52,6 +52,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     "mixtureSample" -> (() =>
       TextAnalysis.mixtureSample(in, Map("a" -> 10L), 5L)),
     "winnow" -> (() => TextAnalysis.winnow(in)),
+    "winnowPairs" -> (() => Dedup.winnowPairs(in)),
+    "bm25TopK" -> (() => Search.bm25TopK(in, Seq("anything"))),
+    "stratifiedSample" -> (() => TextAnalysis.stratifiedSample(in)),
+    "incrementalMinhash" -> (() =>
+      Dedup.incrementalMinhash(Dedup.minhashBands(in), in)),
     "curate" -> (() => Curation.curate(in)))
 
   private def vecCases: Seq[(String, () => DataFrame)] = Seq(
@@ -60,6 +65,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     "semDedup" -> (() => Similarity.semDedup(noVecs, someCents, 0.5)),
     "signLshPairs" -> (() => Similarity.signLshPairs(noVecs, 0.5)),
     "quantizeInt8" -> (() => Similarity.quantizeInt8(noVecs)),
+    "pqEncode" -> (() => Similarity.pqEncode(noVecs, someCents, m = 2)),
+    "pqTopK" -> (() => Similarity.pqTopK(noVecs, someCents, noVecs, 5, m = 2)),
+    "skewSummary" -> (() => graft.operators.SkewProfile.summary(noDocs, "source")),
+    "skewHotKeys" -> (() => graft.operators.SkewProfile.hotKeys(noDocs, "source")),
     "multimodal" -> (() =>
       Multimodal.extractFeatures(Multimodal.assets(noDocs)).toDF()))
 
