@@ -366,6 +366,53 @@ object Similarity {
     embeddings.withColumn("codes", codes)
   }
 
+  /** Reconstruction column over `codes`: per subspace, a literal map
+    * lookup code → codebook subvector, concatenated back to full dim.
+    */
+  private def reconOf(cents: Seq[(Int, Seq[Double])], m: Int): Column = {
+    val dim = cents.head._2.length
+    val sub = dim / m
+    flatten(array((0 until m).map { s =>
+      val lut: Map[Int, Seq[Double]] =
+        cents.map { case (cid, v) => cid -> v.slice(s * sub, (s + 1) * sub) }.toMap
+      element_at(typedLit(lut), element_at(col("codes"), s + 1))
+    }: _*))
+  }
+
+  /** IVF+PQ search — the composition a production ANN index actually
+    * serves (the FAISS `IVFx,PQy` layout): coarse IVF cells prune the
+    * corpus to `nprobe` probe cells, then ADC ranks ONLY the survivors
+    * by cosine against their PQ reconstructions. At 100 TB the corpus
+    * side stores one coarse cell id + m code bytes per vector — the
+    * scan reads 1/|cells|·nprobe of the rows and none of the raw
+    * vectors. Plan shape: the zero-shuffle cell assignment and code
+    * projection, one broadcast semi-join on the probe set, one
+    * TakeOrderedAndProject. Exact-rank parity with [[pqTopK]] on the
+    * probed subset by construction (same reconstruction, same rounding,
+    * same tie-break).
+    */
+  def ivfPqTopK(embeddings: DataFrame, centroids: DataFrame,
+                query: DataFrame, k: Int, nprobe: Int,
+                m: Int = 8): DataFrame = {
+    val assigned = assignCached(embeddings, centroids)
+    val probes = crossBroadcast(centroids,
+        query.select(col("embedding").as("qvec")))
+      .select(col("centroid_id"),
+        roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
+      .orderBy(desc("csim"), asc("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    val recon = reconOf(collectCodebook(centroids), m)
+    crossBroadcast(
+      pqEncode(assigned.join(broadcast(probes), "centroid_id"), centroids, m)
+        .withColumn("__recon", recon),
+      query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("label"),
+        roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
     * is REPLACED by its reconstruction (the concatenation of its m
     * codebook subvectors — a literal map lookup per subspace, no join)
@@ -376,14 +423,7 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, centroids: DataFrame, query: DataFrame,
              k: Int, m: Int = 8): DataFrame = {
-    val cents = collectCodebook(centroids)
-    val dim = cents.head._2.length
-    val sub = dim / m
-    val recon = flatten(array((0 until m).map { s =>
-      val lut: Map[Int, Seq[Double]] =
-        cents.map { case (cid, v) => cid -> v.slice(s * sub, (s + 1) * sub) }.toMap
-      element_at(typedLit(lut), element_at(col("codes"), s + 1))
-    }: _*))
+    val recon = reconOf(collectCodebook(centroids), m)
     crossBroadcast(
       pqEncode(embeddings, centroids, m).withColumn("__recon", recon),
       query.select(col("embedding").as("qvec")))

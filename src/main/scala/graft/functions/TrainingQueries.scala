@@ -333,6 +333,15 @@ object TrainingQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       Similarity.pqTopK(e, cents, e.filter(col("vec_id") === 0), k = 10, m = 8)
     }),
+    // the production composition: IVF cells prune to nprobe=4, ADC ranks
+    // only the survivors by PQ reconstruction (FAISS IVFx,PQy layout)
+    "ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopK(e, cents, e.filter(col("vec_id") === 0),
+        k = 10, nprobe = 4, m = 8)
+    }),
     // corpus-level non-overlapping 10-token segment dedup (Lee et al.)
     "dd_chunks" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d)).orderBy("fp")),
@@ -911,6 +920,34 @@ object TrainingQueries {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT r.vec_id, e.label, ${cosSql("r.rv", "qv")} AS sim
          |FROM recon r JOIN embeddings e USING (vec_id) CROSS JOIN q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+    // IVF cell assignment + probe pruning on top of the PQ recon chain;
+    // same argmax/tie-break text as ann_ivf, same recon as ann_pq_adc
+    "ann_ivfpq" -> (pqBestCtes +
+      s"""
+         |, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cell AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM cents CROSS JOIN q
+         |  ORDER BY ${cosSql("cvec", "qv")} DESC, cid ASC LIMIT 4),
+         |recon AS (
+         |  SELECT vec_id,
+         |         flatten(list(list_slice(c.cvec, s*8 + 1, s*8 + 8)
+         |                      ORDER BY s)) AS rv
+         |  FROM best JOIN cents c USING (cid)
+         |  GROUP BY vec_id)
+         |SELECT r.vec_id, e.label, ${cosSql("r.rv", "qv")} AS sim
+         |FROM recon r
+         |JOIN cell USING (vec_id)
+         |JOIN probes USING (cid)
+         |JOIN embeddings e ON r.vec_id = e.vec_id
+         |CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
     // first-token blocking only: the engine's extra length-band key is a
     // pure refinement (levenshtein >= length difference), so the result

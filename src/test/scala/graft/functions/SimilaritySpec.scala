@@ -223,6 +223,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ with full probe coverage equals plain PQ ADC") {
+    // the composition contract: probing every cell makes the IVF prune
+    // a no-op, so the ADC ranking must be identical to pqTopK's
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0)
+    val full = Similarity.ivfPqTopK(emb, cents, q, k = 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val plain = Similarity.pqTopK(emb, cents, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == plain)
+    // partial probing returns a subset of the corpus, ranked the same way
+    val pruned = Similarity.ivfPqTopK(emb, cents, q, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.size == 10)
+  }
+
   test("PQ ADC ranking: reconstruction beats quantization noise floor") {
     // ADC top-10 for the corpus query must overlap the exact brute-force
     // top-10 — PQ with a 16-entry codebook per subspace is lossy, but on
