@@ -184,6 +184,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
+    // the native session_window OPERATOR (SessionWindowing plan node);
+    // exact-gap spacing merges (end-inclusive windows, spec-pinned)
+    "q_session_window" -> ((s, d) =>
+      streaming.EventsStream.sessionWindowBatch(sources.Tables.events(s, d))
+        .orderBy("user_id", "session_start")),
     // watermarked stream-stream interval join; the oracle is the batch
     // semantics (DuckDB) — on a fully-available source the watermark
     // drops nothing, so streaming == batch
@@ -465,6 +470,18 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // session_window twin: same islands as q_sessionize (session_window
+    // merges sessions whose [ts, ts+gap] windows TOUCH — an event spaced
+    // at exactly the gap still merges, pinned by StreamingSpec)
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |g AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM f),
+        |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events, max(ts) AS last_ts
+        |FROM h GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "m_supplier_performance" -> SupplierPerformance.oracleSql,
     // 5 parameterized single-day builds, one per replayed DAY_DT
     "pipeline_backfill" -> {

@@ -150,6 +150,31 @@ object EventsStream {
         max("ts").as("session_end"))
   }
 
+  /** Native `session_window` aggregation — the OPERATOR form of
+    * [[sessionizeBatch]] (a dedicated SessionWindowing plan node with
+    * merging session state, not a lag+running-sum window): events whose
+    * [ts, ts+gap) windows overlap merge into one session. The same
+    * groupBy runs unchanged under `readStream` with a watermark, where
+    * the state store merges sessions incrementally — which is why the
+    * operator matters beyond the windowed rewrite.
+    *
+    * Boundary semantics match [[sessionizeBatch]]: session_window
+    * merges sessions whose `[ts, ts+gap]` windows TOUCH, so an event
+    * spaced at exactly `gapMinutes` still merges — the same islands as
+    * the lag-based form's `> gap` split test. Not guessed: a
+    * `StreamingSpec` fixture places an event at exactly the gap and
+    * pins the merge on both forms (the corpus never spaces events at
+    * exactly the gap, so the oracle alone could not tell `>` from
+    * `>=`).
+    */
+  def sessionWindowBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("last_ts"))
+
   /** Batch twin of the stream-stream interval join: clicks attributed to
     * same-user purchases within the hour AFTER the click. The join
     * condition (equi-key + time band) is exactly what lets the streaming

@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  test("session_window boundary: exactly-gap spacing MERGES on both forms") {
+    // The fixture events are never spaced at exactly the gap, so the
+    // boundary behavior is invisible to the oracle — this spec places
+    // one. session_window merges sessions whose [ts, ts+gap] windows
+    // touch: an event exactly gap after the previous one still merges
+    // (same islands as sessionizeBatch's `> gap` split test); one
+    // minute past the gap splits.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val ev = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(29)),  // 29 min < gap: merge
+      (1L, 3L, ts(59)),                   // 30 min exactly: still merges
+      (1L, 4L, ts(90)),                   // 31 min: NEW session
+      (2L, 5L, ts(0))).toDF("user_id", "event_id", "ts")
+    val native = EventsStream.sessionWindowBatch(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val u1 = native.filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(u1.length == 2, s"expected 2 sessions for user 1: ${native.toSeq}")
+    assert(u1.map(_._3).toSeq == Seq(3L, 1L),
+      "exact-gap event merges into the first session; 31-min gap splits")
+    // the lag-based sessionizer draws the same islands
+    val lagBased = EventsStream.sessionizeBatch(ev)
+      .filter($"user_id" === 1L).orderBy("session_idx").collect()
+      .map(_.getLong(2))
+    assert(lagBased.toSeq == Seq(3L, 1L))
+  }
+
   test("streaming dedup keeps first doc per fingerprint, bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
