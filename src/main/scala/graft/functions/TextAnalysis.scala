@@ -136,6 +136,40 @@ object TextAnalysis {
       .select("doc_id", "token", "tf", "df", "tf_idf")
   }
 
+  /** Character-level Shannon entropy of the normalized text — the
+    * gibberish/degenerate-content signal quality pipelines threshold on
+    * (natural prose sits near the language's char entropy, ~2.5–3 nats
+    * for English; keyboard mash and single-char runs fall far below,
+    * base64/hex blobs above). H = −Σ (c/n)·ln(c/n) over per-doc char
+    * counts.
+    *
+    * Shape: chars explode from a sequence+substr array (identical
+    * semantics in any engine, the winnow construction), one shuffle at
+    * (doc, char) grain, totals join back at doc grain. Each entropy
+    * term rounds 9 dp through decimal and the per-doc sum runs AS
+    * DECIMAL — aggregation order cannot move the result (the BM25
+    * pattern).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val nt = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("t"))
+    val chars = nt.filter(length(col("t")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("t"))),
+          i => col("t").substr(i, lit(1)))).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum("c").as("n"))
+    val p = col("c").cast("double") / col("n")
+    val term = round((p * log(p)).cast(d2012), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 9))
+    counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("n"), term.as("term"))
+      .groupBy("doc_id")
+      .agg(max("n").cast("int").as("n_chars"),
+        (-sum(col("term"))).cast("double").as("entropy"))
+  }
+
   /** Repetition metrics, the Gopher/RefinedWeb-style filter signals for
     * boilerplate and degenerate generations: duplicate-token fraction
     * (1 − distinct/total), most-frequent-token coverage, and

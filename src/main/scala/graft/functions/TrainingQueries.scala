@@ -296,6 +296,8 @@ object TrainingQueries {
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
     "ts_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    "ts_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d)).orderBy("doc_id")),
     // sequence packing into 2048-token context windows, sharded by the
     // md5 hash shard (deterministic, parallel)
     "ts_pack" -> ((s, d) =>
@@ -545,6 +547,24 @@ object TrainingQueries {
            |LEFT JOIN wbest wb ON w.doc_id = wb.doc_id
            |ORDER BY w.doc_id""".stripMargin
     },
+    // entropy twin: identical term expression, 9dp round, decimal sum
+    "ts_entropy" ->
+      s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, length(t) + 1),
+         |                i -> substr(t, i, 1))) AS ch
+         |  FROM nt WHERE length(t) >= 1),
+         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+         |terms AS (
+         |  SELECT c.doc_id, n,
+         |         CAST(ROUND(CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+         |           AS DECIMAL(20,12)), 9) AS DECIMAL(20,9)) AS term
+         |  FROM c JOIN n USING (doc_id))
+         |SELECT doc_id, CAST(max(n) AS INT) AS n_chars,
+         |       CAST(-sum(term) AS DOUBLE) AS entropy
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ts_stratified" ->
       """SELECT doc_id, source, sample_rank FROM (
         |  SELECT doc_id, source,

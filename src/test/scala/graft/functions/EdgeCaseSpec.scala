@@ -52,6 +52,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "mixtureSample" -> (() =>
       TextAnalysis.mixtureSample(in, Map("a" -> 10L), 5L)),
     "winnow" -> (() => TextAnalysis.winnow(in)),
+    "charEntropy" -> (() => TextAnalysis.charEntropy(in)),
     "winnowPairs" -> (() => Dedup.winnowPairs(in)),
     "bm25TopK" -> (() => Search.bm25TopK(in, Seq("anything"))),
     "stratifiedSample" -> (() => TextAnalysis.stratifiedSample(in)),

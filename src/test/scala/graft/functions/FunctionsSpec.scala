@@ -182,6 +182,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(99L)._2 - expected) < 1e-6)
   }
 
+  test("charEntropy: hand-computed values, degenerate floor, prose band") {
+    val docs = Seq(
+      (1L, "aaaa"),            // single symbol: H = 0
+      (2L, "abab"),            // two equiprobable symbols: H = ln 2
+      (3L, "abcd"),            // four equiprobable: H = ln 4
+      (4L, "the quick brown fox jumps over the lazy dog")) // prose-ish
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((4, 0.0)))
+    assert(math.abs(out(2L)._2 - math.log(2)) < 1e-8)
+    assert(math.abs(out(3L)._2 - math.log(4)) < 1e-8)
+    // natural English text sits in the 2.5-3.2 nat band — the signal a
+    // gibberish threshold reads
+    assert(out(4L)._2 > 2.5 && out(4L)._2 < 3.3, s"got ${out(4L)._2}")
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+  }
+
   test("stratifiedSample: balanced, order-independent, reproducible") {
     val docs = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
       .toDF("doc_id", "source")
