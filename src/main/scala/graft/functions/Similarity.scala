@@ -413,6 +413,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF+PQ index: one row per vector — coarse cell id, PQ
+    * codes, and the columns a result needs (label) — written as parquet
+    * PARTITIONED BY centroid_id. This is the storage layout the serving
+    * path depends on: a probe of nprobe cells becomes a PARTITION-PRUNED
+    * scan (the reader lists only nprobe directories), so query cost
+    * scales with nprobe/|cells| of the index, not its size. The raw
+    * embedding column is deliberately NOT stored — the index is the
+    * compressed corpus (m code bytes + a cell id per vector, ~1/32 of
+    * float32 at m=8/d=64).
+    */
+  def writeIndex(embeddings: DataFrame, centroids: DataFrame, path: String,
+                 m: Int = 8): Unit =
+    pqEncode(assign(embeddings, centroids), centroids, m)
+      .select(col("vec_id"), col("label"), col("codes"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Serve a query from a stored [[writeIndex]] layout: rank the probe
+    * cells (centroid literals vs the query), scan ONLY those partitions
+    * (`isin` over the partition column — partition pruning, pinned by
+    * `PlanSpec`), reconstruct from codes, ADC-rank. No join anywhere:
+    * the probe set folds into the scan as a partition filter and the
+    * reconstruction is a literal map lookup.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  centroids: DataFrame, query: DataFrame, k: Int,
+                  nprobe: Int, m: Int = 8): DataFrame = {
+    val probeIds: Seq[Int] = crossBroadcast(centroids,
+        query.select(col("embedding").as("qvec")))
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
+      .orderBy(desc("csim"), asc("centroid_id"))
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val recon = reconOf(collectCodebook(centroids), m)
+    crossBroadcast(
+      spark.read.parquet(path)
+        .filter(col("centroid_id").isin(probeIds: _*))
+        .withColumn("__recon", recon),
+      query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("label"),
+        roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
     * is REPLACED by its reconstruction (the concatenation of its m
     * codebook subvectors — a literal map lookup per subspace, no join)

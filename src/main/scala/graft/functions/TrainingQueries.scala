@@ -141,6 +141,38 @@ object TrainingQueries {
       |             ORDER BY d2 ASC, cid ASC) AS rn
       |    FROM grid) WHERE rn = 1)""".stripMargin
 
+  // IVF cell assignment + probe pruning on top of the PQ recon chain;
+  // same argmax/tie-break text as ann_ivf, same recon as ann_pq_adc.
+  // Shared verbatim by ann_ivfpq (in-memory composition) and
+  // ann_index_scan (stored, partition-pruned serving path): the index
+  // layout must not change the answer.
+  private lazy val ivfPqSql: String = pqBestCtes +
+    s"""
+       |, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+       |                      c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) r WHERE rn = 1),
+       |probes AS (
+       |  SELECT cid FROM cents CROSS JOIN q
+       |  ORDER BY ${cosSql("cvec", "qv")} DESC, cid ASC LIMIT 4),
+       |recon AS (
+       |  SELECT vec_id,
+       |         flatten(list(list_slice(c.cvec, s*8 + 1, s*8 + 8)
+       |                      ORDER BY s)) AS rv
+       |  FROM best JOIN cents c USING (cid)
+       |  GROUP BY vec_id)
+       |SELECT r.vec_id, e.label, ${cosSql("r.rv", "qv")} AS sim
+       |FROM recon r
+       |JOIN cell USING (vec_id)
+       |JOIN probes USING (cid)
+       |JOIN embeddings e ON r.vec_id = e.vec_id
+       |CROSS JOIN q
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   // The near-dup funnel's pair graph is ONE computation feeding both
   // cluster assignment (dd_cluster) and canonical selection
   // (dd_canonical) — exactly as a production pipeline materializes
@@ -334,6 +366,19 @@ object TrainingQueries {
       val cents = e.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       Similarity.pqTopK(e, cents, e.filter(col("vec_id") === 0), k = 10, m = 8)
+    }),
+    // the STORED serving path: write the IVF+PQ index partitioned by
+    // cell, then answer the query from a partition-pruned scan of it
+    // (results must equal the in-memory ann_ivfpq composition)
+    "ann_index_scan" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_annidx").toString
+      Similarity.writeIndex(e, cents, dir)
+      Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
+        k = 10, nprobe = 4)
     }),
     // the production composition: IVF cells prune to nprobe=4, ADC ranks
     // only the survivors by PQ reconstruction (FAISS IVFx,PQy layout)
@@ -943,32 +988,9 @@ object TrainingQueries {
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
     // IVF cell assignment + probe pruning on top of the PQ recon chain;
     // same argmax/tie-break text as ann_ivf, same recon as ann_pq_adc
-    "ann_ivfpq" -> (pqBestCtes +
-      s"""
-         |, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cell AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
-         |                      c.cid ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) r WHERE rn = 1),
-         |probes AS (
-         |  SELECT cid FROM cents CROSS JOIN q
-         |  ORDER BY ${cosSql("cvec", "qv")} DESC, cid ASC LIMIT 4),
-         |recon AS (
-         |  SELECT vec_id,
-         |         flatten(list(list_slice(c.cvec, s*8 + 1, s*8 + 8)
-         |                      ORDER BY s)) AS rv
-         |  FROM best JOIN cents c USING (cid)
-         |  GROUP BY vec_id)
-         |SELECT r.vec_id, e.label, ${cosSql("r.rv", "qv")} AS sim
-         |FROM recon r
-         |JOIN cell USING (vec_id)
-         |JOIN probes USING (cid)
-         |JOIN embeddings e ON r.vec_id = e.vec_id
-         |CROSS JOIN q
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+    "ann_ivfpq" -> ivfPqSql,
+    // the stored index cannot change the answer: same oracle text
+    "ann_index_scan" -> ivfPqSql,
     // first-token blocking only: the engine's extra length-band key is a
     // pure refinement (levenshtein >= length difference), so the result
     // set is identical

@@ -196,6 +196,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("stored ANN index probe is a partition-pruned scan") {
+    // The serving contract of writeIndex/searchIndex: a probe of nprobe
+    // cells must LIST only nprobe partition directories — query cost
+    // scales with nprobe/|cells| of the index, not its size.
+    val e = Tables.embeddings(spark, sf)
+    val cents = e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val root = java.nio.file.Files.createTempDirectory("annidxplan")
+    try {
+      val dir = root.toString + "/idx"
+      functions.Similarity.writeIndex(e, cents, dir)
+      val out = functions.Similarity.searchIndex(
+        spark, dir, cents, e.filter(col("vec_id") === 0), k = 10, nprobe = 4)
+      out.collect()
+      // walk through AQE wrappers AND materialized query-stage
+      // boundaries (collect() alone stops at QueryStageExec leaves)
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case _ => Nil
+        }
+      val scans = scansOf(out.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected a file scan over the stored index")
+      val parts = scans.map(_.selectedPartitions.partitionCount)
+      assert(parts.exists(_ == 4),
+        s"probe must read exactly nprobe=4 partitions, read $parts")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("PQ encoding plans zero exchanges") {
     // Same contract as the IVF assignment: the codebook is a plan
     // literal, encoding is a narrow projection over the corpus scan —
