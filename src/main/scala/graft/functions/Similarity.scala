@@ -458,6 +458,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF+PQ serving: top-k for a whole FRAME of queries in one
+    * pass — the shape an offline retrieval job (hard-negative mining,
+    * k-NN graph construction, eval sweeps) actually runs, where
+    * per-query invocation would re-scan the index |Q| times.
+    *
+    * Plan: probe ranking is a |Q|×C cross join (C small by contract)
+    * cut to nprobe per query by a WindowGroupLimit; candidates come
+    * from ONE scan of the encoded corpus joined to the broadcast probe
+    * pairs on cell id — each index row is read once and fans out only
+    * to the queries probing its cell; the final per-query top-k is
+    * again rank ≤ k (WindowGroupLimit, no global sort). Query vectors
+    * ride the broadcast probe pairs, so no second join against the
+    * query frame is needed.
+    */
+  def searchBatch(embeddings: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, k: Int, nprobe: Int,
+                  m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeRank = Window.partitionBy("qid")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val probes = queries.select(col("qid"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
+      .withColumn("__pr", row_number().over(probeRank))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "qvec", "centroid_id")
+    val recon = reconOf(collectCodebook(centroids), m)
+    val resultRank = Window.partitionBy("qid")
+      .orderBy(desc("sim"), asc("vec_id"))
+    pqEncode(assignCached(embeddings, centroids), centroids, m)
+      .withColumn("__recon", recon)
+      .join(broadcast(probes), "centroid_id")
+      .select(col("qid"), col("vec_id"), col("label"),
+        roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
+      .withColumn("rnk", row_number().over(resultRank))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "sim")
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
     * is REPLACED by its reconstruction (the concatenation of its m
     * codebook subvectors — a literal map lookup per subspace, no join)

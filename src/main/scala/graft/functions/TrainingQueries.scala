@@ -380,6 +380,17 @@ object TrainingQueries {
       Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
         k = 10, nprobe = 4)
     }),
+    // batched retrieval: 3 queries served in ONE index pass (offline
+    // k-NN / hard-negative-mining shape), per-query rank <= k
+    "ann_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id").isin(0L, 17L, 42L))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.searchBatch(e, cents, qs, k = 5, nprobe = 4)
+        .orderBy("qid", "rnk")
+    }),
     // the production composition: IVF cells prune to nprobe=4, ADC ranks
     // only the survivors by PQ reconstruction (FAISS IVFx,PQy layout)
     "ann_ivfpq" -> ((s, d) => {
@@ -991,6 +1002,42 @@ object TrainingQueries {
     "ann_ivfpq" -> ivfPqSql,
     // the stored index cannot change the answer: same oracle text
     "ann_index_scan" -> ivfPqSql,
+    // batched twin: per-query probe rank + per-query result rank over
+    // the same cell/recon chain
+    "ann_batch" -> (pqBestCtes +
+      s"""
+         |, qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |         WHERE vec_id IN (0, 17, 42)),
+         |probes AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT qs.qid, qs.qv, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |             ORDER BY ${cosSql("c.cvec", "qs.qv")} DESC,
+         |                      c.cid ASC) AS pr
+         |    FROM qs CROSS JOIN cents c) p WHERE pr <= 4),
+         |cell AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r WHERE rn = 1),
+         |recon AS (
+         |  SELECT vec_id,
+         |         flatten(list(list_slice(c.cvec, s*8 + 1, s*8 + 8)
+         |                      ORDER BY s)) AS rv
+         |  FROM best JOIN cents c USING (cid)
+         |  GROUP BY vec_id),
+         |scored AS (
+         |  SELECT p.qid, r.vec_id, e.label, ${cosSql("r.rv", "p.qv")} AS sim
+         |  FROM recon r
+         |  JOIN cell USING (vec_id)
+         |  JOIN probes p USING (cid)
+         |  JOIN embeddings e ON r.vec_id = e.vec_id)
+         |SELECT qid, rnk, vec_id, label, sim FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk FROM scored) t
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
     // first-token blocking only: the engine's extra length-band key is a
     // pure refinement (levenshtein >= length difference), so the result
     // set is identical

@@ -240,6 +240,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned.size == 10)
   }
 
+  test("batched search equals per-query IVF+PQ for every query") {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val qids = Seq(0L, 17L, 42L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.searchBatch(emb, cents, qs, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    qids.foreach { q =>
+      val single = Similarity.ivfPqTopK(emb, cents,
+        emb.filter(col("vec_id") === q), k = 5, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) == single, s"batch row for query $q diverges")
+    }
+  }
+
   test("PQ ADC ranking: reconstruction beats quantization noise floor") {
     // ADC top-10 for the corpus query must overlap the exact brute-force
     // top-10 — PQ with a 16-entry codebook per subspace is lossy, but on
