@@ -438,7 +438,8 @@ object Similarity {
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   centroids: DataFrame, query: DataFrame, k: Int,
-                  nprobe: Int, m: Int = 8): DataFrame = {
+                  nprobe: Int, m: Int = 8,
+                  pred: Column = lit(true)): DataFrame = {
     val probeIds: Seq[Int] = crossBroadcast(centroids,
         query.select(col("embedding").as("qvec")))
       .select(col("centroid_id").cast("int").as("centroid_id"),
@@ -447,9 +448,16 @@ object Similarity {
       .limit(nprobe)
       .collect().map(_.getInt(0)).toIndexedSeq
     val recon = reconOf(collectCodebook(centroids), m)
+    // `pred` is FILTERED search (the "top-k among label = x" shape):
+    // a plain column predicate over stored metadata lands BEFORE the
+    // reconstruction projection, so Catalyst pushes it into the parquet
+    // scan (PushedFilters) — rows failing it never decode. Pre-filter,
+    // not post-filter: the k results are the best MATCHING vectors, not
+    // the matching subset of the unfiltered top-k.
     crossBroadcast(
       spark.read.parquet(path)
         .filter(col("centroid_id").isin(probeIds: _*))
+        .filter(pred)
         .withColumn("__recon", recon),
       query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),

@@ -146,7 +146,10 @@ object TrainingQueries {
   // Shared verbatim by ann_ivfpq (in-memory composition) and
   // ann_index_scan (stored, partition-pruned serving path): the index
   // layout must not change the answer.
-  private lazy val ivfPqSql: String = pqBestCtes +
+  private lazy val ivfPqSql: String = ivfPqSqlWhere("")
+  // same chain with a residual predicate on the stored metadata —
+  // filtered search: the top-k among matching rows (pre-filter)
+  private def ivfPqSqlWhere(where: String): String = pqBestCtes +
     s"""
        |, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |cell AS (
@@ -171,6 +174,7 @@ object TrainingQueries {
        |JOIN probes USING (cid)
        |JOIN embeddings e ON r.vec_id = e.vec_id
        |CROSS JOIN q
+       |$where
        |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // The near-dup funnel's pair graph is ONE computation feeding both
@@ -379,6 +383,19 @@ object TrainingQueries {
       Similarity.writeIndex(e, cents, dir)
       Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
         k = 10, nprobe = 4)
+    }),
+    // FILTERED search over the stored index: top-k among label = 2 —
+    // the predicate pushes into the parquet scan (pre-filter, so the
+    // k results are the best MATCHING vectors)
+    "ann_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_annflt").toString
+      Similarity.writeIndex(e, cents, dir)
+      Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
+        k = 10, nprobe = 4, pred = col("label") === 2)
     }),
     // batched retrieval: 3 queries served in ONE index pass (offline
     // k-NN / hard-negative-mining shape), per-query rank <= k
@@ -1002,6 +1019,7 @@ object TrainingQueries {
     "ann_ivfpq" -> ivfPqSql,
     // the stored index cannot change the answer: same oracle text
     "ann_index_scan" -> ivfPqSql,
+    "ann_filtered" -> ivfPqSqlWhere("WHERE e.label = 2"),
     // batched twin: per-query probe rank + per-query result rank over
     // the same cell/recon chain
     "ann_batch" -> (pqBestCtes +

@@ -227,6 +227,16 @@ class PlanSpec extends AnyFunSuite {
       val parts = scans.map(_.selectedPartitions.partitionCount)
       assert(parts.exists(_ == 4),
         s"probe must read exactly nprobe=4 partitions, read $parts")
+      // filtered search: the metadata predicate must reach the scan as
+      // a pushed parquet filter, not a post-scan Filter over decoded rows
+      val filtered = functions.Similarity.searchIndex(
+        spark, dir, cents, e.filter(col("vec_id") === 0), k = 10,
+        nprobe = 4, pred = col("label") === 2)
+      filtered.collect()
+      val fScans = scansOf(filtered.queryExecution.executedPlan)
+      val pushed = fScans.map(_.metadata.getOrElse("PushedFilters", ""))
+      assert(pushed.exists(_.contains("EqualTo(label,2)")),
+        s"label predicate not pushed to the index scan: $pushed")
     } finally {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
