@@ -184,6 +184,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
+    // streaming CDC apply: three update waves foreachBatch-MERGEd into
+    // a stored dimension; stream-order semantics (last wave wins)
+    "st_upsert" -> ((s, d) =>
+      streaming.EventsStream.streamingUpsertReplay(s, d)
+        .orderBy("user_id")),
     // the native session_window OPERATOR (SessionWindowing plan node);
     // exact-gap spacing merges (end-inclusive windows, spec-pinned)
     "q_session_window" -> ((s, d) =>
@@ -470,6 +475,21 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // stream-order twin: a user's final row comes from their LAST wave
+    // (wave = event_id % 3, applied 0 then 1 then 2), latest
+    // (ts, event_id) within it
+    "st_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+        |                  event_id % 3 AS wave FROM events),
+        |mx AS (SELECT user_id, max(wave) AS wave FROM e GROUP BY 1),
+        |w AS (SELECT e.* FROM e JOIN mx USING (user_id, wave))
+        |SELECT user_id, last_event_id, last_ts, last_type, last_value FROM (
+        |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |         event_type AS last_type, value AS last_value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM w) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // session_window twin: same islands as q_sessionize (session_window
     // merges sessions whose [ts, ts+gap] windows TOUCH — an event spaced
     // at exactly the gap still merges, pinned by StreamingSpec)

@@ -175,6 +175,66 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("last_ts"))
 
+  /** Streaming CDC apply: a micro-batched update stream upserted into a
+    * stored dimension via `foreachBatch` + MERGE — the production
+    * pattern for maintaining a serving table from a change stream
+    * (Structured Streaming has no native MERGE sink; foreachBatch is
+    * the documented recipe). Each micro-batch first collapses to its
+    * LATEST row per key (ts desc, event_id desc) so a batch carrying
+    * several updates for one key applies exactly once, then
+    * [[graft.pipeline.LayerWriter.mergeInto]] write-temp-swaps the
+    * dimension.
+    *
+    * The replay drives three update waves (event_id % 3) through the
+    * stream with a barrier between drops, so arrival order is
+    * deterministic: the final dimension row for a user comes from the
+    * LAST wave containing that user (stream-order semantics — a later
+    * batch overwrites, whatever its timestamps), with (ts, event_id)
+    * deciding within the wave. The oracle replicates exactly that:
+    * wave-major, timestamp-minor.
+    */
+  def streamingUpsertReplay(spark: SparkSession, sfDir: String): DataFrame =
+    streamingUpsertReplay(spark,
+      graft.sources.Tables.events(spark, sfDir))
+
+  /** [[streamingUpsertReplay]] over an explicit update frame (specs feed
+    * hand-placed waves; the query entry feeds the events table).
+    */
+  def streamingUpsertReplay(spark: SparkSession,
+                            events: DataFrame): DataFrame = {
+    val ev = events.select("user_id", "event_id", "ts", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val dropDir = root.resolve("drop")
+    java.nio.file.Files.createDirectories(dropDir)
+    val destDir = root.resolve("dim").toString
+    def drop(mod: Int): Unit =
+      ev.filter(col("event_id") % 3 === mod)
+        .write.mode("append").parquet(dropDir.toString)
+    drop(0)
+    val q = spark.readStream.schema(ev.schema).parquet(dropDir.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.pipeline.LayerWriter.mergeInto(
+          spark, latest, destDir, Seq("user_id"), Seq.empty)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // wave 0 applies alone
+      drop(1); q.processAllAvailable()
+      drop(2); q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(destDir)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
   /** Batch twin of the stream-stream interval join: clicks attributed to
     * same-user purchases within the hour AFTER the click. The join
     * condition (equi-key + time band) is exactly what lets the streaming

@@ -133,6 +133,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(lagBased.toSeq == Seq(3L, 1L))
   }
 
+  test("CDC upsert replay: stream order wins over timestamps") {
+    // user 1's wave-1 update (event_id % 3 == 1) carries a LATER
+    // timestamp than their wave-2 update — stream-order semantics mean
+    // the wave-2 row still wins (a later batch overwrites, whatever its
+    // timestamps); user 2 exists only in wave 0 and must survive both
+    // later merges untouched
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val ev = Seq(
+      (1L, 3L, ts(0), "a", 1.0),   // wave 0
+      (1L, 7L, ts(99), "b", 2.0),  // wave 1, latest ts overall
+      (1L, 5L, ts(50), "c", 3.0),  // wave 2 — must win anyway
+      (2L, 6L, ts(10), "d", 4.0))  // wave 0 only
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventsStream.streamingUpsertReplay(spark, ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out(1L) == ((5L, "c")),
+      s"wave-2 update must overwrite the later-ts wave-1 row: $out")
+    assert(out(2L) == ((6L, "d")), "wave-0-only row survives later merges")
+  }
+
   test("streaming dedup keeps first doc per fingerprint, bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
