@@ -486,8 +486,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val probeRank = Window.partitionBy("qid")
       .orderBy(desc("csim"), asc("centroid_id"))
-    val probes = queries.select(col("qid"), col("embedding").as("qvec"))
-      .crossJoin(broadcast(centroids))
+    val probes = crossBroadcast(
+        queries.select(col("qid"), col("embedding").as("qvec")), centroids)
       .select(col("qid"), col("qvec"), col("centroid_id"),
         roundSim(cosine(col("cvec"), col("qvec"))).as("csim"))
       .withColumn("__pr", row_number().over(probeRank))
