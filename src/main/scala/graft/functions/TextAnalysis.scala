@@ -371,8 +371,10 @@ object TextAnalysis {
     // revisions exploded every position and ran a doc-partitioned window
     // min — same answer, but it paid a 10M-row sort at sf0.1 and
     // materialized the per-position frame through the window operator;
-    // this form's only shuffle is the final distinct at (doc, fp) grain,
-    // over the already-deduped per-doc survivors (~1/w of positions).
+    // this form has NO shuffle at all: array_distinct dedups each doc's
+    // survivors (~1/w of positions) before the explode, and (doc, fp)
+    // rows from distinct docs can't collide — the output is distinct by
+    // construction, beyond-the-exchange-free.
     // nPos >= w ⟺ length >= k+w−1: the no-full-window contract, and it
     // keeps sequence(w, size) ascending (a shorter doc would flip it
     // descending and drive slice's start to 0 — a runtime error)
@@ -383,7 +385,6 @@ object TextAnalysis {
     hashed.select(col("doc_id"),
       explode(array_distinct(transform(sequence(lit(w), size(col("hs"))),
         j => array_min(slice(col("hs"), j - (w - 1), lit(w)))))).as("fp"))
-      .distinct()
   }
 
   /** 256-bucket md5 shard of an id column — the ONE sharding primitive
