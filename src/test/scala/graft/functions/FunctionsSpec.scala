@@ -240,6 +240,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse, "descending by score")
   }
 
+  test("winnow guarantee holds on generated corpora (property form)") {
+    // 20 generated pairs, one planted shared fragment of exactly
+    // k+w-1 = 11 normalized chars each (the guarantee's minimum), at
+    // random positions inside otherwise-independent random prose; all
+    // 40 docs go through ONE winnow call. Every pair must share >= 1
+    // fingerprint — the positional guarantee, not a hash accident.
+    val rng = new scala.util.Random(4242)
+    def word() = (1 to (2 + rng.nextInt(6)))
+      .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    def prose(n: Int) = Seq.fill(n)(word()).mkString(" ")
+    val docs = (0 until 20).flatMap { i =>
+      val frag = prose(4).take(11) // 11 normalized chars incl. spaces
+      def host = {
+        val (l, r) = (prose(3 + rng.nextInt(8)), prose(3 + rng.nextInt(8)))
+        s"$l $frag $r"
+      }
+      Seq((i * 2L, host), (i * 2L + 1, host))
+        .map { case (id, t) => (id, t) }
+    }.toDF("doc_id", "text")
+    val bySet = TextAnalysis.winnow(docs, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 20).foreach { i =>
+      val (a, b) = (i * 2L, i * 2L + 1)
+      assert((bySet(a) & bySet(b)).nonEmpty,
+        s"pair $i shares an 11-char fragment but no fingerprint")
+    }
+  }
+
   test("winnow: shared substrings guarantee shared fingerprints") {
     import org.apache.spark.sql.functions.col
     // k=8, w=4: any common substring of length >= 11 chars must yield a
