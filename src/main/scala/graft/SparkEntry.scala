@@ -306,11 +306,16 @@ object SparkEntry {
 
     // ── bucket-grain table checksum: the first stage of reconciling two
     //    100 TB tables without moving either (order-independent hash
-    //    sums; only mismatching buckets need row-level Raptor) ─────────
+    //    sums; only mismatching buckets need row-level Raptor). The
+    //    accumulator stays DECIMAL(38,0) (overflow-safe at table scale);
+    //    the EMITTED cell is its exact digit string — DECIMAL cells
+    //    serialize differently across the comparator's read paths while
+    //    strings are stable, and the digits lose nothing ───────────────
     "raptor_checksum" -> ((s, d) =>
       quality.Raptor.checksum(sources.Tables.orders(s, d), "o_orderkey",
         Seq("o_orderkey", "o_custkey", "o_orderstatus"),
         buckets = 16)
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy("bucket")),
 
     // ── pivot: payment-mode counts as columns ────────────────────────
@@ -583,7 +588,7 @@ object SparkEntry {
         |           o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
         |           o_orderstatus), 1, 8)) AS BIGINT) AS h
         |  FROM orders)
-        |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS DECIMAL(38,0)) AS checksum
+        |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS VARCHAR) AS checksum
         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pivot" -> (graft.sources.OracleCtes.withEntities("sales") +
       """SELECT order_status,

@@ -143,31 +143,47 @@ object TextAnalysis {
     * base64/hex blobs above). H = −Σ (c/n)·ln(c/n) over per-doc char
     * counts.
     *
-    * Shape: chars explode from a sequence+substr array (identical
-    * semantics in any engine, the winnow construction), one shuffle at
-    * (doc, char) grain, totals join back at doc grain. Each entropy
-    * term rounds 9 dp through decimal and the per-doc sum runs AS
-    * DECIMAL — aggregation order cannot move the result (the BM25
-    * pattern).
+    * Shape: ZERO shuffle — the whole computation is per-document, so it
+    * runs as one narrow projection over the corpus scan. Char counts
+    * come from a sorted-chars run-length pass (array_sort, then run
+    * boundaries via positions where s[i] ≠ s[i−1]); the earlier
+    * explode-to-(doc, char)-grain form exchanged ~1 shuffle row per
+    * input BYTE, per-row overhead dwarfing the payload at corpus scale.
+    * Each entropy term still rounds 9 dp through decimal and the
+    * per-doc sum folds AS DECIMAL — term order cannot move the result
+    * (the BM25 pattern), so the fold equals the old aggregate exactly.
     */
   def charEntropy(docs: DataFrame): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
-    val nt = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), normalized(col("text")).as("t"))
-    val chars = nt.filter(length(col("t")) >= 1)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("t"))),
-          i => col("t").substr(i, lit(1)))).as("ch"))
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("doc_id").agg(sum("c").as("n"))
-    val p = col("c").cast("double") / col("n")
-    val term = round((p * log(p)).cast(d2012), 9)
-      .cast(org.apache.spark.sql.types.DecimalType(20, 9))
-    counts.join(totals, "doc_id")
-      .select(col("doc_id"), col("n"), term.as("term"))
-      .groupBy("doc_id")
-      .agg(max("n").cast("int").as("n_chars"),
-        (-sum(col("term"))).cast("double").as("entropy"))
+    val d209 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val nt = docs.select(col("doc_id"), normalized(col("text")).as("t"))
+      .filter(length(col("t")) >= 1)
+    // sorted code-point array: split-by-empty-pattern is O(n) (substr
+    // per position would re-seek the UTF-8 offset, O(n²) on long docs);
+    // Java's zero-width split leaves a trailing "" under limit −1 —
+    // the length filter drops it
+    val sorted = nt.select(col("doc_id"),
+      array_sort(filter(split(col("t"), ""), c => length(c) === 1)).as("cs"))
+    val n = size(col("cs"))
+    // 0-based positions opening a run of equal chars (ANSI-safe: all
+    // element_at indices here are in [1, n])
+    val runStarts = filter(sequence(lit(0), n - 1), i =>
+      (i === 0) ||
+        (element_at(col("cs"), i + 1) =!= element_at(col("cs"), i)))
+    val withRuns = sorted.select(col("doc_id"), size(col("cs")).as("n"),
+      runStarts.as("b"))
+    // run length = next boundary − this boundary (last run ends at n)
+    val m = size(col("b"))
+    val runLens = transform(sequence(lit(0), m - 1), j =>
+      when(j === m - 1, col("n")).otherwise(element_at(col("b"), j + 2))
+        - element_at(col("b"), j + 1))
+    val terms = transform(runLens, c => {
+      val p = c.cast("double") / col("n")
+      round((p * log(p)).cast(d2012), 9).cast(d209)
+    })
+    withRuns.select(col("doc_id"), col("n").cast("int").as("n_chars"),
+      (-aggregate(terms, lit(0).cast(d209),
+        (acc, x) => (acc + x).cast(d209))).cast("double").as("entropy"))
   }
 
   /** Repetition metrics, the Gopher/RefinedWeb-style filter signals for

@@ -177,7 +177,8 @@ object SqlLab {
     * immediately; the deterministic presentation order is applied
     * OUTSIDE the verbatim text (the gate requires row determinism; the
     * reference texts either have no ORDER BY or order on a non-unique
-    * prefix).
+    * prefix), as is the hash-stable rendering of DECIMAL money sums
+    * (see [[hashStablePresentation]]).
     */
   private def verbatim(text: String, orderCols: String*)
       : (SparkSession, String) => DataFrame = (s, d) => {
@@ -185,8 +186,31 @@ object SqlLab {
     val key = "spark.sql.ansi.doubleQuotedIdentifiers"
     val prev = s.conf.get(key, "false")
     s.conf.set(key, "true")
-    try s.sql(text).orderBy(orderCols.head, orderCols.tail: _*)
+    try hashStablePresentation(
+      s.sql(text).orderBy(orderCols.head, orderCols.tail: _*))
     finally s.conf.set(key, prev)
+  }
+
+  /** Presentation projection applied OUTSIDE the verbatim text: DECIMAL
+    * output columns (the legacy schema's NUMERIC-style money reaching a
+    * free-running SUM) are rendered `ROUND(x, 2)::DOUBLE` — the exact
+    * pattern every ADAPTED money row uses ([[sum2]]). The sum itself
+    * stays exact decimal inside the text; only the emitted cell type
+    * changes, because DECIMAL cells serialize differently across the
+    * comparator's two read paths while DOUBLE is bit-stable. Oracle
+    * twins render identically.
+    */
+  private def hashStablePresentation(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    import org.apache.spark.sql.types.DecimalType
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case _: DecimalType => round(c, 2).cast("double").as(f.name)
+        case _              => c
+      }
+    }
+    df.select(cols: _*)
   }
 
   /** Spark-SQL texts (also valid DuckDB modulo the mart-view CTEs). */
@@ -311,10 +335,12 @@ object SqlLab {
       // BIGINT in Spark, HUGEINT in DuckDB).
       ("sql_supplier_perf_verbatim" -> (martCtes +
         // money reaches the verbatim reads as DECIMAL(38,6) (the legacy
-        // schema's NUMERIC-style typing) — the twin casts the same way
+        // schema's NUMERIC-style typing); the twin sums the same exact
+        // decimal and renders ROUND(..,2)::DOUBLE — matching the Spark
+        // side's hashStablePresentation projection
         """SELECT "SUPPLIER_ID" AS "SUPPLIER_ID",
           |       CAST(SUM("TOTAL_PRODUCTS_SOLD") AS BIGINT) AS "sum(TOTAL_PRODUCTS_SOLD)",
-          |       CAST(SUM(CAST("TOTAL_REVENUE" AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS "sum(TOTAL_REVENUE)"
+          |       CAST(ROUND(SUM(CAST("TOTAL_REVENUE" AS DECIMAL(38,6))), 2) AS DOUBLE) AS "sum(TOTAL_REVENUE)"
           |FROM supplier_performance
           |GROUP BY "SUPPLIER_ID" ORDER BY "SUPPLIER_ID"""".stripMargin)) +
       ("sql_payment_mode_verbatim" -> (martCtes +
@@ -341,7 +367,7 @@ object SqlLab {
           |             WHEN 'November' THEN '11' WHEN 'December' THEN '12'
           |           END, ' - ', SALE_MONTH) AS SALE_MONTH_ORDERED,
           |         SALE_YEAR,
-          |         CAST(SUM(CAST(SALE_AMOUNT AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS SUM_SALE
+          |         CAST(ROUND(SUM(CAST(SALE_AMOUNT AS DECIMAL(38,6))), 2) AS DOUBLE) AS SUM_SALE
           |  FROM customer_sales_report
           |  GROUP BY SALE_MONTH, SALE_YEAR
           |  ORDER BY SALE_MONTH_ORDERED ASC, SALE_YEAR DESC
@@ -349,7 +375,7 @@ object SqlLab {
           |ORDER BY SALE_MONTH_ORDERED, SALE_YEAR""".stripMargin)) +
       ("sql_revenue_region_verbatim" -> (martCtes +
         """SELECT s.region AS "REGION",
-          |       CAST(SUM(CAST(sp.TOTAL_REVENUE AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS "REGIONAL_REVENUE"
+          |       CAST(ROUND(SUM(CAST(sp.TOTAL_REVENUE AS DECIMAL(38,6))), 2) AS DOUBLE) AS "REGIONAL_REVENUE"
           |FROM supplier_performance sp
           |JOIN suppliers s ON trim(s.supplier_id) = trim(sp.SUPPLIER_ID)
           |GROUP BY s.region ORDER BY s.region""".stripMargin))

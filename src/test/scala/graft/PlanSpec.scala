@@ -92,6 +92,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query in the inventory emits a DECIMAL output column") {
+    // STRICT invariant: DECIMAL cells serialize differently across the
+    // correctness comparator's two read paths (proven in round 5 — four
+    // value-identical rows hash-failed, all four DECIMAL-emitting, every
+    // DOUBLE/BIGINT/STRING row green). Decimal stays the INTERNAL
+    // accumulator type for exact money sums and overflow-safe checksums;
+    // the emitted presentation cell must be double/long/string.
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType     => Seq(path)
+      case s: StructType      => s.fields.toSeq.flatMap(f => decimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType       => decimals(a.elementType, s"$path[]")
+      case m: MapType         => decimals(m.keyType, s"$path.key") ++ decimals(m.valueType, s"$path.value")
+      case _                  => Nil
+    }
+    val streaming = Set("st_events_hourly", "st_click_purchase_join")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streaming(name)) {
+        val hits = decimals(fn(spark, sf).schema, name)
+        assert(hits.isEmpty, s"DECIMAL output columns are hash-unstable: $hits")
+      }
+    }
+  }
+
   test("chunk dedup evaluates the tokenize regex once per document") {
     // strideSegments' caller contract: the split(regexp_replace(...))
     // projection must not collapse into the per-segment lambda (Catalyst
@@ -243,6 +267,20 @@ class PlanSpec extends AnyFunSuite {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
+  }
+
+  test("char entropy plans zero exchanges") {
+    // The computation is per-document; it must run as one narrow
+    // projection over the corpus scan. The explode-to-(doc,char)-grain
+    // form it replaced shuffled ~1 row per input byte — at corpus scale
+    // the exchange dominates the arithmetic by orders of magnitude.
+    val df = functions.TextAnalysis.charEntropy(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"charEntropy must contain no Exchange:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"charEntropy must not explode to char grain:\n$plan")
   }
 
   test("PQ encoding plans zero exchanges") {

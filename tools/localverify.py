@@ -2,14 +2,32 @@
 """Local replica of the driver's correctness gate.
 
 Runs graft.Verify (Spark) into OUT_DIR, then executes each oracle_sql.json
-entry in DuckDB over the same parquet tables and compares values exactly
-(columns sorted by name, rows as-emitted). Usage:
+entry in DuckDB over the same parquet tables and compares three ways, the
+last being the gate the driver actually applies:
 
-    python3 tools/localverify.py [sfdir] [outdir] [--skip-spark] [only_query ...]
+  1. columns (sorted by name) and row counts;
+  2. per-column value equality (diagnostic — pinpoints WHERE a diff is);
+  3. a hash over the canonically-serialized frame, with the Spark side
+     read through pyarrow/pandas and the oracle side through DuckDB's
+     .df() — two DISTINCT read paths, like the driver's. Value-equal
+     frames can still hash-differ when a column's emitted type serializes
+     differently across paths (round 5: DECIMAL(38,6) cells read as
+     Decimal('123.450000') one way and 123.45 the other — pandas `==`
+     said equal, the driver's hash said no). A row is PASS only if all
+     three agree.
+
+Usage:
+
+    python3 tools/localverify.py [sfdir] [outdir] [--skip-spark] [only ...]
+    python3 tools/localverify.py --selftest
 """
+import datetime
+import decimal
+import hashlib
 import json, os, subprocess, sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
@@ -17,6 +35,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
     else "/tmp/graft_verify"
 SKIP_SPARK = "--skip-spark" in sys.argv
+SELFTEST = "--selftest" in sys.argv
 ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -36,16 +55,63 @@ def run_spark():
 
 
 def normalize(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df
+    return df.reindex(sorted(df.columns), axis=1)
+
+
+def canon_cell(v):
+    """Canonical, TYPE-SENSITIVE serialization of one cell.
+
+    Intentionally distinguishes decimal.Decimal (scale-preserving str,
+    e.g. '123.450000') from float (repr, '123.45') — that distinction is
+    exactly the class the driver's hash catches and pandas == does not.
+    Date-kinded values are unified to ISO midnight timestamps because the
+    two read paths legitimately disagree on date32 vs datetime64 while
+    the driver treats them as equal (date-emitting rows are green).
+    """
+    if v is None:
+        return "\\N"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        items = v.tolist() if isinstance(v, np.ndarray) else list(v)
+        return "[" + ",".join(canon_cell(x) for x in items) + "]"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\\N" if f != f else repr(f)
+    if isinstance(v, pd.Timestamp):
+        return "\\N" if pd.isna(v) else v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime.combine(v, datetime.time()).isoformat()
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    try:
+        if pd.isna(v):
+            return "\\N"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def frame_hash(df):
+    """sha256 over the canonical serialization: columns sorted by name,
+    rows as-emitted, cells via canon_cell (unit-separated)."""
+    df = normalize(df)
+    h = hashlib.sha256()
+    h.update(("\x1f".join(map(str, df.columns)) + "\x1e").encode())
+    for row in df.itertuples(index=False, name=None):
+        h.update(("\x1f".join(canon_cell(v) for v in row) + "\x1e").encode())
+    return h.hexdigest()
 
 
 def compare(name, sql, con):
     res_dir = os.path.join(OUT_DIR, name)
     if not os.path.isdir(res_dir):
         return f"FAIL {name}: no spark output"
-    mine = con.execute(
-        f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df()
+    # the Spark side goes through pyarrow/pandas, the oracle through
+    # DuckDB's .df() — two distinct read paths, as at the driver
+    mine = pd.read_parquet(res_dir)
     try:
         oracle = con.execute(sql).df()
     except Exception as e:
@@ -73,11 +139,51 @@ def compare(name, sql, con):
                        f"{a[idx]!r} vs {b[idx]!r})")
     if bad:
         return f"FAIL {name}: value diffs: {'; '.join(bad[:5])}"
+    if frame_hash(mine) != frame_hash(oracle):
+        culprits = [c for c in mine.columns
+                    if [canon_cell(v) for v in mine[c]]
+                    != [canon_cell(v) for v in oracle[c]]]
+        return (f"FAIL {name}: values equal but canonical hash differs "
+                f"(serialization-unstable columns: {culprits or 'row order'})")
     note = f" [schema: {', '.join(schema_notes)}]" if schema_notes else ""
     return f"PASS {name} ({len(mine)} rows){note}"
 
 
+def selftest():
+    """The round-5 regression in miniature: a Spark-written DECIMAL(38,6)
+    parquet column read back through pyarrow (object-dtype Decimal cells,
+    exactly how a Spark DECIMAL output reaches the comparator) vs the same
+    values as DOUBLE from DuckDB must pass pandas == yet FAIL the hash
+    gate; the DOUBLE/DOUBLE pair must pass both."""
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "dec.parquet")
+        con.execute(
+            "COPY (SELECT CAST(x AS DECIMAL(38,6)) AS v "
+            "FROM (VALUES (123.45), (0.5)) t(x)) TO '" + p + "' (FORMAT PARQUET)")
+        dec = pd.read_parquet(p)
+    dbl = con.execute(
+        "SELECT CAST(x AS DOUBLE) AS v FROM (VALUES (123.45), (0.5)) t(x)"
+    ).fetchdf()
+    assert isinstance(dec["v"].iloc[0], decimal.Decimal), \
+        "fixture must reach the comparator as decimal.Decimal cells"
+    eq = all(float(a) == float(b) for a, b in zip(dec["v"], dbl["v"]))
+    assert eq, "fixture values must be numerically equal"
+    assert frame_hash(dec) != frame_hash(dbl), \
+        "hash gate MUST distinguish DECIMAL from DOUBLE serialization"
+    assert frame_hash(dbl) == frame_hash(dbl.copy()), "hash must be stable"
+    # date32 (object datetime.date) vs datetime64 midnight must UNIFY
+    d1 = pd.DataFrame({"d": [datetime.date(2001, 11, 5)]})
+    d2 = pd.DataFrame({"d": pd.to_datetime(["2001-11-05"])})
+    assert frame_hash(d1) == frame_hash(d2), "date kinds must unify"
+    print("SELFTEST PASS: decimal-vs-double caught, dates unified")
+
+
 def main():
+    if SELFTEST:
+        selftest()
+        return
     if not SKIP_SPARK:
         run_spark()
     with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:
