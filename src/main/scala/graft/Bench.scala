@@ -79,20 +79,34 @@ object Bench {
           }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    // The SQL-lab queries share one set of materialized mart views
-    // (SqlLab.registerViews: cached marts + legacy catalog tables).
-    // Filling them inside the cold pass would land the whole build cost
-    // on whichever sql_* query runs first alphabetically (round-4 cold
-    // artifact: three 10-15 s lines that were ~0.5 s queries); fill them
-    // ONCE here and attribute the cost to an explicit named line so cold
-    // numbers mean per-query cost.
-    val fill: Seq[(String, Double, Boolean)] =
-      if (ordered.exists(_._1.startsWith("sql_"))) {
-        val t0 = System.nanoTime()
-        sqllab.SqlLab.registerViews(spark, sfDir)
-        Seq(("__sqllab_fill", (System.nanoTime() - t0) / 1e9, true))
-      } else Seq.empty
-    val cold = fill ++ pass("cold") // fills remaining caches, codegen, page cache
+    // Shared cache fills run BEFORE the cold pass, each timed as its own
+    // named line: filling them inside the pass would land a shared build
+    // cost on whichever consumer runs first alphabetically (round-4 cold
+    // artifact: three 10-15 s sql_* lines that were ~0.5 s queries;
+    // round-5: dd_canonical at 13 s that is a 0.2 s query). A fill runs
+    // only when one of its consumers is selected.
+    val fillLines = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    def timeFill(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { body; true } catch {
+          case e: Throwable =>
+            errors(s"$name@cold") =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+        }
+      fillLines += ((name, (System.nanoTime() - t0) / 1e9, ok))
+    }
+    // SQL-lab mart views + legacy catalog tables
+    if (ordered.exists(_._1.startsWith("sql_")))
+      timeFill("__sqllab_fill")(sqllab.SqlLab.registerViews(spark, sfDir))
+    // dedup/curation memo fills (LSH signatures, pair-graph closure,
+    // band index) — declared next to the queries that consume them
+    functions.TrainingQueries.coldFills.foreach { case (name, consumers, thunk) =>
+      if (ordered.exists(kv => consumers(kv._1)))
+        timeFill(name)(thunk(spark, sfDir))
+    }
+    val cold = fillLines.toSeq ++ pass("cold") // fills remaining caches, codegen, page cache
     val warm1 = pass("warm1")
     val warm2 = pass("warm2")
     val warm = warm1.zip(warm2).map { case ((k, a, okA), (_, b, okB)) =>

@@ -163,17 +163,20 @@ object SparkEntry {
     //    Excluded from Bench (it is an ETL replay, not a query; see
     //    Bench.excluded).
     "pipeline_backfill" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_backfill").toString
-      val catalog = pipeline.LayerCatalog(root)
+      val root = java.nio.file.Files.createTempDirectory("graft_backfill")
+      val catalog = pipeline.LayerCatalog(root.toString)
       pipeline.MetaMorphPipeline.backfill(s, d, catalog, clock, days = 5,
         idempotent = true)
-      s.read.parquet(catalog.legacy("supplier_performance"))
-        .select(col("DAY_DT").cast("date").as("DAY_DT"), col("SUPPLIER_ID"),
-          col("SUPPLIER_NAME"), col("TOTAL_REVENUE"),
-          col("TOTAL_PRODUCTS_SOLD"), col("TOTAL_STOCK_SOLD"),
-          col("TOP_SELLING_PRODUCT"))
-        .orderBy("DAY_DT", "SUPPLIER_ID")
+      // mart-history-sized result: pin it, drop the scratch catalog
+      // (repeated gate runs must not accumulate layered copies on disk)
+      core.Scratch.materializeAndDelete(
+        s.read.parquet(catalog.legacy("supplier_performance"))
+          .select(col("DAY_DT").cast("date").as("DAY_DT"), col("SUPPLIER_ID"),
+            col("SUPPLIER_NAME"), col("TOTAL_REVENUE"),
+            col("TOTAL_PRODUCTS_SOLD"), col("TOTAL_STOCK_SOLD"),
+            col("TOP_SELLING_PRODUCT"))
+          .orderBy("DAY_DT", "SUPPLIER_ID"),
+        root)
     }),
 
     // ── streaming (engine extension; batch twin = oracle) ────────────

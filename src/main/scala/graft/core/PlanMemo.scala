@@ -3,6 +3,7 @@ package graft.core
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Session-scoped memo for operator-INTERNAL cached frames (shingle
   * sets, signature frames, band indexes): the factored form of the
@@ -20,31 +21,77 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * leak, warm reuse.
   *
   * Lookup matches with `sameResult` (a semantic-hash key alone could
-  * collide and silently serve the wrong frame); entries of stopped
-  * sessions are evicted before every lookup.
+  * collide and silently serve the wrong frame) AND a fingerprint of the
+  * file listings under the plan's scans. sameResult alone is NOT enough
+  * for file sources: InMemoryFileIndex.equals compares only rootPaths,
+  * so a parquet path re-read AFTER an append/overwrite canonicalizes
+  * equal to the pre-write plan — the documented incremental workflow
+  * (a stored band/fingerprint index updated per wave and re-probed in
+  * the same session) would silently probe the PREVIOUS wave's index.
+  * Spark writers emit unique part-file names, so any append or
+  * overwrite changes the listing and therefore the fingerprint; a
+  * post-write re-read misses the stale entry and caches fresh (the
+  * stale one ages out of the LRU). [[invalidate]] additionally drops a
+  * tag's entries eagerly for callers that know they just rewrote the
+  * backing path.
+  *
+  * Entries of stopped sessions are evicted before every lookup.
   */
 object PlanMemo {
   private final val MaxPerTag = 4
   private val memo = new ConcurrentHashMap[(SparkSession, String),
-    List[(LogicalPlan, DataFrame)]]()
+    List[(LogicalPlan, Long, DataFrame)]]()
+
+  /** Order-independent hash of every file path + size under the plan's
+    * file-source scans (the listing is pinned at read time inside the
+    * relation's FileIndex, so this reflects what the plan WILL read,
+    * not what the path holds now).
+    */
+  private def fileFingerprint(plan: LogicalPlan): Long = {
+    var h = 1125899906842597L
+    plan.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            // sum, not fold: leaf iteration order must not matter
+            var acc = 0L
+            fs.location.inputFiles.foreach(f => acc += f.hashCode.toLong)
+            h = h * 31 + acc
+            h = h * 31 + fs.location.sizeInBytes
+          case _ => ()
+        }
+      case _ => ()
+    }
+    h
+  }
 
   def cached(tag: String, df: DataFrame): DataFrame = {
     memo.keySet.removeIf(_._1.sparkContext.isStopped)
     val plan = df.queryExecution.analyzed
+    val fp = fileFingerprint(plan)
     var out: DataFrame = df
     memo.compute((df.sparkSession, tag), (_, prev) => {
       val entries = Option(prev).getOrElse(Nil)
-      entries.find(_._1.sameResult(plan)) match {
+      entries.find(e => e._2 == fp && e._1.sameResult(plan)) match {
         case Some(hit) =>
-          out = hit._2
+          out = hit._3
           hit :: entries.filterNot(_ eq hit) // move-to-front LRU
         case None =>
-          val (keep, evict) = ((plan, df.cache()) :: entries).splitAt(MaxPerTag)
-          evict.foreach(_._2.unpersist(blocking = false))
-          out = keep.head._2
+          val (keep, evict) = ((plan, fp, df.cache()) :: entries).splitAt(MaxPerTag)
+          evict.foreach(_._3.unpersist(blocking = false))
+          out = keep.head._3
           keep
       }
     })
     out
+  }
+
+  /** Eagerly drop (and unpersist) every entry under `tag` for the
+    * session — for callers that just rewrote a backing path and want
+    * the executor storage back immediately rather than via LRU aging.
+    */
+  def invalidate(spark: SparkSession, tag: String): Unit = {
+    val dropped = memo.remove((spark, tag))
+    Option(dropped).foreach(_.foreach(_._3.unpersist(blocking = false)))
   }
 }

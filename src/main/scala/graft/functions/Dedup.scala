@@ -244,6 +244,19 @@ object Dedup {
     graft.core.PlanMemo.cached("dedup.bands",
       bandsOf(minhashSignatures(docs, k, n, maxDf), k, rowsPerBand))
 
+  /** Bench cold-attribution hook (the __sqllab_fill pattern):
+    * materialize the memoized signature frame for `docs` — the
+    * expensive half of [[minhashLsh]] — without running the pair join.
+    * Must derive the IDENTICAL plan minhashLsh builds (same defaults)
+    * so the PlanMemo entry hits on the subsequent query run.
+    */
+  def prefillSignatures(docs: DataFrame, k: Int = 8, n: Int = 3,
+                        maxDf: Long = 1000): Unit = {
+    graft.core.PlanMemo.cached("dedup.minhashSigs",
+      minhashSignatures(docs, k, n, maxDf)).count()
+    ()
+  }
+
   /** MinHash-LSH candidate pairs: signatures banded (rowsPerBand hashes
     * per band); docs sharing any band bucket become candidates; then the
     * estimated similarity = fraction of matching signature components.

@@ -49,44 +49,42 @@ object Similarity {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
 
-  /** Assign every vector to its nearest centroid (argmax cosine,
-    * centroid_id tie-break) with ZERO shuffle. The centroid set is small
-    * by contract (the same rows a broadcast would ship), so it is
-    * collected once and folded into the plan as an array-of-struct
-    * literal `(centroid_id, cvec, ‖cvec‖)`; the argmax is a single
-    * `aggregate` fold per corpus row — a narrow projection over the
-    * scan, no exchange anywhere (PlanSpec pins this). The previous form
-    * (cross-broadcast × row_number window) shuffled a |corpus|·C-
-    * amplified frame; at 100 TB with C=4096 that exchange IS the
-    * pipeline. For centroid sets too big for a plan literal, the same
-    * fold works over a broadcast-joined struct-array column.
-    *
-    * Determinism parity: centroid norms are driver-computed with the
-    * same sequential left-to-right double fold the SQL-side [[norm]]
-    * uses, so every `csim` is bit-identical to the windowed form (and
-    * to the DuckDB oracle); folding in ascending centroid_id order with
-    * a strict `>` keeps the first (lowest-id) winner on ties — the same
-    * tie-break as `ORDER BY csim DESC, centroid_id ASC`.
+  /** Ceiling on the centroid-set size the plan-literal path embeds. A
+    * `typedLit` of C×d doubles is re-analyzed and re-codegen'd by every
+    * operator that references it — fine to a few hundred centroids,
+    * pathological at the C ~ 10⁴–10⁵ a 100 TB serving tier needs, which
+    * is where the broadcast-struct path takes over. Tunable per session
+    * via `spark.graft.ann.literalCentroidCeiling`.
     */
-  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents: Seq[(Int, Seq[Double], Double)] = centroids
-      .select(col("centroid_id").cast("int"),
-        transform(col("cvec"), _.cast("double")))
-      .collect()
-      .toIndexedSeq
-      .map { r =>
-        val v = r.getSeq[Double](1)
-        (r.getInt(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
-      }
-      .sortBy(_._1)
-    // an empty centroid set would silently assign the fold's initial
-    // accumulator (centroid_id = -1) to EVERY row — a wrong-answer path
-    // (semDedup would treat the whole corpus as one capped cell), so it
-    // must fail loudly instead
-    require(cents.nonEmpty, "assign: empty centroid set")
-    val centArr = typedLit(cents)
-    val best = aggregate(
-      centArr,
+  private def literalCentroidCeiling(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.ann.literalCentroidCeiling", "256").toInt
+
+  /** Bounded probe of the centroid count: reads at most `ceiling + 1`
+    * rows, so path selection never pays a full count of a large set.
+    * Fails loudly on empty — an empty set would silently assign the
+    * fold's initial accumulator (centroid_id = −1) to EVERY row, a
+    * wrong-answer path (semDedup would treat the whole corpus as one
+    * capped cell).
+    */
+  private def probeSize(centroids: DataFrame, ceiling: Int, who: String): Long = {
+    val n = centroids.select(col("centroid_id")).limit(ceiling + 1).count()
+    require(n > 0, s"$who: empty centroid set")
+    n
+  }
+
+  /** Argmax-cosine fold over an array-of-struct centroid column
+    * `(_1 = centroid_id, _2 = cvec doubles, _3 = ‖cvec‖)` — shared by
+    * the plan-literal and broadcast-struct paths, so both compute
+    * bit-identical assignments. Folding in ascending centroid_id order
+    * with a strict `>` keeps the first (lowest-id) winner on ties — the
+    * same tie-break as `ORDER BY csim DESC, centroid_id ASC`. A fold
+    * that ends on the −1 sentinel (dim-mismatched embedding: zip_with
+    * pads with nulls, every comparison is null) raises instead of
+    * emitting a silent wrong cell.
+    */
+  private def bestCentroid(cents: Column): Column = {
+    val folded = aggregate(
+      cents,
       struct(lit(-1).as("cid"), lit(Double.NegativeInfinity).as("sim")),
       (acc, c) => {
         val sim = roundSim(
@@ -95,13 +93,77 @@ object Similarity {
         when(sim > acc.getField("sim"),
           struct(c.getField("_1").as("cid"), sim.as("sim")))
           .otherwise(acc)
-      })
+      }).getField("cid")
+    when(folded === -1, raise_error(lit(
+      "assign: no centroid matched — embedding/centroid dim mismatch"))
+      .cast("int"))
+      .otherwise(folded)
+  }
+
+  /** One-row frame holding the whole centroid set as a sorted
+    * array-of-struct column `(_1, _2, _3 = ‖cvec‖)`. The norm is the
+    * same sequential left-to-right double fold as the SQL-side [[norm]]
+    * and the literal path's driver fold — bit-identical values on every
+    * path. array_sort orders by the leading (unique) centroid_id field.
+    */
+  private def centStructRow(centroids: DataFrame): DataFrame =
+    centroids
+      .select(col("centroid_id").cast("int").as("_1"),
+        transform(col("cvec"), _.cast("double")).as("_2"))
+      .select(struct(col("_1"), col("_2"), norm(col("_2")).as("_3")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__cents"))
+
+  /** Assign every vector to its nearest centroid (argmax cosine,
+    * centroid_id tie-break) with ZERO shuffle of the corpus. Two paths,
+    * chosen automatically by centroid-set size ([[probeSize]] vs
+    * [[literalCentroidCeiling]]):
+    *
+    *   - C ≤ ceiling: the set is collected once and folded into the
+    *     plan as an array-of-struct literal `(centroid_id, cvec,
+    *     ‖cvec‖)`; the argmax is a single `aggregate` fold per corpus
+    *     row — a narrow projection over the scan, no exchange anywhere
+    *     (PlanSpec pins this). The previous form (cross-broadcast ×
+    *     row_number window) shuffled a |corpus|·C-amplified frame; at
+    *     100 TB with C=4096 that exchange IS the pipeline.
+    *   - C > ceiling: the set aggregates to ONE row holding the same
+    *     sorted struct array, broadcast-joined to the corpus on a
+    *     constant key (Scalars.crossBroadcast — a BroadcastHashJoin,
+    *     still no shuffle of the corpus side), and the identical fold
+    *     runs over the joined column. This is the serving-tier path: a
+    *     100 TB corpus wants C ~ 10⁴–10⁵ cells, far past what a plan
+    *     literal tolerates.
+    *
+    * Determinism parity: both paths compute centroid norms with the
+    * same sequential left-to-right double fold as the SQL-side [[norm]]
+    * (driver `foldLeft` on the literal path, [[centStructRow]] on the
+    * broadcast path), so every `csim` is bit-identical to the windowed
+    * form and to the DuckDB oracle on either path.
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val ceiling = literalCentroidCeiling(embeddings.sparkSession)
+    val withNorm = embeddings
+      .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
+    val out =
+      if (probeSize(centroids, ceiling, "assign") <= ceiling) {
+        val cents: Seq[(Int, Seq[Double], Double)] = centroids
+          .select(col("centroid_id").cast("int"),
+            transform(col("cvec"), _.cast("double")))
+          .collect()
+          .toIndexedSeq
+          .map { r =>
+            val v = r.getSeq[Double](1)
+            (r.getInt(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+          }
+          .sortBy(_._1)
+        withNorm.withColumn("centroid_id", bestCentroid(typedLit(cents)))
+      } else {
+        crossBroadcast(withNorm, centStructRow(centroids))
+          .withColumn("centroid_id", bestCentroid(col("__cents")))
+          .drop("__cents")
+      }
     // schema-preserving: input columns pass through untouched (callers
     // carry label/text/etc.), plus the assigned centroid_id
-    embeddings
-      .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
-      .withColumn("centroid_id", best.getField("cid"))
-      .drop("__nrm")
+    out.drop("__nrm")
   }
 
   // The assignment scan is identical for every query against the same
@@ -340,30 +402,76 @@ object Similarity {
     * strict `<` keeps the lowest-id winner on ties, the same tie-break
     * as `ORDER BY d2 ASC, centroid_id ASC`.
     */
+  /** Argmin-L2 fold for one PQ subspace over an array-of-struct
+    * sub-codebook column `(_1 = centroid_id, _2 = subvector)` — shared
+    * by the literal and broadcast paths ([[bestCentroid]]'s twin).
+    * Folding ascending-id with strict `<` keeps the lowest-id winner on
+    * ties, the same tie-break as `ORDER BY d2 ASC, centroid_id ASC`. A
+    * fold ending on the −1 sentinel (dim-mismatched embedding → null
+    * comparisons all the way down) raises instead of emitting a silent
+    * garbage code — the [[assign]] fail-loudly contract.
+    */
+  private def subCode(cb: Column, s: Int, sub: Int): Column = {
+    val x = slice(col("embedding"), s * sub + 1, sub)
+    val folded = aggregate(
+      cb,
+      struct(lit(-1).as("cid"), lit(Double.PositiveInfinity).as("d2")),
+      (acc, c) => {
+        val d2 = roundSim(aggregate(
+          zip_with(x, c.getField("_2"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (t, e) => t + e))
+        when(d2 < acc.getField("d2"),
+          struct(c.getField("_1").as("cid"), d2.as("d2")))
+          .otherwise(acc)
+      }).getField("cid")
+    when(folded === -1, raise_error(lit(
+      "pqEncode: no codebook match — embedding/codebook dim mismatch"))
+      .cast("int"))
+      .otherwise(folded)
+  }
+
   def pqEncode(embeddings: DataFrame, centroids: DataFrame,
                m: Int = 8): DataFrame = {
-    val cents = collectCodebook(centroids)
-    val dim = cents.head._2.length
-    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val codes = array((0 until m).map { s =>
-      val subCents: Seq[(Int, Seq[Double])] =
-        cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
-      val x = slice(col("embedding"), s * sub + 1, sub)
-      aggregate(
-        typedLit(subCents),
-        struct(lit(-1).as("cid"), lit(Double.PositiveInfinity).as("d2")),
-        (acc, c) => {
-          val d2 = roundSim(aggregate(
-            zip_with(x, c.getField("_2"),
-              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-            lit(0.0), (t, e) => t + e))
-          when(d2 < acc.getField("d2"),
-            struct(c.getField("_1").as("cid"), d2.as("d2")))
-            .otherwise(acc)
-        }).getField("cid")
-    }: _*)
-    embeddings.withColumn("codes", codes)
+    val ceiling = literalCentroidCeiling(embeddings.sparkSession)
+    if (probeSize(centroids, ceiling, "pqEncode") <= ceiling) {
+      val cents = collectCodebook(centroids)
+      val dim = cents.head._2.length
+      require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val codes = array((0 until m).map { s =>
+        val subCents: Seq[(Int, Seq[Double])] =
+          cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
+        subCode(typedLit(subCents), s, sub)
+      }: _*)
+      embeddings.withColumn("codes", codes)
+    } else {
+      // broadcast-struct path (see assign): the codebook aggregates to
+      // one row holding m pre-sliced sub-codebooks — sliced ONCE in the
+      // single-row frame, not per corpus row — broadcast-joined on a
+      // constant key; the identical fold runs over the joined column
+      val dims = centroids.select(org.apache.spark.sql.functions.size(col("cvec")).as("d"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      require(dims.size == 1, s"pqEncode: ragged codebook (dims $dims)")
+      val dim = dims.head
+      require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val one = centroids
+        .select(col("centroid_id").cast("int").as("_1"),
+          transform(col("cvec"), _.cast("double")).as("_2"))
+        .select(struct(col("_1"), col("_2")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("__cents"))
+        .select(transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(col("__cents"), c =>
+            struct(c.getField("_1").as("_1"),
+              slice(c.getField("_2"), s * lit(sub) + 1, lit(sub)).as("_2"))))
+          .as("__cb"))
+      crossBroadcast(embeddings, one)
+        .withColumn("codes", array((0 until m).map { s =>
+          subCode(element_at(col("__cb"), s + 1), s, sub)
+        }: _*))
+        .drop("__cb")
+    }
   }
 
   /** Reconstruction column over `codes`: per subspace, a literal map

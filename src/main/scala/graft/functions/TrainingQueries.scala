@@ -210,6 +210,29 @@ object TrainingQueries {
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     lastDirMemo(ccMemo, s, d)(Dedup.connectedComponents(lshPairs(s, d)))
 
+  /** Shared cold-fill stages for Bench (the __sqllab_fill pattern): each
+    * entry is (line name, consumer queries, fill thunk). Bench runs a
+    * fill before the cold pass iff one of its consumers is selected and
+    * times it as its OWN line, so per-query cold numbers mean query
+    * cost, not whichever query ran first paying a shared memo fill.
+    */
+  def coldFills: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
+    // the near-dup funnel: LSH signature+pair graph and its transitive
+    // closure — read by dd_cluster/dd_canonical (the signature half also
+    // serves dd_minhash_lsh through PlanMemo)
+    ("__neardup_closure_fill", Set("dd_cluster", "dd_canonical"),
+      (s, d) => { ccLabels(s, d).count(); () }),
+    // the stored band index an incremental wave probes
+    ("__band_index_fill", Set("dd_incremental_lsh"),
+      (s, d) => {
+        Dedup.minhashBands(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)).count()
+        ()
+      }),
+    // curation's internal signature frame (over its exact-dedup keepers)
+    ("__curation_sigs_fill", Set("ts_curation"),
+      (s, d) => Curation.prefillShared(Tables.documents(s, d))))
+
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
@@ -378,11 +401,14 @@ object TrainingQueries {
       val e = Tables.embeddings(s, d)
       val cents = e.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_annidx").toString
-      Similarity.writeIndex(e, cents, dir)
-      Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
-        k = 10, nprobe = 4)
+      val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+      Similarity.writeIndex(e, cents, root.toString)
+      // top-k rows only: pin them, drop the scratch index (gate runs
+      // must not accumulate index copies on disk)
+      graft.core.Scratch.materializeAndDelete(
+        Similarity.searchIndex(s, root.toString, cents,
+          e.filter(col("vec_id") === 0), k = 10, nprobe = 4),
+        root)
     }),
     // FILTERED search over the stored index: top-k among label = 2 —
     // the predicate pushes into the parquet scan (pre-filter, so the
@@ -391,11 +417,13 @@ object TrainingQueries {
       val e = Tables.embeddings(s, d)
       val cents = e.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_annflt").toString
-      Similarity.writeIndex(e, cents, dir)
-      Similarity.searchIndex(s, dir, cents, e.filter(col("vec_id") === 0),
-        k = 10, nprobe = 4, pred = col("label") === 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_annflt")
+      Similarity.writeIndex(e, cents, root.toString)
+      graft.core.Scratch.materializeAndDelete(
+        Similarity.searchIndex(s, root.toString, cents,
+          e.filter(col("vec_id") === 0), k = 10, nprobe = 4,
+          pred = col("label") === 2),
+        root)
     }),
     // batched retrieval: 3 queries served in ONE index pass (offline
     // k-NN / hard-negative-mining shape), per-query rank <= k

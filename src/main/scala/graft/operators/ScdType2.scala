@@ -61,10 +61,25 @@ object ScdType2 {
     val outCols = bizCols ++ MetaCols
     val ts = lit(loadTs)
 
+    // A business key appearing twice in the stage would full-outer-join
+    // the single current row TWICE — two closed copies and two open
+    // versions, silently breaking the one-current-row-per-key invariant.
+    // Fully identical stage rows collapse losslessly (replayed batches
+    // stay idempotent); CONFLICTING duplicates — same key, different
+    // attributes — have no defensible winner without an ordering column,
+    // so they fail loudly (the caller owns per-batch collapse, the way
+    // streamingUpsertReplay collapses on a sequence column).
+    val stageUnique = stage.dropDuplicates()
+    val dupKeys = stageUnique.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"ScdType2.merge: stage carries conflicting duplicate business keys " +
+        s"(${keys.mkString(",")}) — collapse to one row per key before merging")
+
     val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
     val current = dim.filter(col("is_current"))
       .withColumn("__t_present", lit(1)).alias("t")
-    val s = stage.withColumn("__s_present", lit(1)).alias("s")
+    val s = stageUnique.withColumn("__s_present", lit(1)).alias("s")
     val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val tPresent = col("t.__t_present").isNotNull
     val sPresent = col("s.__s_present").isNotNull

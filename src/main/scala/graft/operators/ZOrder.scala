@@ -76,6 +76,11 @@ object ZOrder {
     val bucketed = df.select(dims.map { case (nm, c) => c.as(nm) }: _*)
     val z = zvalue(dims.map(d => col(d._1)), bits)
     val totalBits = bits * dims.length
+    // fileBits > totalBits would make shiftright's amount negative,
+    // which Java masks mod 64 into a garbage large shift — silent wrong
+    // file groupings (zvalue's own range checks don't cover this)
+    require(fileBits >= 1 && fileBits <= totalBits,
+      s"fileStats: fileBits $fileBits outside [1, $totalBits]")
     bucketed
       .withColumn("file_id", shiftright(z, totalBits - fileBits))
       .groupBy("file_id")

@@ -118,6 +118,56 @@ object LayerWriter {
     if (fs.exists(destPath)) fs.delete(destPath, true)
     fs.rename(tmp, destPath)
   }
+
+  /** Partition-scoped MERGE into a `partitionCol`-partitioned target:
+    * only the partitions PRESENT IN THE STAGE are read, merged, and
+    * rewritten (dynamic partition overwrite — the mechanism
+    * [[overwriteDaily]] already uses); every untouched partition's
+    * files are left byte-identical on disk. This is the shape a
+    * 100 TB history table needs: [[mergeInto]] rewrites the WHOLE
+    * target per call, which is fine for a dimension-sized table and
+    * pathological for a partitioned fact/history — a daily stage
+    * should cost one day's rewrite, not the table's.
+    *
+    * Contract: `partitionCol` must be stable per merge key (part of
+    * the key, or an immutable attribute) — a key whose partition value
+    * CHANGED between target and stage would leave its old row in the
+    * unread old partition and insert the new one elsewhere, duplicating
+    * the key. That is the standard pruned-merge contract (Delta's
+    * `replaceWhere`-scoped merge has the same one); [[mergeInto]]
+    * remains the safe path for mutable-partition dimensions.
+    *
+    * Unlike the temp-swap in [[mergeInto]], untouched partitions are
+    * never deleted, and the overwrite of a touched partition is a
+    * per-directory job commit — the non-atomicity window shrinks from
+    * the whole table to the touched slice.
+    */
+  def mergeIntoPartitioned(spark: SparkSession, stage: DataFrame,
+                           dest: String, keys: Seq[String],
+                           preserved: Seq[String],
+                           partitionCol: String): Unit = {
+    import graft.operators.MergeUpsert
+    require(stage.columns.contains(partitionCol),
+      s"stage must carry the partition column $partitionCol")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dest))) {
+        // the touched-partition set is small by contract (a daily stage
+        // touches a handful of days); isin over it PRUNES the target
+        // read to those directories
+        val touched = stage.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toIndexedSeq
+        val slice = spark.read.parquet(dest)
+          .filter(col(partitionCol).isin(touched: _*))
+        MergeUpsert.merge(
+          slice.select(stage.columns.toIndexedSeq.map(col): _*), stage,
+          keys, preserved)
+      } else stage
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(dest)
+  }
 }
 
 /** JDBC sink primitives (K1 write side, `utils.py:214-246`): mode map,

@@ -229,10 +229,15 @@ object EventsStream {
       drop(1); q.processAllAvailable()
       drop(2); q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(destDir)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("ts").as("last_ts"), col("event_type").as("last_type"),
-        col("value").as("last_value"))
+    // the final dimension is small by contract (one row per user_id);
+    // pin it and delete the scratch tree — repeated gate runs must not
+    // accumulate drop files, checkpoints, and dimension copies on disk
+    graft.core.Scratch.materializeAndDelete(
+      spark.read.parquet(destDir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value")),
+      root)
   }
 
   /** Batch twin of the stream-stream interval join: clicks attributed to

@@ -28,6 +28,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfAll == brute, "nprobe = all centroids ⇒ exact")
   }
 
+  test("broadcast-struct centroid path equals the plan-literal path") {
+    // The serving-tier contract: when C exceeds the literal ceiling,
+    // assign/pqEncode fold over a broadcast-joined struct-array column
+    // instead of a typedLit — same sorted order, same sequential norm
+    // fold, same argmax/argmin lambda, so results are BIT-identical.
+    val centroids = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val key = "spark.graft.ann.literalCentroidCeiling"
+    val prev = spark.conf.get(key, "256")
+    def run() = (
+      Similarity.assign(emb, centroids)
+        .select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+      Similarity.pqEncode(emb, centroids, m = 8)
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq)
+    try {
+      val (litAssign, litCodes) = run() // C=16 ≤ default ceiling: literal
+      spark.conf.set(key, "1") // force the broadcast path
+      val (bcAssign, bcCodes) = run()
+      assert(bcAssign == litAssign, "assignments must be bit-identical")
+      assert(bcCodes == litCodes, "PQ codes must be bit-identical")
+      // path selection is observable in the plan: the broadcast form
+      // joins (constant-key BroadcastHashJoin), the literal form must not
+      val bcPlan = Similarity.assign(emb, centroids)
+        .queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"large-C assign must take the broadcast path:\n$bcPlan")
+      spark.conf.set(key, prev)
+      val litPlan = Similarity.assign(emb, centroids)
+        .queryExecution.executedPlan.toString
+      assert(!litPlan.contains("BroadcastHashJoin"),
+        s"small-C assign must stay a plan-literal projection:\n$litPlan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("empty and dim-mismatched centroid sets fail loudly on both paths") {
+    val empty = emb.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    intercept[IllegalArgumentException] { Similarity.assign(emb, empty) }
+    intercept[IllegalArgumentException] { Similarity.pqEncode(emb, empty) }
+    // a centroid of the wrong dimensionality nulls every zip_with
+    // comparison; the fold must raise, not emit cid −1 silently
+    val short = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("centroid_id"),
+        slice(col("embedding"), 1, 3).as("cvec"))
+    val e = intercept[Exception] {
+      Similarity.assign(emb.limit(5), short).collect()
+    }
+    assert(e.getMessage.contains("no centroid matched") ||
+      Option(e.getCause).exists(_.getMessage.contains("no centroid matched")))
+  }
+
   test("IVF with partial probing returns a subset of the corpus ranking") {
     val centroids = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))

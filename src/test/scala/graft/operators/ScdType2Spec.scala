@@ -49,6 +49,24 @@ class ScdType2Spec extends AnyFunSuite {
     assert(merged.filter($"id" === "c4" && $"valid_from" === batchTs).count() == 1)
   }
 
+  test("duplicate stage keys: exact dupes collapse, conflicts fail loudly") {
+    // a key twice in stage would full-outer-join the single current row
+    // twice — two closed copies, two open versions. Fully identical rows
+    // collapse losslessly (replay stays idempotent) …
+    val exactDup = Seq(("c1", "BRONZE"), ("c1", "BRONZE"), ("c2", "IRON"))
+      .toDF("id", "tier")
+    val out = ScdType2.merge(dim, exactDup, Seq("id"), batchTs)
+    assert(out.filter($"id" === "c1" && $"is_current").count() == 1,
+      "one open version per key after an exact-duplicate stage")
+    // … conflicting duplicates (same key, different attributes) have no
+    // defensible winner and must not silently break the invariant
+    val conflict = Seq(("c1", "BRONZE"), ("c1", "LEAD")).toDF("id", "tier")
+    val e = intercept[IllegalArgumentException] {
+      ScdType2.merge(dim, conflict, Seq("id"), batchTs)
+    }
+    assert(e.getMessage.contains("duplicate business keys"))
+  }
+
   test("merge is idempotent: re-merging the same batch adds nothing") {
     val once = merged
     val twice = ScdType2.merge(once, stage, Seq("id"), ts("2002-02-01 00:00:00"))

@@ -63,4 +63,18 @@ class ZOrderSpec extends AnyFunSuite {
     assert(st.getAs[Double]("yw") == 8.0, s"y-width ${st.get(0)} (linear: 64)")
     assert(st.getAs[Double]("xw") == 8.0, "x-width grows 1 -> 8, not 64")
   }
+
+  test("fileStats rejects fileBits outside [1, totalBits]") {
+    // fileBits > totalBits would make shiftright's amount negative —
+    // Java masks shifts mod 64, producing garbage file groupings
+    // SILENTLY; the bound must fail loudly like zvalue's range check
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val dims = Seq("x" -> $"x", "y" -> $"y")
+    intercept[IllegalArgumentException] {
+      ZOrder.fileStats(df, dims, bits = 3, fileBits = 7) // totalBits = 6
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.fileStats(df, dims, bits = 3, fileBits = 0)
+    }
+  }
 }

@@ -32,6 +32,59 @@ class WriterSpec extends AnyFunSuite {
       .select("id").as[Int].collect().toSet == Set(4, 5))
   }
 
+  test("partition-scoped MERGE leaves untouched partition files byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pmerge")
+    try {
+      val dest = root.toString + "/t"
+      // three daily partitions of a keyed history
+      val target = Seq(
+        (1L, "a", day("2001-11-03"), "L1"),
+        (2L, "b", day("2001-11-04"), "L2"),
+        (3L, "c", day("2001-11-05"), "L3"))
+        .toDF("id", "v", "DAY_DT", "LOAD_TSTMP")
+      LayerWriter.mergeIntoPartitioned(spark, target, dest,
+        Seq("id"), Seq("LOAD_TSTMP"), "DAY_DT")
+      // fingerprint every file of the UNTOUCHED day-03 partition
+      def files(sub: String): Map[String, Seq[Byte]] = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(dest, sub)
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => p.toString -> java.nio.file.Files.readAllBytes(p).toSeq)
+          .toMap
+        finally walk.close()
+      }
+      val before = files("DAY_DT=2001-11-03")
+      assert(before.nonEmpty, "expected files in the day-03 partition")
+      // stage touches day 04 (update id=2) and day 06 (insert id=4)
+      val stage = Seq(
+        (2L, "b2", day("2001-11-04"), "IGNORED"),
+        (4L, "d", day("2001-11-06"), "L4"))
+        .toDF("id", "v", "DAY_DT", "LOAD_TSTMP")
+      LayerWriter.mergeIntoPartitioned(spark, stage, dest,
+        Seq("id"), Seq("LOAD_TSTMP"), "DAY_DT")
+      assert(files("DAY_DT=2001-11-03") == before,
+        "untouched partition files must be byte-identical after the merge")
+      val after = spark.read.parquet(dest)
+        .select(col("id"), col("v"), col("DAY_DT").cast("date").as("DAY_DT"),
+          col("LOAD_TSTMP"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDate(2).toString, r.getString(3))).toSet
+      assert(after == Set(
+        (1L, "a", "2001-11-03", "L1"),          // untouched
+        (2L, "b2", "2001-11-04", "L2"),         // updated, LOAD preserved
+        (3L, "c", "2001-11-05", "L3"),          // untouched
+        (4L, "d", "2001-11-06", "L4")),         // inserted
+        s"merged content wrong: $after")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("CSV drop-dir streaming ingests files as they appear") {
     val drop = java.nio.file.Files.createTempDirectory("graft_drop")
     val schema = StructType(Seq(
