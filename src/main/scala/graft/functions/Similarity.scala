@@ -91,8 +91,8 @@ object Similarity {
     * pads with nulls, every comparison is null) raises instead of
     * emitting a silent wrong cell.
     */
-  private def bestCentroid(cents: Column): Column = {
-    val folded = aggregate(
+  private def bestCentroid(cents: Column): Column =
+    aggregate(
       cents,
       struct(lit(-1).as("cid"), lit(Double.NegativeInfinity).as("sim")),
       (acc, c) => {
@@ -102,12 +102,15 @@ object Similarity {
         when(sim > acc.getField("sim"),
           struct(c.getField("_1").as("cid"), sim.as("sim")))
           .otherwise(acc)
-      }).getField("cid")
-    when(folded === -1, raise_error(lit(
-      "assign: no centroid matched — embedding/centroid dim mismatch"))
-      .cast("int"))
-      .otherwise(folded)
-  }
+      },
+      // the guard lives in the FINISH lambda where the accumulator is a
+      // computed value: a when(fold === -1, …).otherwise(fold) around
+      // the aggregate would evaluate the whole fold TWICE (HOFs are
+      // interpreted — no codegen CSE to rescue the duplicate)
+      acc => when(acc.getField("cid") === -1, raise_error(lit(
+        "assign: no centroid matched — embedding/centroid dim mismatch"))
+        .cast("int"))
+        .otherwise(acc.getField("cid")))
 
   /** One-row frame holding the whole centroid set as a sorted
     * array-of-struct column `(_1, _2, _3 = ‖cvec‖)`. The norm is the
@@ -416,7 +419,7 @@ object Similarity {
     */
   private def subCode(cb: Column, s: Int, sub: Int): Column = {
     val x = slice(col("embedding"), s * sub + 1, sub)
-    val folded = aggregate(
+    aggregate(
       cb,
       struct(lit(-1).as("cid"), lit(Double.PositiveInfinity).as("d2")),
       (acc, c) => {
@@ -427,11 +430,13 @@ object Similarity {
         when(d2 < acc.getField("d2"),
           struct(c.getField("_1").as("cid"), d2.as("d2")))
           .otherwise(acc)
-      }).getField("cid")
-    when(folded === -1, raise_error(lit(
-      "pqEncode: no codebook match — embedding/codebook dim mismatch"))
-      .cast("int"))
-      .otherwise(folded)
+      },
+      // guard in the finish lambda — see bestCentroid: wrapping the
+      // aggregate itself would evaluate the fold twice
+      acc => when(acc.getField("cid") === -1, raise_error(lit(
+        "pqEncode: no codebook match — embedding/codebook dim mismatch"))
+        .cast("int"))
+        .otherwise(acc.getField("cid")))
   }
 
   def pqEncode(embeddings: DataFrame, centroids: DataFrame,
