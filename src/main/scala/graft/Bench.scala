@@ -43,8 +43,11 @@ object Bench {
     * and MERGE-rewrites the dimension three times per invocation — an
     * ETL replay, not a query.
     */
+  // k4_merge_partitioned is the same class: it writes the whole orders
+  // table as a partitioned parquet target and merge-rewrites a month
+  // per invocation — an ETL replay, not a query.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert")
+    "st_upsert", "k4_merge_partitioned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -216,6 +216,41 @@ object CoverageQueries {
         .orderBy("c_custkey")
     }),
 
+    // K4 at history-table scale: PARTITION-SCOPED MERGE through a real
+    // write + read-back — the target is the orders table partitioned by
+    // order month, the stage touches ONE month (updates %3 keys, inserts
+    // %5 keys under fresh ids), and mergeIntoPartitioned rewrites only
+    // that month's directory (WriterSpec proves untouched partitions
+    // byte-identical; this row proves the merge SEMANTICS end-to-end).
+    // An ETL replay like pipeline_backfill — excluded from Bench.
+    "k4_merge_partitioned" -> ((s, d) => {
+      val month = java.sql.Date.valueOf("1996-03-01")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"),
+        date_trunc("month", col("o_orderdate").cast("date")).cast("date")
+          .as("DAY_DT"))
+      val stage = o.filter(col("DAY_DT") === lit(month) &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("price", col("price") + 1000)
+        .unionByName(o.filter(col("DAY_DT") === lit(month) &&
+            col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      val root = java.nio.file.Files.createTempDirectory("graft_pmerge")
+      val dest = root.resolve("t").toString
+      graft.pipeline.LayerWriter.mergeIntoPartitioned(s, o, dest,
+        Seq("o_orderkey"), Seq.empty, "DAY_DT")
+      graft.pipeline.LayerWriter.mergeIntoPartitioned(s, stage, dest,
+        Seq("o_orderkey"), Seq.empty, "DAY_DT")
+      graft.core.Scratch.materializeAndDelete(
+        s.read.parquet(dest)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+            col("DAY_DT").cast("date").as("DAY_DT"))
+          .orderBy("o_orderkey"),
+        root)
+    }),
+
     // K5-family: SCD Type 2 merge — history rows pass through, changed
     // keys close+reopen, unchanged stage rows replay as a no-op, new
     // keys insert open. Every branch is exercised at every SF: %4 keys
@@ -582,6 +617,31 @@ object CoverageQueries {
         |       CASE WHEN s.c_custkey IS NOT NULL THEN s.update_ts ELSE t.update_ts END AS update_ts
         |FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // the twin replays the merge over the WHOLE table — equivalent
+    // because every stage key lives in the touched month, so untouched
+    // months pass through the full-outer unchanged, exactly as the
+    // partition-scoped engine path leaves their files untouched
+    "k4_merge_partitioned" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS DAY_DT
+        |  FROM orders),
+        |stg AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, price + 1000 AS price, DAY_DT
+        |  FROM o WHERE DAY_DT = DATE '1996-03-01' AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, price, DAY_DT
+        |  FROM o WHERE DAY_DT = DATE '1996-03-01' AND o_orderkey % 5 = 0)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+        |            ELSE t.price END AS price,
+        |       CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.DAY_DT
+        |            ELSE t.DAY_DT END AS DATE) AS DAY_DT
+        |FROM o t FULL OUTER JOIN stg s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "k5_scd2" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, c_mktsegment AS segment,
