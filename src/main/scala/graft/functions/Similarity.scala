@@ -371,23 +371,6 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Collect a small-by-contract codebook to the driver, ascending
-    * centroid_id, values as doubles (shared by [[pqEncode]]/[[pqTopK]];
-    * same contract as [[assign]]'s collection — the rows a broadcast
-    * would ship anyway, folded into the plan as a literal instead).
-    */
-  private def collectCodebook(centroids: DataFrame): Seq[(Int, Seq[Double])] = {
-    val cents = centroids
-      .select(col("centroid_id").cast("int"),
-        transform(col("cvec"), _.cast("double")))
-      .collect().toIndexedSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "pq: empty codebook")
-    require(cents.map(_._2.length).distinct.size == 1, "pq: ragged codebook")
-    cents
-  }
-
   /** Product quantization (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): split the d-dim space into
     * `m` contiguous subspaces of d/m dims and quantize each subvector to
@@ -496,6 +479,51 @@ object Similarity {
     }: _*))
   }
 
+  /** Attach the ADC `__recon` column over `codes`, choosing the path by
+    * codebook size exactly like [[assign]]/[[pqEncode]]: literal LUT
+    * maps up to the ceiling; above it, ONE row of per-subspace
+    * `map<code, subvector>` LUTs built in the codebook frame and
+    * broadcast-joined on a constant key — the same lookup, no
+    * codebook-sized plan literal in the serving tier.
+    */
+  private def withRecon(df: DataFrame, centroids: DataFrame,
+                        m: Int): DataFrame = {
+    val ceiling = literalCentroidCeiling(df.sparkSession)
+    collectUpTo(centroids, ceiling, "recon") match {
+      case Some(cents) =>
+        df.withColumn("__recon", reconOf(cents, m))
+      case None =>
+        val dims = centroids
+          .select(org.apache.spark.sql.functions.size(col("cvec")).as("d"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        require(dims.size == 1, s"recon: ragged codebook (dims $dims)")
+        val dim = dims.head
+        require(dim % m == 0, s"recon: dim $dim not divisible by m=$m")
+        val sub = dim / m
+        // the leading column is the crossBroadcast key source — it must
+        // be hashable (xxhash64 rejects MAP types) and data-derived (a
+        // literal would fold the join condition away); the codebook
+        // size from the aggregate is both
+        val one = centroids
+          .select(col("centroid_id").cast("int").as("_1"),
+            transform(col("cvec"), _.cast("double")).as("_2"))
+          .agg(collect_list(struct(col("_1"), col("_2"))).as("cs"))
+          .select(
+            org.apache.spark.sql.functions.size(col("cs")).as("__nlut"),
+            transform(sequence(lit(0), lit(m - 1)), s =>
+              map_from_entries(transform(col("cs"), c =>
+                struct(c.getField("_1"),
+                  slice(c.getField("_2"), s * lit(sub) + 1, lit(sub))))))
+              .as("__luts"))
+        crossBroadcast(df, one)
+          .withColumn("__recon", flatten(array((0 until m).map { s =>
+            element_at(element_at(col("__luts"), s + 1),
+              element_at(col("codes"), s + 1))
+          }: _*)))
+          .drop("__luts", "__nlut")
+    }
+  }
+
   /** IVF+PQ search — the composition a production ANN index actually
     * serves (the FAISS `IVFx,PQy` layout): coarse IVF cells prune the
     * corpus to `nprobe` probe cells, then ADC ranks ONLY the survivors
@@ -519,10 +547,10 @@ object Similarity {
       .orderBy(desc("csim"), asc("centroid_id"))
       .limit(nprobe)
       .select("centroid_id")
-    val recon = reconOf(collectCodebook(centroids), m)
     crossBroadcast(
-      pqEncode(assigned.join(broadcast(probes), "centroid_id"), centroids, m)
-        .withColumn("__recon", recon),
+      withRecon(
+        pqEncode(assigned.join(broadcast(probes), "centroid_id"), centroids, m),
+        centroids, m),
       query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),
         roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
@@ -564,7 +592,6 @@ object Similarity {
       .orderBy(desc("csim"), asc("centroid_id"))
       .limit(nprobe)
       .collect().map(_.getInt(0)).toIndexedSeq
-    val recon = reconOf(collectCodebook(centroids), m)
     // `pred` is FILTERED search (the "top-k among label = x" shape):
     // a plain column predicate over stored metadata lands BEFORE the
     // reconstruction projection, so Catalyst pushes it into the parquet
@@ -572,10 +599,11 @@ object Similarity {
     // not post-filter: the k results are the best MATCHING vectors, not
     // the matching subset of the unfiltered top-k.
     crossBroadcast(
-      spark.read.parquet(path)
-        .filter(col("centroid_id").isin(probeIds: _*))
-        .filter(pred)
-        .withColumn("__recon", recon),
+      withRecon(
+        spark.read.parquet(path)
+          .filter(col("centroid_id").isin(probeIds: _*))
+          .filter(pred),
+        centroids, m),
       query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),
         roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
@@ -610,11 +638,10 @@ object Similarity {
       .withColumn("__pr", row_number().over(probeRank))
       .filter(col("__pr") <= nprobe)
       .select("qid", "qvec", "centroid_id")
-    val recon = reconOf(collectCodebook(centroids), m)
     val resultRank = Window.partitionBy("qid")
       .orderBy(desc("sim"), asc("vec_id"))
-    pqEncode(assignCached(embeddings, centroids), centroids, m)
-      .withColumn("__recon", recon)
+    withRecon(pqEncode(assignCached(embeddings, centroids), centroids, m),
+        centroids, m)
       .join(broadcast(probes), "centroid_id")
       .select(col("qid"), col("vec_id"), col("label"),
         roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))
@@ -633,9 +660,8 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, centroids: DataFrame, query: DataFrame,
              k: Int, m: Int = 8): DataFrame = {
-    val recon = reconOf(collectCodebook(centroids), m)
     crossBroadcast(
-      pqEncode(embeddings, centroids, m).withColumn("__recon", recon),
+      withRecon(pqEncode(embeddings, centroids, m), centroids, m),
       query.select(col("embedding").as("qvec")))
       .select(col("vec_id"), col("label"),
         roundSim(cosine(col("__recon"), col("qvec"))).as("sim"))

@@ -37,19 +37,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     val key = "spark.graft.ann.literalCentroidCeiling"
     val prev = spark.conf.get(key, "256")
+    val q = emb.filter(col("vec_id") === 0)
     def run() = (
       Similarity.assign(emb, centroids)
         .select("vec_id", "centroid_id").collect()
         .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
       Similarity.pqEncode(emb, centroids, m = 8)
         .select(col("vec_id"), col("codes")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq)
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq,
+      // ADC ranking exercises the recon path (literal vs broadcast LUT)
+      Similarity.pqTopK(emb, centroids, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq)
     try {
-      val (litAssign, litCodes) = run() // C=16 ≤ default ceiling: literal
+      val (litAssign, litCodes, litRank) = run() // C=16 ≤ default ceiling
       spark.conf.set(key, "1") // force the broadcast path
-      val (bcAssign, bcCodes) = run()
+      val (bcAssign, bcCodes, bcRank) = run()
       assert(bcAssign == litAssign, "assignments must be bit-identical")
       assert(bcCodes == litCodes, "PQ codes must be bit-identical")
+      assert(bcRank == litRank, "ADC rankings must be bit-identical")
       // path selection is observable in the plan: the broadcast form
       // joins (constant-key BroadcastHashJoin), the literal form must not
       val bcPlan = Similarity.assign(emb, centroids)
