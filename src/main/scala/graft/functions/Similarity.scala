@@ -175,30 +175,15 @@ object Similarity {
   // The assignment scan is identical for every query against the same
   // (embeddings, centroids) pair — memoize the cache()d frame per
   // session so repeated ivfTopK calls (a query stream, or bench passes)
-  // pay it once. Lookup confirms plan identity with sameResult (a
-  // semanticHash key alone could collide and silently serve the wrong
-  // assignment); keeping only the LAST entry per session mirrors
-  // SqlLab.registerViews' unpersist discipline, so a long-lived session
-  // that switches corpora cannot accumulate pinned executor storage.
-  // Stopped sessions are evicted before each lookup.
-  private val assignMemo = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession,
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
-
-  private def assignCached(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    assignMemo.keySet.removeIf(s => s.sparkContext.isStopped)
-    val el = embeddings.queryExecution.analyzed
-    val cl = centroids.queryExecution.analyzed
-    assignMemo.compute(embeddings.sparkSession, (_, prev) =>
-      Option(prev) match {
-        case Some(hit @ (pe, pc, _)) if pe.sameResult(el) && pc.sameResult(cl) =>
-          hit
-        case stale =>
-          stale.foreach(_._3.unpersist(blocking = false))
-          (el, cl, assign(embeddings, centroids).cache())
-      })._3
-  }
+  // pay it once. PlanMemo matches on sameResult AND the file-listing
+  // fingerprint of the scans under the plan (both inputs are in the
+  // assign output's plan), so a corpus path rewritten and re-read in
+  // the same session misses the stale assignment instead of serving it
+  // — the same staleness class its band-index memo closes — with the
+  // same bounded-LRU unpersist discipline.
+  private def assignCached(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    graft.core.PlanMemo.cached("similarity.assign",
+      assign(embeddings, centroids))
 
   /** Train IVF centroids: Lloyd's k-means with a deterministic seed (the
     * k lowest vec_ids) — each iteration is one zero-shuffle [[assign]]

@@ -269,6 +269,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("top-1-per-group rides WindowGroupLimit") {
+    // rank = 1 over a window must pre-truncate every partition to its
+    // local top row BEFORE the window shuffle (Spark's WindowGroupLimit
+    // rewrite) — without it the full per-group frame sorts through the
+    // window operator at corpus scale.
+    val df = SparkEntry.queries("q_window_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank=1 filter did not plan a WindowGroupLimit:\n$plan")
+  }
+
   test("char entropy plans zero exchanges") {
     // The computation is per-document; it must run as one narrow
     // projection over the corpus scan. The explode-to-(doc,char)-grain
