@@ -54,6 +54,42 @@ object Curation {
       .select("doc_id", "text", "n_tokens")
   }
 
+  /** Cluster-balanced curation (the DataComp/SemDeDup-adjacent recipe):
+    * assign every document's embedding to its nearest centroid
+    * ([[Similarity.assign]] — zero-shuffle, literal or broadcast
+    * centroid path), then keep the `perCell` highest-quality documents
+    * PER CELL (alphabetic-ratio desc, doc_id tie-break). Capping per
+    * semantic cell instead of globally preserves topic diversity: a
+    * global quality top-N would be dominated by whichever cluster
+    * happens to score high, starving the tail topics a general model
+    * still needs.
+    *
+    * Scale shape: the assignment is a narrow projection over the
+    * embedding scan; the quality frame is a narrow projection over the
+    * document scan; one id-grain shuffle joins them; the per-cell cap
+    * is a rank-1..perCell window that Spark pre-truncates per partition
+    * via WindowGroupLimit (each map task forwards at most perCell rows
+    * per cell into the window shuffle) — no cell's full membership ever
+    * sorts through one node.
+    */
+  def clusterBalance(docs: DataFrame, embeddings: DataFrame,
+                     centroids: DataFrame, perCell: Int = 20): DataFrame = {
+    val assigned = Similarity.assign(embeddings, centroids)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val q = TextAnalysis.quality(docs).select("doc_id", "alpha_ratio")
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(desc("alpha_ratio"), asc("doc_id"))
+    assigned.join(q, "doc_id")
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+      // centroid_id rides as long: the literal assign path narrows ids
+      // to int, and an int32/int64 output drift is exactly the
+      // value-equal hash-unstable class the round-5 DECIMAL rows hit
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("doc_id"), col("alpha_ratio"), col("cell_rank"))
+      .orderBy("centroid_id", "cell_rank")
+  }
+
   /** Bench cold-attribution hook (the __sqllab_fill pattern):
     * materialize the memoized minhash-signature frame stage 3 reads, so
     * a cold `curate` pays its own join/split work, not the shared cache

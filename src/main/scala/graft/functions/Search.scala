@@ -72,4 +72,42 @@ object Search {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., RRF) of
+    * the [[bm25TopK]] lexical ranking and the brute cosine vector
+    * ranking ([[Similarity.bruteTopK]]) — the standard fusion modern
+    * RAG serving stacks run, robust to the two scores living on
+    * incomparable scales because only RANKS enter the fused score:
+    * `rrf(d) = Σ_r 1/(kRrf + rank_r(d))` over the rankings that
+    * retrieved d (a full-outer join — a doc found by one retriever
+    * still scores).
+    *
+    * Scale shape: each retriever produces its own kCand-row candidate
+    * frame (both are TakeOrderedAndProject tails over distributed
+    * scans); everything after — the rank windows, the outer join, the
+    * fused sort — runs over ≤ 2·kCand rows, so the single-partition
+    * windows are by-contract tiny. Ranks are integers and 1/(kRrf+rank)
+    * is a deterministic double; the sum of two such terms is rounded
+    * through decimal at 9 dp for cross-engine hash stability.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], query: DataFrame, k: Int = 10,
+                kCand: Int = 50, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, kCand)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          .as("lex_rank"))
+    val vec = Similarity.bruteTopK(embeddings, query, kCand)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(desc("sim"), asc("vec_id")))
+          .as("vec_rank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("lex_rank"), col("vec_rank"),
+        round((coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)))
+          .cast(Dec), 9).cast("double").as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(k)
+  }
 }

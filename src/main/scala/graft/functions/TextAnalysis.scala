@@ -349,6 +349,61 @@ object TextAnalysis {
           .cast("double").as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM quality score — [[unigramLogProb]] taken to
+    * bigram order, the shape of a real KenLM-style perplexity filter:
+    * each transition scores `ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N)`
+    * (Jelinek–Mercer interpolation with the corpus unigram as the
+    * back-off, so unseen-in-context words degrade smoothly instead of
+    * hitting −∞), and a document's score is the mean over its
+    * transitions. Repetitive machine junk scores artificially HIGH here
+    * (its transitions are all high-count) and fluent-but-diverse text
+    * sits in a narrow band — curation gates use it two-sided.
+    *
+    * Bigram extraction is a per-row zip of the token array with its own
+    * tail — a narrow projection, no positional window and no shuffle
+    * until the count aggregates. Shuffles: bigram-grain counts, the
+    * unigram counts (shared with [[unigramLogProb]] through the
+    * `text.unigramToks` memo), the joins back, and the doc-grain mean —
+    * all key-grain aggregates, nothing corpus-crossing. Parity: same
+    * 9-dp decimal ln rounding / exact decimal SUM / 6-dp mean ladder as
+    * the unigram path.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val tok = graft.core.PlanMemo.cached("text.unigramToks",
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(normalized(col("text")), " ")).as("token")))
+    val toksArr = split(normalized(col("text")), " ")
+    val bg = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toksArr, lit(1), size(toksArr) - 1),
+          slice(toksArr, lit(2), size(toksArr) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uc = tok.groupBy("token").agg(count(lit(1)).as("c1"))
+    val n = tok.select(count(lit(1)).as("total"))
+    val joined = bg
+      .join(bgc, Seq("w1", "w2"))
+      .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1")), "w1")
+      .join(uc.select(col("token").as("w2"), col("c1").as("c1_w2")), "w2")
+    graft.core.Scalars.crossBroadcast(joined, n)
+      .withColumn("lp",
+        round(log(
+          lit(lambda) * col("c2").cast("double") / col("c1_w1") +
+            lit(1.0 - lambda) * col("c1_w2").cast("double") / col("total"))
+          .cast(d2012), 9).cast(d3812))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        round((sum("lp").cast("double") / count(lit(1))).cast(d3810), 6)
+          .cast("double").as("avg_logprob"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., "Winnowing:
     * Local Algorithms for Document Fingerprinting" — the MOSS
     * algorithm): hash every character k-gram of the normalized text,

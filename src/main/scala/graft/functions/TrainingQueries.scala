@@ -117,6 +117,27 @@ object TrainingQueries {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private def cosSql(a: String, b: String): String =
     s"CAST(ROUND(CAST(${dotSql(a, b)} / (${normSqlOf(a)} * ${normSqlOf(b)}) AS DECIMAL(20,12)), 9) AS DOUBLE)"
+  // BM25 scoring CTE chain (through per-(doc,term) decimal partials in
+  // `p`) — shared by the ts_bm25 ranking and the search_rrf fusion so
+  // the two oracles cannot drift apart
+  private val bm25Ctes =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents),
+       |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       |       WHERE token IN ('dup', 'spark', 'customer') GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT count(*) AS n_docs, sum(dlen) AS tot_len FROM dlen),
+       |p AS (
+       |  SELECT tf.doc_id,
+       |    CAST(CAST(ROUND(CAST(
+       |      CAST(ROUND(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+       |                             / (df + 0.5)) AS DECIMAL(20,12)), 9)
+       |           AS DOUBLE)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / tot_len))
+       |      AS DECIMAL(20,12)), 9) AS DOUBLE) AS DECIMAL(20,9)) AS part
+       |  FROM tf JOIN df USING (token) JOIN dlen USING (doc_id) CROSS JOIN sc)""".stripMargin
   // PQ code assignment, DuckDB side (matches Similarity.pqEncode: 8
   // subspaces of 8 dims over the fixed first-16 codebook; per-subspace
   // argmin of 9dp-rounded squared L2, centroid-id tie-break)
@@ -300,6 +321,13 @@ object TrainingQueries {
     "ts_bm25" -> ((s, d) =>
       Search.bm25TopK(Tables.documents(s, d),
         Seq("dup", "spark", "customer"), k = 10)),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    // the brute cosine ranking (doc_id ≡ vec_id in the fixtures); a doc
+    // either retriever finds still scores (full-outer fusion)
+    "search_rrf" -> ((s, d) =>
+      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("dup", "spark", "customer"),
+        Tables.embeddings(s, d).filter(col("vec_id") === 0))),
     // balanced per-source eval subset, reproducible by construction
     "ts_stratified" -> ((s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d), n = 10)
@@ -400,6 +428,19 @@ object TrainingQueries {
     // distribution (the KenLM-style signal at unigram order)
     "ts_unigram_lp" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
+    // interpolated bigram LM score (KenLM-shaped, one order up from
+    // ts_unigram_lp; unigram back-off so unseen transitions stay finite)
+    "ts_bigram_lp" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
+    // DataComp-style cluster-balanced curation: per-semantic-cell
+    // quality cap over the fixed first-16 centroid config (the ann_ivf
+    // oracle assignment), rank window rides WindowGroupLimit
+    "ts_cluster_balance" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Curation.clusterBalance(Tables.documents(s, d), e, cents, perCell = 20)
+    }),
     // int8 quantization; q rendered as csv (array hashing is
     // representation-fragile across engines, a string is not)
     "ann_quantize" -> ((s, d) =>
@@ -700,25 +741,32 @@ object TrainingQueries {
     // associativity), idf and each partial rounded 9dp through decimal,
     // partials SUMMED AS DECIMAL so aggregation order cannot matter
     "ts_bm25" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
-         |  FROM documents),
-         |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-         |       WHERE token IN ('dup', 'spark', 'customer') GROUP BY 1, 2),
-         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT count(*) AS n_docs, sum(dlen) AS tot_len FROM dlen),
-         |p AS (
-         |  SELECT tf.doc_id,
-         |    CAST(CAST(ROUND(CAST(
-         |      CAST(ROUND(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
-         |                             / (df + 0.5)) AS DECIMAL(20,12)), 9)
-         |           AS DOUBLE)
-         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / tot_len))
-         |      AS DECIMAL(20,12)), 9) AS DOUBLE) AS DECIMAL(20,9)) AS part
-         |  FROM tf JOIN df USING (token) JOIN dlen USING (doc_id) CROSS JOIN sc)
+      s"""WITH $bm25Ctes
          |SELECT doc_id, count(*) AS n_hit, CAST(sum(part) AS DOUBLE) AS score
          |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // RRF fusion twin: both candidate rankings reuse the proven BM25 /
+    // cosine CTEs at kCand=50; ranks are integers so the fused score is
+    // two deterministic double terms, rounded 9dp through decimal
+    "search_rrf" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
+         |      FROM p GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |lex AS (SELECT doc_id AS id,
+         |               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+         |        FROM b),
+         |vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vb AS (SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |       FROM embeddings CROSS JOIN vq
+         |       ORDER BY sim DESC, vec_id ASC LIMIT 50),
+         |vec AS (SELECT vec_id AS id,
+         |               CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS vec_rank
+         |        FROM vb)
+         |SELECT COALESCE(l.id, v.id) AS doc_id, l.lex_rank, v.vec_rank,
+         |       CAST(ROUND(CAST(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+         |                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0)
+         |            AS DECIMAL(20,12)), 9) AS DOUBLE) AS rrf_score
+         |FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ts_split" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -774,6 +822,68 @@ object TrainingQueries {
          |       CAST(ROUND(CAST(CAST(SUM(logp) AS DOUBLE) / count(*)
          |            AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_logprob
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram twin: tokens get positions via lockstep unnest +
+    // generate_subscripts, transitions via lag; interpolation weights
+    // computed in DOUBLE space with the exact literals the Spark side
+    // folds (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) ≠ a 0.3 literal
+    // at the ulp level, and ulp differences can cross the 9-dp rounding
+    // boundary); same decimal ln/SUM/mean ladder as ts_unigram_lp
+    "ts_bigram_lp" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(string_split($normSql, ' '), 1) AS pos,
+         |         unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         token AS w2
+         |  FROM tok),
+         |bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |        WHERE w1 IS NOT NULL GROUP BY 1, 2),
+         |uc AS (SELECT token AS w, count(*) AS c1 FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS total FROM tok),
+         |lp2 AS (
+         |  SELECT b.doc_id,
+         |         CAST(ROUND(CAST(ln(
+         |             CAST(0.7 AS DOUBLE) * CAST(bc.c2 AS DOUBLE) / u1.c1
+         |           + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |             * CAST(u2.c1 AS DOUBLE) / n.total)
+         |           AS DECIMAL(20,12)), 9) AS DECIMAL(38,12)) AS lp
+         |  FROM bg b
+         |  JOIN bgc bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+         |  JOIN uc u1 ON b.w1 = u1.w
+         |  JOIN uc u2 ON b.w2 = u2.w
+         |  CROSS JOIN n
+         |  WHERE b.w1 IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         |       CAST(ROUND(CAST(CAST(SUM(lp) AS DOUBLE) / count(*)
+         |            AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_logprob
+         |FROM lp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // cluster-balance twin: the ann_ivf assignment CTE (9-dp cosine,
+    // centroid-id tie-break) joined to the ts_quality alpha_ratio,
+    // per-cell rank capped in a subquery
+    "ts_cluster_balance" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |assigned AS (
+         |  SELECT vec_id AS doc_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r
+         |  WHERE rn = 1),
+         |q AS (SELECT doc_id,
+         |             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |               / length(text) AS alpha_ratio
+         |      FROM documents)
+         |SELECT centroid_id, doc_id, alpha_ratio, cell_rank FROM (
+         |  SELECT a.centroid_id, a.doc_id, q.alpha_ratio,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+         |           ORDER BY q.alpha_ratio DESC, a.doc_id ASC) AS INT) AS cell_rank
+         |  FROM assigned a JOIN q USING (doc_id)) ranked
+         |WHERE cell_rank <= 20
+         |ORDER BY centroid_id, cell_rank""".stripMargin,
     "ts_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -32,6 +32,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.toSet.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("clusterBalance caps per cell by quality and rides WindowGroupLimit") {
+    // two obvious semantic cells; alpha ratios arranged so the per-cell
+    // winners differ from any global quality top-N
+    val balDocs = Seq(
+      (1L, "abcdef"), (2L, "abc 12"), (3L, "abcde1"),
+      (4L, "zzzzzz"), (5L, "zzzzz5"), (6L, "z12345"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0, 0.01)), (2L, Array(0.99, 0.0)), (3L, Array(1.0, -0.01)),
+      (4L, Array(0.01, 1.0)), (5L, Array(0.0, 0.98)), (6L, Array(-0.01, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val out = Curation.clusterBalance(balDocs, emb, cents, perCell = 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.count(_._1 == 100L) == 2 && rows.count(_._1 == 200L) == 2)
+    assert(rows.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 3L),
+      "cell 100 keeps its two highest-alpha docs, not the global top")
+    assert(rows.filter(_._1 == 200L).map(_._2).toSet == Set(4L, 5L))
+    assert(rows.forall(_._3 <= 2))
+    // the cap must pre-truncate per partition before the window shuffle
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-cell cap did not plan a WindowGroupLimit")
+  }
+
   test("curation is deterministic across partitioning") {
     val a = Curation.curate(docs.repartition(7), minAlpha = 0.5,
       minTokens = 25).collect().map(_.getLong(0)).sorted.toSeq

@@ -58,6 +58,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     "stratifiedSample" -> (() => TextAnalysis.stratifiedSample(in)),
     "incrementalMinhash" -> (() =>
       Dedup.incrementalMinhash(Dedup.minhashBands(in), in)),
+    "bigramLogProb" -> (() => TextAnalysis.bigramLogProb(in)),
+    "hybridRrf" -> (() => Search.hybridRrf(in, noVecs, Seq("anything"), noVecs)),
+    "clusterBalance" -> (() => Curation.clusterBalance(in, noVecs, someCents)),
     "curate" -> (() => Curation.curate(in)))
 
   private def vecCases: Seq[(String, () => DataFrame)] = Seq(

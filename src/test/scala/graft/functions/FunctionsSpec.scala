@@ -391,4 +391,45 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(shardOf == again)
   }
+
+  test("bigramLogProb: hand-computed interpolated scores; 1-token doc drops") {
+    // corpus: unigrams a:3 b:3 z:1 (N=7); bigrams ab:3 ba:1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val lpAb = math.log(0.7 * 3.0 / 3 + 0.3 * 3.0 / 7)
+    val lpBa = math.log(0.7 * 1.0 / 3 + 0.3 * 3.0 / 7)
+    assert(!out.contains(3L), "single-token doc has no transitions")
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    assert(math.abs(out(2L)._2 - lpAb) < 1e-6)
+    assert(math.abs(out(1L)._2 - (2 * lpAb + lpBa) / 3) < 1e-6)
+    // the two-sided-gate rationale: all-repeated transitions score the
+    // interpolation ceiling, diverse text sits below it
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("hybridRrf: fused ranks, one-sided hits still score") {
+    val docs = Seq((1L, "fox fox jumps"), (2L, "fox runs"),
+      (3L, "cat sleeps"), (4L, "dog barks")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, "q", Array(1.0, 0.0)), (1L, "a", Array(0.99, 0.1)),
+      (2L, "b", Array(0.0, 1.0)), (3L, "c", Array(0.9, 0.2)),
+      (4L, "d", Array(-1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val out = Search.hybridRrf(docs, emb.filter(col("vec_id") =!= 0),
+      Seq("fox"), emb.filter(col("vec_id") === 0), k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 1: lexical rank 1 (two hits) AND vector rank 1 → both terms
+    assert(out(1L)._1.contains(1) && out(1L)._2.contains(1))
+    assert(math.abs(out(1L)._3 - math.floor(2.0 / 61 * 1e9) / 1e9) < 2e-9)
+    // doc 3 never matched a query term: lexical side null, still ranked
+    assert(out(3L)._1.isEmpty && out(3L)._2.contains(2))
+    // doc 4 is anti-aligned: vector rank 4, no lexical hit
+    assert(out(4L)._1.isEmpty && out(4L)._2.contains(4))
+    // fusion puts the both-retriever doc first
+    val best = out.maxBy(_._2._3)
+    assert(best._1 == 1L)
+  }
 }
