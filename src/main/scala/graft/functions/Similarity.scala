@@ -49,6 +49,34 @@ object Similarity {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
 
+  /** Two-stage prefix-dimension retrieval (the Matryoshka/truncated-
+    * embedding serving pattern): rank the WHOLE corpus by cosine over
+    * only the first `prefixDims` dimensions — a dot product
+    * `prefixDims/d` the width, so the full scan pays a fraction of the
+    * FLOPs and, on a column store that can prune the vector prefix, a
+    * fraction of the bytes — then re-rank the kCoarse survivors with the
+    * exact full-width cosine. Complements IVF: no training step and no
+    * index to maintain, at the cost of scanning every row (cheaply).
+    *
+    * Both stages are TakeOrderedAndProject tails — the exact stage runs
+    * over kCoarse rows only. Recall is an empirical contract (spec'd
+    * against brute force at the shipped config), not a guarantee: a
+    * vector whose similarity mass lives past `prefixDims` can miss the
+    * coarse cut.
+    */
+  def prefixRerank(embeddings: DataFrame, query: DataFrame, k: Int = 10,
+                   kCoarse: Int = 50, prefixDims: Int = 16): DataFrame =
+    crossBroadcast(embeddings, query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qvec"),
+        roundSim(cosine(slice(col("embedding"), 1, prefixDims),
+          slice(col("qvec"), 1, prefixDims))).as("coarse_sim"))
+      .orderBy(desc("coarse_sim"), asc("vec_id"))
+      .limit(kCoarse)
+      .select(col("vec_id"), col("label"), col("coarse_sim"),
+        roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+
   /** Ceiling on the centroid-set size the plan-literal path embeds. A
     * `typedLit` of C×d doubles is re-analyzed and re-codegen'd by every
     * operator that references it — fine to a few hundred centroids,
@@ -328,6 +356,24 @@ object Similarity {
   def signLshPairs(embeddings: DataFrame, threshold: Double,
                    dims: Int = 8, refineDims: Int = 16,
                    maxBucket: Int = 256): DataFrame = {
+    val capped = lshCapped(embeddings, dims, refineDims, maxBucket)
+    capped.toDF("vec_a", "emb_a", "bucket", "nrm_a")
+      .join(capped.toDF("vec_b", "emb_b", "bucket", "nrm_b"), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        roundSim(dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** The sign-LSH blocked frame both pair generators share: one row per
+    * vector with its refined-then-capped bucket and precomputed norm
+    * (identical fold values, a third of the dot work in the bucket
+    * self-join — see [[signLshPairs]]'s skew-guard scaladoc for why the
+    * refine + cap sequence bounds any bucket's candidates).
+    */
+  private def lshCapped(embeddings: DataFrame, dims: Int, refineDims: Int,
+                        maxBucket: Int): DataFrame = {
     val withBuckets = embeddings
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), dims).as("__b0"),
@@ -340,20 +386,119 @@ object Similarity {
           .as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("vec_id")
-    // per-vector norm rides the capped frame (see semDedup): identical
-    // values, a third of the fold work in the bucket self-join
-    val capped = refined
+    refined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         norm(col("embedding")).as("__nrm"))
-    capped.toDF("vec_a", "emb_a", "bucket", "nrm_a")
-      .join(capped.toDF("vec_b", "emb_b", "bucket", "nrm_b"), "bucket")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+  }
+
+  /** Exact k-NN graph by full pairwise ranking — O(n²·d), the recall
+    * oracle for [[knnGraph]] and the honest tool below ~10⁵ vectors
+    * (deliberately a Cartesian product: that IS brute force; the
+    * blocked [[knnGraph]] is the scale path).
+    */
+  def bruteKnnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("src"),
+      col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("dst"),
+      col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("sim"), asc("dst"))
+    a.crossJoin(b)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        roundSim(cosine(col("emb_a"), col("emb_b"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rnk"))
+  }
+
+  /** Top-`nprobe` cells per vector with ZERO shuffle of the corpus —
+    * the probe-side generalization of [[assign]] (`nprobe = 1` selects
+    * exactly assign's argmax): per row, the same rounded csim computes
+    * per centroid, the `(−csim, centroid_id)` structs `array_sort`
+    * ascending (≡ `ORDER BY csim DESC, centroid_id ASC`), and the first
+    * nprobe ids explode to rows. All narrow per-row ops on either
+    * centroid path (plan literal or broadcast struct), so the corpus
+    * never exchanges; output rows = |corpus|·nprobe. A dim-mismatched
+    * embedding nulls every csim and raises through the per-element
+    * guard instead of probing garbage cells (assign's fail-loud
+    * contract).
+    */
+  def probeAssign(embeddings: DataFrame, centroids: DataFrame,
+                  nprobe: Int): DataFrame = {
+    val ceiling = literalCentroidCeiling(embeddings.sparkSession)
+    val withNorm = embeddings.withColumn("__nrm", norm(col("embedding")))
+    def probeIds(cents: Column): Column =
+      transform(
+        slice(transform(array_sort(transform(cents, c =>
+          struct(
+            (lit(0.0) - roundSim(dot(col("embedding"), c.getField("_2")) /
+              (col("__nrm") * c.getField("_3")))).as("_1"),
+            c.getField("_1").as("_2")))),
+          s => s.getField("_2")), 1, nprobe),
+        cid => when(cid.isNull, raise_error(lit(
+          "probeAssign: null probe — embedding/centroid dim mismatch"))
+          .cast("int")).otherwise(cid))
+    val out = collectUpTo(centroids, ceiling, "probeAssign") match {
+      case Some(collected) =>
+        val cents: Seq[(Int, Seq[Double], Double)] = collected.map {
+          case (cid, v) =>
+            (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+        withNorm.withColumn("centroid_id", explode(probeIds(typedLit(cents))))
+      case None =>
+        crossBroadcast(withNorm, centStructRow(centroids))
+          .withColumn("centroid_id", explode(probeIds(col("__cents"))))
+          .drop("__cents")
+    }
+    out.drop("__nrm")
+  }
+
+  /** Approximate k-NN graph over the whole corpus — the neighbor-graph
+    * build a SemDeDup-style semantic-dedup or graph-based clustering
+    * pipeline starts from: every vector's top-k most-cosine-similar
+    * neighbors among the members of its `nprobe` nearest centroid
+    * cells (each vector is simultaneously a query probing nprobe cells
+    * via [[probeAssign]] and an index entry in its own argmax cell via
+    * [[assign]] — multi-probe on the query side buys recall that
+    * single-cell blocking forfeits at cell boundaries). The graph is
+    * directed: both (a→b) and (b→a) can appear, each ranked from its
+    * own side. `nprobe = |cells|` degenerates to the exact brute k-NN
+    * graph (spec-pinned); the shipped config's recall is a measured
+    * contract (COVERAGE.md).
+    *
+    * Scale shape: both sides reach the join shuffled at CELL grain only
+    * (the probe/assign passes are zero-shuffle projections); a dst
+    * joins to the srcs probing its cell — inverted-index, never corpus
+    * × corpus — with per-src candidates ≤ nprobe·maxCell by the
+    * deterministic cell cap, and the rank filter rides
+    * WindowGroupLimit so at most k rows per src cross the window
+    * shuffle.
+    */
+  def knnGraph(embeddings: DataFrame, centroids: DataFrame, k: Int = 5,
+               nprobe: Int = 4, maxCell: Int = 1024): DataFrame = {
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy("vec_id")
+    val dst = assignCached(embeddings, centroids)
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxCell)
+      .select(col("vec_id").as("dst"), col("embedding").as("emb_b"),
+        col("centroid_id"), norm(col("embedding")).as("nrm_b"))
+    val src = probeAssign(embeddings, centroids, nprobe)
+      .select(col("vec_id").as("src"), col("embedding").as("emb_a"),
+        col("centroid_id"), norm(col("embedding")).as("nrm_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("sim"), asc("dst"))
+    src.join(dst, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
         roundSim(dot(col("emb_a"), col("emb_b")) /
           (col("nrm_a") * col("nrm_b"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rnk"))
   }
 
   /** Product quantization (Jégou et al., "Product Quantization for

@@ -308,6 +308,49 @@ object TextAnalysis {
         (u < col("rate")).as("keep"))
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-
+    * pretraining rebalance (Conneau & Lample; XLM-R §3.1): source `s`
+    * is sampled proportionally to `n_s^alpha` rather than `n_s`, so
+    * `alpha < 1` flattens the source distribution and upweights tail
+    * sources a proportional sample would starve. Per-source keep rate:
+    * `rate_s = min(1, budget · w_s / W / n_s)` with `w_s = n_s^alpha`,
+    * `W = Σ w_s` — the budget splits across sources by tempered share,
+    * then converts to a rate against the source's own token mass. The
+    * keep decision is the same per-row md5 uniform draw as
+    * [[mixtureSample]].
+    *
+    * Scale: the only aggregation is at source grain (tiny, broadcast
+    * back); the keep decision is a per-row projection. Parity: `pow` is
+    * the one libm call — routed through the 9-dp decimal rounding guard
+    * (the [[tfIdf]] ln discipline); `W` sums in decimal (exact,
+    * order-independent); every other operand is an integer cast or an
+    * IEEE-deterministic double op mirrored operand-for-operand in the
+    * twin.
+    */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long,
+                     alpha: Double = 0.5): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tokens"))
+    val weighted = toks.groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("w",
+        round(pow(col("total_tokens").cast("double"), lit(alpha))
+          .cast(d2012), 9))
+    val wTot = weighted.select(sum("w").as("w_total"))
+    val rates = graft.core.Scalars.crossBroadcast(weighted, wTot)
+      .select(col("source"),
+        least(lit(1.0),
+          lit(budgetTokens).cast("double") * col("w").cast("double") /
+            col("w_total").cast("double") /
+            col("total_tokens").cast("double")).as("rate"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    toks.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (u < col("rate")).as("keep"))
+  }
+
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -361,46 +404,60 @@ object TextAnalysis {
     *
     * Bigram extraction is a per-row zip of the token array with its own
     * tail — a narrow projection, no positional window and no shuffle
-    * until the count aggregates. Shuffles: bigram-grain counts, the
-    * unigram counts (shared with [[unigramLogProb]] through the
-    * `text.unigramToks` memo), the joins back, and the doc-grain mean —
-    * all key-grain aggregates, nothing corpus-crossing. Parity: same
-    * 9-dp decimal ln rounding / exact decimal SUM / 6-dp mean ladder as
-    * the unigram path.
+    * until the count aggregates. The log-prob depends only on the bigram
+    * TYPE, so each distinct (w₁, w₂) scores once and the corpus-count
+    * joins run at vocab² grain, not occurrence grain (the dd_fuzzy
+    * collapse); the doc mean rebuilds exactly via the per-doc type count
+    * `nb` — `Σ nb·lp` in exact decimal (lp DECIMAL(26,12) × nb
+    * DECIMAL(9,0) → DECIMAL(36,12), no precision-loss rescale) is
+    * bit-identical to summing lp per occurrence, which is what the
+    * oracle twin still does. Shuffles: doc-bigram-type counts, the
+    * type-grain count aggregates, the type-grain joins, and the
+    * doc-grain mean — all key-grain, nothing corpus-crossing. Parity:
+    * same 9-dp decimal ln rounding / exact decimal SUM / 6-dp mean
+    * ladder as the unigram path.
     */
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
-    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d2612 = org.apache.spark.sql.types.DecimalType(26, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
+    val d90 = org.apache.spark.sql.types.DecimalType(9, 0)
     val tok = graft.core.PlanMemo.cached("text.unigramToks",
       docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(split(normalized(col("text")), " ")).as("token")))
     val toksArr = split(normalized(col("text")), " ")
-    val bg = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(toksArr, lit(1), size(toksArr) - 1),
-          slice(toksArr, lit(2), size(toksArr) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // (doc, w1, w2, nb) — doc-bigram-TYPE grain; both the corpus count
+    // aggregation and the final join-back consume it
+    val bgd = graft.core.PlanMemo.cached("text.bigramDocCounts",
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(toksArr, lit(1), size(toksArr) - 1),
+            slice(toksArr, lit(2), size(toksArr) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("nb")))
+    val bgc = bgd.groupBy("w1", "w2").agg(sum("nb").as("c2"))
     val uc = tok.groupBy("token").agg(count(lit(1)).as("c1"))
     val n = tok.select(count(lit(1)).as("total"))
-    val joined = bg
-      .join(bgc, Seq("w1", "w2"))
-      .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1")), "w1")
-      .join(uc.select(col("token").as("w2"), col("c1").as("c1_w2")), "w2")
-    graft.core.Scalars.crossBroadcast(joined, n)
-      .withColumn("lp",
+    val lpByType = graft.core.Scalars.crossBroadcast(
+      bgc
+        .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1")), "w1")
+        .join(uc.select(col("token").as("w2"), col("c1").as("c1_w2")), "w2"),
+      n)
+      .select(col("w1"), col("w2"),
         round(log(
           lit(lambda) * col("c2").cast("double") / col("c1_w1") +
             lit(1.0 - lambda) * col("c1_w2").cast("double") / col("total"))
-          .cast(d2012), 9).cast(d3812))
+          .cast(d2012), 9).cast(d2612).as("lp"))
+    bgd
+      .join(lpByType, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).cast("int").as("n_bigrams"),
-        round((sum("lp").cast("double") / count(lit(1))).cast(d3810), 6)
+        sum("nb").cast("int").as("n_bigrams"),
+        round((sum(col("nb").cast(d90) * col("lp")).cast("double") /
+          sum("nb")).cast(d3810), 6)
           .cast("double").as("avg_logprob"))
   }
 
@@ -493,6 +550,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"CAST(prev_cum DIV $budget AS BIGINT)").as("bin_id"),
         expr(s"CAST(prev_cum % $budget AS BIGINT)").as("bin_offset"))
+  }
+
+  /** Length-bucketed batching: group documents of similar token count
+    * into token-budget batches so per-batch padding (every sequence in
+    * a batch pads to the batch max) stays small — the batching strategy
+    * sequence-to-sequence training stacks run to stop one long outlier
+    * from wasting a whole batch of compute. Bucket = binary magnitude
+    * of the token count (length of its base-2 rendering — an INTEGER
+    * bucket key, deliberately not `floor(log2(…))`: ln-ratio floats can
+    * land an exact power of two on the wrong side of floor at the ulp
+    * level, and bucket keys must be engine-exact). Within a bucket,
+    * documents fill batches in doc_id order by cumulative token count
+    * (the [[packSequences]] window); emits per-batch occupancy and the
+    * padding waste `n_docs·max_tokens − sum_tokens` a scheduler
+    * minimizes.
+    *
+    * Shuffles: one bucket-grain window (buckets are few — doc length is
+    * log-distributed — but each holds a doc-count-proportional slice;
+    * the window is a running sum, so Spark streams each partition, no
+    * full-buffer), one (bucket, batch)-grain aggregate. Nothing
+    * corpus-crossing.
+    */
+  def lengthBucketBatches(docs: DataFrame, batchTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(normalized(col("text")))).as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prev_cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"CAST(prev_cum DIV $batchTokens AS BIGINT)"))
+      .groupBy("bucket", "batch_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("sum_tokens"),
+        (count(lit(1)) * max("n_tokens") - sum("n_tokens")).cast("long")
+          .as("pad_waste"))
+      .orderBy("bucket", "batch_id")
   }
 
   /** C4-style heuristic quality filters (Raffel et al. §2.2, adapted to

@@ -384,6 +384,12 @@ object TrainingQueries {
       val e = Tables.embeddings(s, d)
       Similarity.bruteTopK(e, e.filter(col("vec_id") === 0), k = 10)
     }),
+    // two-stage matryoshka retrieval: coarse rank over the first 16
+    // dims, exact cosine re-rank of the 50 survivors
+    "ann_prefix_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.prefixRerank(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val centroids = e.filter(col("vec_id").between(1, 16))
@@ -394,6 +400,16 @@ object TrainingQueries {
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
+    // approximate k-NN graph: every vector probes its 4 nearest of the
+    // fixed first-16 cells (the ann_ivf oracle config) and ranks the
+    // members top-5; directed, rank filter rides WindowGroupLimit
+    "ann_knn_graph" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+        .orderBy("src", "rnk")
+    }),
     // SemDeDup: centroid-cell blocking instead of sign-LSH; fixed
     // first-16 centroids (the ann_ivf oracle config) so DuckDB mirrors
     // the assignment argmax exactly
@@ -424,6 +440,10 @@ object TrainingQueries {
     // md5 hash shard (deterministic, parallel)
     "ts_pack" -> ((s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
+    // length-bucketed batching: binary-magnitude buckets, token-budget
+    // batches within each, per-batch padding-waste accounting
+    "ts_length_batches" -> ((s, d) =>
+      TextAnalysis.lengthBucketBatches(Tables.documents(s, d))),
     // unigram log-probability quality score vs the corpus' own unigram
     // distribution (the KenLM-style signal at unigram order)
     "ts_unigram_lp" -> ((s, d) =>
@@ -582,6 +602,13 @@ object TrainingQueries {
       TextAnalysis.mixtureSample(Tables.documents(s, d),
         budgets = Map("src0" -> 700L, "src1" -> 1000000L, "src2" -> 0L),
         defaultBudget = 650L)
+        .orderBy("doc_id")),
+    // temperature-weighted mixture (alpha=0.5 flattens the source
+    // distribution; budget splits by tempered share, tail sources
+    // upweighted vs a proportional sample)
+    "ts_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(Tables.documents(s, d),
+        budgetTokens = 5000L, alpha = 0.5)
         .orderBy("doc_id")),
     // decontamination vs a held-out "benchmark" slice of the corpus
     "dd_contamination" -> ((s, d) => {
@@ -807,6 +834,29 @@ object TrainingQueries {
          |       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
          |       COALESCE(CAST(top_big AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
          |FROM ts t LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // length-batch twin: the bucket key is an integer (length of the
+    // base-2 rendering), not floor(log2(…)) — ln-ratio floats can land
+    // an exact power of two on the wrong side of floor
+    "ts_length_batches" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split($normSql, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(length(bin(n_tokens)) AS INT) AS bucket
+         |  FROM t),
+         |c AS (
+         |  SELECT *,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+         |  FROM b)
+         |SELECT bucket, CAST(prev_cum // 2048 AS BIGINT) AS batch_id,
+         |       CAST(count(*) AS INT) AS n_docs,
+         |       CAST(max(n_tokens) AS INT) AS max_tokens,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+         |FROM c GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin,
     "ts_unigram_lp" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
@@ -1094,6 +1144,30 @@ object TrainingQueries {
         |          / 4294967296.0 < rate) AS keep
         |FROM t JOIN r USING (source)
         |ORDER BY doc_id""".stripMargin,
+    // temperature-mix twin: pow routed through the 9-dp decimal guard,
+    // W summed in decimal, rate division mirrored operand-for-operand
+    "ts_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, SUM(n_tokens) AS total_tokens FROM t GROUP BY 1),
+        |w AS (SELECT source, total_tokens,
+        |        ROUND(CAST(pow(CAST(total_tokens AS DOUBLE),
+        |          CAST(0.5 AS DOUBLE)) AS DECIMAL(20,12)), 9) AS w
+        |      FROM s),
+        |wt AS (SELECT SUM(w) AS w_total FROM w),
+        |r AS (SELECT source,
+        |        LEAST(CAST(1.0 AS DOUBLE),
+        |          CAST(5000 AS DOUBLE) * CAST(w.w AS DOUBLE)
+        |            / CAST(wt.w_total AS DOUBLE)
+        |            / CAST(w.total_tokens AS DOUBLE)) AS rate
+        |      FROM w CROSS JOIN wt)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |       (CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 < r.rate) AS keep
+        |FROM t JOIN r USING (source)
+        |ORDER BY t.doc_id""".stripMargin,
     // the full curation pipeline: quality gate → exact-dedup keepers →
     // LSH near-dup removal (drop the higher doc_id of each pair) →
     // deterministic hash split. Every stage reuses a primitive that is
@@ -1137,6 +1211,17 @@ object TrainingQueries {
          |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim
          |FROM embeddings CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // prefix-rerank twin: list-slice prefixes feed the same rounded
+    // cosine; survivors re-ranked with the full-width expression
+    "ann_prefix_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (
+         |  SELECT vec_id, label, embedding, qv,
+         |         ${cosSql("embedding[1:16]", "qv[1:16]")} AS coarse_sim
+         |  FROM embeddings CROSS JOIN q
+         |  ORDER BY coarse_sim DESC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, label, coarse_sim, ${cosSql("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
@@ -1289,6 +1374,37 @@ object TrainingQueries {
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    // knn-graph twin: the ann_ivf argmax assignment (dst index), the
+    // same ranking extended to rn ≤ 4 for the probe side, then a
+    // per-source rank over the cell join
+    "ann_knn_graph" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+         |                    c.centroid_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id
+         |             FROM ranked WHERE rn = 1),
+         |capped AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS crn
+         |    FROM assigned) r
+         |  WHERE crn <= 1024),
+         |probes AS (SELECT vec_id, embedding, centroid_id
+         |           FROM ranked WHERE rn <= 4)
+         |SELECT src, dst, sim, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT p.vec_id AS src, a.vec_id AS dst,
+         |         ${cosSql("p.embedding", "a.embedding")} AS sim,
+         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |           ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC,
+         |                    a.vec_id ASC) AS rnk
+         |  FROM probes p JOIN capped a USING (centroid_id)
+         |  WHERE p.vec_id <> a.vec_id) g
+         |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
     // mirrors semDedup: the assigned CTE is ann_ivf's argmax assignment,
     // the cap is dd_embed_cos' deterministic row_number guard
     "dd_semdedup" ->

@@ -51,6 +51,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "redactPii" -> (() => TextAnalysis.redactPii(in)),
     "mixtureSample" -> (() =>
       TextAnalysis.mixtureSample(in, Map("a" -> 10L), 5L)),
+    "temperatureMix" -> (() => TextAnalysis.temperatureMix(in, 1000L)),
     "winnow" -> (() => TextAnalysis.winnow(in)),
     "charEntropy" -> (() => TextAnalysis.charEntropy(in)),
     "winnowPairs" -> (() => Dedup.winnowPairs(in)),
@@ -59,6 +60,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "incrementalMinhash" -> (() =>
       Dedup.incrementalMinhash(Dedup.minhashBands(in), in)),
     "bigramLogProb" -> (() => TextAnalysis.bigramLogProb(in)),
+    "lengthBucketBatches" -> (() => TextAnalysis.lengthBucketBatches(in)),
     "hybridRrf" -> (() => Search.hybridRrf(in, noVecs, Seq("anything"), noVecs)),
     "clusterBalance" -> (() => Curation.clusterBalance(in, noVecs, someCents)),
     "curate" -> (() => Curation.curate(in)))
@@ -71,6 +73,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     "quantizeInt8" -> (() => Similarity.quantizeInt8(noVecs)),
     "pqEncode" -> (() => Similarity.pqEncode(noVecs, someCents, m = 2)),
     "pqTopK" -> (() => Similarity.pqTopK(noVecs, someCents, noVecs, 5, m = 2)),
+    "prefixRerank" -> (() => Similarity.prefixRerank(noVecs, noVecs, 5, 50, 2)),
+    "knnGraph" -> (() => Similarity.knnGraph(noVecs, someCents)),
+    "probeAssign" -> (() => Similarity.probeAssign(noVecs, someCents, 2)),
     "skewSummary" -> (() => graft.operators.SkewProfile.summary(noDocs, "source")),
     "skewHotKeys" -> (() => graft.operators.SkewProfile.hotKeys(noDocs, "source")),
     "multimodal" -> (() =>

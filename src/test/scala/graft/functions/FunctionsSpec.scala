@@ -392,6 +392,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(shardOf == again)
   }
 
+  test("lengthBucketBatches: hand-checked buckets, fills, padding waste") {
+    val docs = Seq(
+      (1L, "a b c"),                                  // 3 tokens, bucket 2
+      (2L, "d e"),                                    // 2 tokens, bucket 2
+      (3L, "g h i"),                                  // 3 tokens, bucket 2
+      (4L, (1 to 20).map(i => s"w$i").mkString(" "))) // 20 tokens, bucket 5
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBucketBatches(docs, batchTokens = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    // bucket 2 in doc_id order: cum 0, 3, 5 → docs 1+2 fill batch 0
+    // (max 3, sum 5 → pads 1), doc 3 spills to batch 1
+    assert(out((2, 0L)) == ((2, 3, 5L, 1L)))
+    assert(out((2, 1L)) == ((1, 3, 3L, 0L)))
+    assert(out((5, 0L)) == ((1, 20, 20L, 0L)))
+    assert(out.size == 3)
+  }
+
+  test("temperatureMix: alpha=0.5 flattens — tail source capped at rate 1") {
+    val bText = Seq.fill(500)("w").mkString(" ")
+    val docs = (Seq(1L, 2L).map(i => (i, "w w w w w", "a")) ++
+      (10L to 17L).map(i => (i, bText, "b"))).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperatureMix(docs, budgetTokens = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3))))
+      .toMap
+    // w_a=√10, w_b=√4000: rate_a = 1000·w_a/W/10 ≈ 4.76 → capped 1.0 ⇒
+    // every tail-source doc kept (proportional sampling would keep ~25%)
+    assert(Seq(1L, 2L).forall(out(_) == ((5, true))))
+    // rate_b ≈ 0.2381 (tempered DOWN from 0.2494 proportional); the 8
+    // fixture ids' md5 draws all sit above it — deterministic
+    assert((10L to 17L).forall(out(_) == ((500, false))))
+  }
+
   test("bigramLogProb: hand-computed interpolated scores; 1-token doc drops") {
     // corpus: unigrams a:3 b:3 z:1 (N=7); bigrams ab:3 ba:1
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))

@@ -28,6 +28,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfAll == brute, "nprobe = all centroids ⇒ exact")
   }
 
+  test("knnGraph: nprobe = all cells ≡ exact brute k-NN graph; shipped recalls") {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every src probes every cell ⇒ candidates = the whole corpus ⇒ exact
+    val full = edges(Similarity.knnGraph(emb, cents, k = 5, nprobe = 16))
+    val brute = edges(Similarity.bruteKnnGraph(emb, k = 5))
+    assert(full == brute, "nprobe = |cells| must reproduce brute force")
+    // shipped nprobe=4: measured recall floor (worst-case near-uniform
+    // synthetic vectors; DuckDB-replayed 0.487 at sf0.01)
+    val shipped = edges(Similarity.knnGraph(emb, cents, k = 5, nprobe = 4))
+    val recall = (shipped intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.35, s"knn recall $recall below floor")
+  }
+
+  test("probeAssign: nprobe=1 equals assign's argmax cell") {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val one = Similarity.probeAssign(emb, cents, nprobe = 1)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val argmax = Similarity.assign(emb, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == argmax)
+  }
+
+  test("prefixRerank: full-width prefix ≡ brute force; shipped prefix recalls") {
+    val q = emb.filter(col("vec_id") === 0)
+    // prefix = full width and kCoarse = corpus ⇒ both stages exact
+    val full = Similarity.prefixRerank(emb, q, k = 5, kCoarse = 1000,
+      prefixDims = 64).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteTopK(emb, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(full == brute, "degenerate config must reproduce brute force")
+    // shipped config: measured recall@10 floor vs brute (empirical
+    // contract, same discipline as IVF/SemDeDup)
+    val shipped = Similarity.prefixRerank(emb, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val b10 = Similarity.bruteTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val recall = (shipped intersect b10).size / 10.0
+    assert(recall >= 0.5, s"prefix recall@10 $recall below floor")
+  }
+
   test("broadcast-struct centroid path equals the plan-literal path") {
     // The serving-tier contract: when C exceeds the literal ceiling,
     // assign/pqEncode fold over a broadcast-joined struct-array column
