@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Primitives are native higher-order functions (`zip_with` +
-  * `aggregate`) — codegen-friendly, no UDF. Accumulation is a
-  * left-to-right double fold, so the same value is computed by any engine
-  * folding sequentially; similarity values are additionally rounded
-  * through a decimal cast ([[roundSim]]) before ranking/thresholding so
-  * last-ulp noise can never flip an ordering across engines.
+  * The dot-product primitive is a native codegen'd Catalyst expression
+  * ([[VecDot]] — one fused loop, no UDF and no interpreted-HOF boxing);
+  * it accumulates as a left-to-right double fold, so the same value is
+  * computed by any engine folding sequentially (the HOF `zip_with` +
+  * `aggregate` form it replaced is spec-pinned bit-identical);
+  * similarity values are additionally rounded through a decimal cast
+  * ([[roundSim]]) before ranking/thresholding so last-ulp noise can
+  * never flip an ordering across engines.
   *
   * Three strategies:
   *   - [[bruteTopK]]: exact cosine top-k (the baseline; one scan, one
@@ -23,7 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VecDot.vecDot(a, b)
+
+  /** The interpreted-HOF dot this engine started with — kept as the
+    * parity oracle for [[VecDot]] (same casts, same fold order; the
+    * spec asserts bit-identical values over the corpus).
+    */
+  private[functions] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

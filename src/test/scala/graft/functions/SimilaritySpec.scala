@@ -44,6 +44,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"knn recall $recall below floor")
   }
 
+  test("VecDot is bit-identical to the HOF fold; null semantics match") {
+    import spark.implicits._
+    // every corpus vector dotted against one fixed query — raw doubles
+    // compared exactly, no rounding anywhere
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("qvec")).as("fast"),
+        Similarity.dotHof(col("embedding"), col("qvec")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+    // length mismatch and null elements → null, exactly like the
+    // padded zip's poisoned fold
+    val odd = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(odd == Map(1L -> None, 2L -> Some(5.0)))
+  }
+
   test("probeAssign: nprobe=1 equals assign's argmax cell") {
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
