@@ -90,6 +90,46 @@ object Curation {
       .orderBy("centroid_id", "cell_rank")
   }
 
+  /** Prototypicality pruning — the SSL-prototypes half of the D4
+    * recipe (Tirumala et al., "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification"): within each
+    * semantic cell, the documents CLOSEST to their centroid are the
+    * most redundant — near-duplicates of the cluster's prototype — so
+    * the top `dropFrac` fraction by centroid-cosine is marked dropped,
+    * keeping the cell's diverse tail. Complements [[clusterBalance]]
+    * (which caps cell size by quality): balance bounds topic volume,
+    * proto-pruning removes intra-topic redundancy.
+    *
+    * Scale shape: assignment is the zero-shuffle [[Similarity.assign]]
+    * fold; the centroid join-back and per-cell counts are
+    * aggregate-sized broadcasts; the only corpus shuffle is the
+    * cell-grain rank window. The drop boundary is integer
+    * (`rn ≤ floor(dropFrac·n)` — both engines multiply the same IEEE
+    * doubles and floor the same value), never a float comparison on a
+    * tie-able score.
+    */
+  def protoPrune(embeddings: DataFrame, centroids: DataFrame,
+                 dropFrac: Double = 0.25): DataFrame = {
+    val scored = Similarity.assign(embeddings, centroids)
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        Similarity.roundSim(
+          Similarity.cosine(col("embedding"), col("cvec"))).as("proto"))
+    val counts = scored.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(desc("proto"), asc("vec_id"))
+    scored.join(broadcast(counts), "centroid_id")
+      .withColumn("cell_rank", row_number().over(w))
+      .select(col("vec_id"),
+        // long for the same int32/int64 hash-drift reason as
+        // clusterBalance
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("proto"), col("cell_rank"),
+        (col("cell_rank") <=
+          floor(lit(dropFrac) * col("n")).cast("long")).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   /** Bench cold-attribution hook (the __sqllab_fill pattern):
     * materialize the memoized minhash-signature frame stage 3 reads, so
     * a cold `curate` pays its own join/split work, not the shared cache

@@ -461,6 +461,14 @@ object TrainingQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       Curation.clusterBalance(Tables.documents(s, d), e, cents, perCell = 20)
     }),
+    // D4-style prototypicality pruning: per cell, the floor(0.25·n)
+    // vectors closest to their centroid are marked redundant
+    "dd_proto_prune" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Curation.protoPrune(e, cents, dropFrac = 0.25)
+    }),
     // int8 quantization; q rendered as csv (array hashing is
     // representation-fragile across engines, a string is not)
     "ann_quantize" -> ((s, d) =>
@@ -1405,6 +1413,32 @@ object TrainingQueries {
          |  FROM probes p JOIN capped a USING (centroid_id)
          |  WHERE p.vec_id <> a.vec_id) g
          |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
+    // proto-prune twin: the ann_ivf argmax assignment, centroid-cosine
+    // re-score, integer drop boundary floor(0.25·n)
+    "dd_proto_prune" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+         |                      c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) r
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |         ${cosSql("a.embedding", "c.cvec")} AS proto
+         |  FROM assigned a JOIN cents c USING (centroid_id)),
+         |counts AS (SELECT centroid_id, count(*) AS n FROM scored GROUP BY 1)
+         |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, proto,
+         |       CAST(rn2 AS INT) AS cell_rank,
+         |       rn2 <= CAST(floor(0.25 * n) AS BIGINT) AS dropped
+         |FROM (SELECT s.vec_id, s.centroid_id, s.proto, c.n,
+         |             ROW_NUMBER() OVER (PARTITION BY s.centroid_id
+         |               ORDER BY s.proto DESC, s.vec_id ASC) AS rn2
+         |      FROM scored s JOIN counts c USING (centroid_id)) g
+         |ORDER BY vec_id""".stripMargin,
     // mirrors semDedup: the assigned CTE is ann_ivf's argmax assignment,
     // the cap is dd_embed_cos' deterministic row_number guard
     "dd_semdedup" ->

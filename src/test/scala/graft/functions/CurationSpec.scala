@@ -32,6 +32,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.toSet.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("protoPrune drops the floor(frac·n) most prototypical per cell") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)),  // cell 100, proto 1.0      → dropped
+      (2L, Array(0.9, 0.1)),  // cell 100, proto ≈ 0.994
+      (3L, Array(0.5, 0.5)),  // cell 100, proto ≈ 0.707
+      (4L, Array(0.6, 0.8)),  // cell 200, proto 0.8
+      (5L, Array(0.0, 1.0)))  // cell 200, proto 1.0      → dropped
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val out = Curation.protoPrune(emb, cents, dropFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    // cell 100: n=3 → floor(1.5)=1 drop; cell 200: n=2 → floor(1.0)=1
+    assert(out(1L) == ((100L, 1, true)))
+    assert(out(2L) == ((100L, 2, false)))
+    assert(out(3L) == ((100L, 3, false)))
+    assert(out(5L) == ((200L, 1, true)))
+    assert(out(4L) == ((200L, 2, false)))
+  }
+
   test("clusterBalance caps per cell by quality and rides WindowGroupLimit") {
     // two obvious semantic cells; alpha ratios arranged so the per-cell
     // winners differ from any global quality top-N

@@ -63,6 +63,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "lengthBucketBatches" -> (() => TextAnalysis.lengthBucketBatches(in)),
     "hybridRrf" -> (() => Search.hybridRrf(in, noVecs, Seq("anything"), noVecs)),
     "clusterBalance" -> (() => Curation.clusterBalance(in, noVecs, someCents)),
+    "protoPrune" -> (() => Curation.protoPrune(noVecs, someCents)),
     "curate" -> (() => Curation.curate(in)))
 
   private def vecCases: Seq[(String, () => DataFrame)] = Seq(
