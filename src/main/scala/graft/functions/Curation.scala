@@ -130,6 +130,39 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** Per-source quality pruning — the FineWeb-style selection shape:
+    * within each source (domain), keep the top `keepFrac` fraction by
+    * quality score rather than applying one global threshold (a global
+    * cut lets a high-scoring domain crowd out every document of a
+    * lower-scoring but valuable one; per-domain ranking preserves
+    * coverage). Score here is the alphabetic ratio ([[TextAnalysis
+    * .quality]]'s `alpha_ratio`, computed inline — same expression, no
+    * wide join); the keep boundary is the integer
+    * `rank ≤ floor(keepFrac·n_source)` — the [[protoPrune]] tie
+    * discipline, a score tie can never flip a keep decision
+    * cross-engine.
+    *
+    * Scale: per-source counts are aggregate-sized (broadcast back);
+    * the one corpus shuffle is the source-grain rank window. An empty
+    * text yields a NULL score and sorts last on both engines (DESC →
+    * nulls last in Spark and DuckDB alike), i.e. prunes first.
+    */
+  def qualityPrune(docs: DataFrame, keepFrac: Double = 0.5): DataFrame = {
+    val nChars = nullif(length(col("text")), lit(0))
+    val scored = docs.select(col("doc_id"), col("source"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        nChars).as("alpha_ratio"))
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("alpha_ratio"), asc("doc_id"))
+    scored.join(broadcast(counts), "source")
+      .withColumn("src_rank", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("alpha_ratio"),
+        col("src_rank"),
+        (col("src_rank") <=
+          floor(lit(keepFrac) * col("n")).cast("long")).as("kept"))
+  }
+
   /** Bench cold-attribution hook (the __sqllab_fill pattern):
     * materialize the memoized minhash-signature frame stage 3 reads, so
     * a cold `curate` pays its own join/split work, not the shared cache

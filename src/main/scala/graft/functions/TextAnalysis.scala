@@ -351,6 +351,38 @@ object TextAnalysis {
         (u < col("rate")).as("keep"))
   }
 
+  /** Deterministic fractional-epoch upsampling — pretraining data
+    * schedules repeat high-value sources a FRACTIONAL number of times
+    * (a source "seen for 2.5 epochs"): every document emits `floor(f)`
+    * full copies plus one more when its md5 draw lands under
+    * `frac(f)`, so each source contributes `f·n_s` documents in
+    * expectation while staying bit-reproducible run-to-run (no RNG
+    * state — the draw is a pure function of doc_id, salted `:epoch` so
+    * it decorrelates from [[mixtureSample]]'s keep draw). A factor
+    * below 1 downsamples the same way ([[temperatureMix]]'s rate
+    * form, expressed as epochs).
+    *
+    * Scale: one narrow projection + a per-row `sequence` explode —
+    * output rows = Σ f·n_s, no shuffle at all. The `when(n ≥ 1)` guard
+    * matters: Spark's `sequence(1, 0)` counts DOWN (yielding [1, 0]),
+    * it does not produce an empty array.
+    */
+  def epochRepeat(docs: DataFrame, factors: Map[String, Double],
+                  defaultFactor: Double = 1.0): DataFrame = {
+    val f = factors.toSeq.sortBy(_._1).foldLeft(lit(defaultFactor)) {
+      case (acc, (src, x)) => when(col("source") === src, lit(x)).otherwise(acc)
+    }
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":epoch"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("n_copies",
+        floor(f).cast("int") + when(u < (f - floor(f)), 1).otherwise(0))
+      .withColumn("copy", explode(when(col("n_copies") >= 1,
+        sequence(lit(1), col("n_copies"))).otherwise(array())))
+      .select(col("doc_id"), col("source"), col("copy").cast("int").as("copy"))
+  }
+
   /** lower + collapse whitespace + trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

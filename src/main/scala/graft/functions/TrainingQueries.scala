@@ -611,6 +611,18 @@ object TrainingQueries {
         budgets = Map("src0" -> 700L, "src1" -> 1000000L, "src2" -> 0L),
         defaultBudget = 650L)
         .orderBy("doc_id")),
+    // FineWeb-style per-source quality pruning: keep the top half of
+    // each source by alpha ratio (integer rank boundary, no float tie)
+    "ts_quality_prune" -> ((s, d) =>
+      Curation.qualityPrune(Tables.documents(s, d), keepFrac = 0.5)
+        .orderBy("doc_id")),
+    // deterministic fractional-epoch upsampling: floor(f) copies per
+    // doc + one more under the salted md5 draw with prob frac(f)
+    "ts_epochs" -> ((s, d) =>
+      TextAnalysis.epochRepeat(Tables.documents(s, d),
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.75),
+        defaultFactor = 1.0)
+        .orderBy("doc_id", "copy")),
     // temperature-weighted mixture (alpha=0.5 flattens the source
     // distribution; budget splits by tempered share, tail sources
     // upweighted vs a proportional sample)
@@ -1152,6 +1164,43 @@ object TrainingQueries {
         |          / 4294967296.0 < rate) AS keep
         |FROM t JOIN r USING (source)
         |ORDER BY doc_id""".stripMargin,
+    // quality-prune twin: same alpha regexp as ts_curation, integer
+    // keep boundary floor(0.5·n) per source
+    "ts_quality_prune" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |           / nullif(length(text), 0) AS alpha_ratio
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM s GROUP BY 1)
+        |SELECT doc_id, source, alpha_ratio, CAST(rn AS INT) AS src_rank,
+        |       rn <= CAST(floor(0.5 * n) AS BIGINT) AS kept
+        |FROM (SELECT s.doc_id, s.source, s.alpha_ratio, c.n,
+        |             ROW_NUMBER() OVER (PARTITION BY s.source
+        |               ORDER BY s.alpha_ratio DESC, s.doc_id ASC) AS rn
+        |      FROM s JOIN c USING (source)) g
+        |ORDER BY doc_id""".stripMargin,
+    // epoch twin: double-cast factor literals (a bare 2.5 is DECIMAL in
+    // DuckDB), generate_series guarded to n >= 1 (unnest([]) drops)
+    "ts_epochs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+        |              WHEN source = 'src1' THEN CAST(0.25 AS DOUBLE)
+        |              WHEN source = 'src2' THEN CAST(1.75 AS DOUBLE)
+        |              ELSE CAST(1.0 AS DOUBLE) END AS f,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(f) AS INT)
+        |           + CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END AS n_copies
+        |  FROM t)
+        |SELECT doc_id, source, CAST(copy AS INT) AS copy
+        |FROM (SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+        |      FROM c WHERE n_copies >= 1) g
+        |ORDER BY doc_id, copy""".stripMargin,
     // temperature-mix twin: pow routed through the 9-dp decimal guard,
     // W summed in decimal, rate division mirrored operand-for-operand
     "ts_temperature_mix" ->

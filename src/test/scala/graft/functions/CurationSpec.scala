@@ -32,6 +32,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.toSet.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("qualityPrune keeps the floor(frac·n) best per source, not globally") {
+    // source a all high-alpha, source b all low-alpha: a global top-half
+    // cut would keep ONLY a-docs; per-source keeps the best of b too
+    val docs = Seq(
+      (1L, "abcdefgh", "a"),   // alpha 1.0
+      (2L, "abcdef12", "a"),   // 0.75
+      (3L, "abcd1234", "a"),   // 0.5
+      (4L, "ab123456", "b"),   // 0.25
+      (5L, "a1234567", "b"))   // 0.125
+      .toDF("doc_id", "text", "source")
+    val out = Curation.qualityPrune(docs, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getBoolean(4))))
+      .toMap
+    // a: n=3 → floor(1.5)=1 kept (doc 1); b: n=2 → floor(1.0)=1 (doc 4)
+    assert(out(1L) == ((1, true)) && out(2L) == ((2, false)) &&
+      out(3L) == ((3, false)))
+    assert(out(4L) == ((1, true)) && out(5L) == ((2, false)))
+  }
+
   test("protoPrune drops the floor(frac·n) most prototypical per cell") {
     val emb = Seq(
       (1L, Array(1.0, 0.0)),  // cell 100, proto 1.0      → dropped

@@ -52,6 +52,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "mixtureSample" -> (() =>
       TextAnalysis.mixtureSample(in, Map("a" -> 10L), 5L)),
     "temperatureMix" -> (() => TextAnalysis.temperatureMix(in, 1000L)),
+    "epochRepeat" -> (() => TextAnalysis.epochRepeat(in, Map("a" -> 2.5))),
     "winnow" -> (() => TextAnalysis.winnow(in)),
     "charEntropy" -> (() => TextAnalysis.charEntropy(in)),
     "winnowPairs" -> (() => Dedup.winnowPairs(in)),
@@ -64,6 +65,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "hybridRrf" -> (() => Search.hybridRrf(in, noVecs, Seq("anything"), noVecs)),
     "clusterBalance" -> (() => Curation.clusterBalance(in, noVecs, someCents)),
     "protoPrune" -> (() => Curation.protoPrune(noVecs, someCents)),
+    "qualityPrune" -> (() => Curation.qualityPrune(in)),
     "curate" -> (() => Curation.curate(in)))
 
   private def vecCases: Seq[(String, () => DataFrame)] = Seq(

@@ -411,6 +411,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("epochRepeat: floor copies plus deterministic fractional extra") {
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"),
+      (4L, "x", "b"), (5L, "x", "c")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.epochRepeat(docs,
+      Map("a" -> 2.5, "b" -> 0.25), defaultFactor = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // md5 ':epoch' draws: d1 .968, d2 .461, d3 .527, d4 .163 —
+    // a: 2 + (u<.5); b: 0 + (u<.25); c: exactly 1
+    assert(out == Map(
+      1L -> Seq(1, 2), 2L -> Seq(1, 2, 3), 4L -> Seq(1), 5L -> Seq(1)))
+  }
+
   test("temperatureMix: alpha=0.5 flattens — tail source capped at rate 1") {
     val bText = Seq.fill(500)("w").mkString(" ")
     val docs = (Seq(1L, 2L).map(i => (i, "w w w w w", "a")) ++

@@ -263,7 +263,7 @@ class SimilaritySpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, sf01).cache()
     try {
-      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
       val one = Seq((1, Array.fill(dim)(1.0f))).toDF("centroid_id", "cvec")
       def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("vec_a", "vec_b").collect()
@@ -278,7 +278,7 @@ class SimilaritySpec extends AnyFunSuite {
       assert(shipped.subsetOf(brute),
         "precision must be 1.0: exact cosines, same threshold")
       val biggestCell = Similarity.assign(e, cents)
-        .groupBy("centroid_id").count().agg(max("count")).head.getLong(0)
+        .groupBy("centroid_id").count().agg(max("count")).head().getLong(0)
       val recall = shipped.size.toDouble / brute.size
       info(f"pair recall $recall%.3f (${shipped.size}/${brute.size}), " +
         s"largest cell $biggestCell (cap 256)")
