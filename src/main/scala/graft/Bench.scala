@@ -45,9 +45,11 @@ object Bench {
     */
   // k4_merge_partitioned is the same class: it writes the whole orders
   // table as a partitioned parquet target and merge-rewrites a month
-  // per invocation — an ETL replay, not a query.
+  // per invocation — an ETL replay, not a query. ann_index_append
+  // likewise builds, appends and deletes a fresh stored index per
+  // invocation (index maintenance, measured by its spec and gate).
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert", "k4_merge_partitioned")
+    "st_upsert", "k4_merge_partitioned", "ann_index_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -712,6 +712,23 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("codes"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Append a new wave of vectors to a stored [[writeIndex]] layout —
+    * the "new crawl wave" maintenance path ([[Dedup]]'s incremental
+    * shape applied to the serving index): the wave encodes against the
+    * SAME frozen centroids and codebook (an index's geometry is fixed
+    * between retrains — re-deriving it would silently re-bucket the
+    * existing corpus) and its files land ONLY in the cell partitions
+    * the wave actually touches; every other cell's files are untouched
+    * bytes (spec-pinned), so a small wave costs a small write no
+    * matter how large the index has grown. [[searchIndex]] probes then
+    * see old and new vectors alike — its per-query read lists fresh.
+    */
+  def appendIndex(wave: DataFrame, centroids: DataFrame, path: String,
+                  m: Int = 8): Unit =
+    pqEncode(assign(wave, centroids), centroids, m)
+      .select(col("vec_id"), col("label"), col("codes"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** Serve a query from a stored [[writeIndex]] layout: rank the probe
     * cells (centroid literals vs the query), scan ONLY those partitions
     * (`isin` over the partition column — partition pruning, pinned by

@@ -526,6 +526,29 @@ object TrainingQueries {
       Similarity.searchBatch(e, cents, qs, k = 5, nprobe = 4)
         .orderBy("qid", "rnk")
     }),
+    // index MAINTENANCE: build from the base slice, append the wave
+    // (touched cell partitions only), serve from the combined index —
+    // must equal the one-shot index over the full corpus (same twin)
+    "ann_index_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = annCentroids(e)
+      val base = e.filter(col("vec_id") % 100 =!= 0)
+      val wave = e.filter(col("vec_id") % 100 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft_annappend")
+      try {
+        Similarity.writeIndex(base, cents, root.toString)
+        Similarity.appendIndex(wave, cents, root.toString)
+        val out = Similarity.searchIndex(s, root.toString, cents,
+          e.filter(col("vec_id") === 0), k = 10, nprobe = 4)
+        // bounded (k rows): pin into memory so the scratch tree can be
+        // deleted before the caller consumes the frame
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+          .orderBy(desc("sim"), asc("vec_id"))
+      } finally graft.core.Scratch.deleteRecursively(root)
+    }),
     // the production composition: IVF cells prune to nprobe=4, ADC ranks
     // only the survivors by PQ reconstruction (FAISS IVFx,PQy layout)
     "ann_ivfpq" -> ((s, d) => {
@@ -1320,6 +1343,9 @@ object TrainingQueries {
     "ann_ivfpq" -> ivfPqSql,
     // the stored index cannot change the answer: same oracle text
     "ann_index_scan" -> ivfPqSql,
+    // base ∪ wave is the whole corpus with identical frozen geometry,
+    // so the append twin IS the one-shot index twin
+    "ann_index_append" -> ivfPqSql,
     "ann_filtered" -> ivfPqSqlWhere("WHERE e.label = 2"),
     // batched twin: per-query probe rank + per-query result rank over
     // the same cell/recon chain

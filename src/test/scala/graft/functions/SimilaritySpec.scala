@@ -73,6 +73,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(odd == Map(1L -> None, 2L -> Some(5.0)))
   }
 
+  test("appendIndex: untouched cells byte-stable; search covers both waves") {
+    import java.nio.file.{Files, Path}
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val base = emb.filter(col("vec_id") % 100 =!= 0)
+    val wave = emb.filter(col("vec_id") % 100 === 0)
+    val dir = Files.createTempDirectory("graft_appendspec")
+    val full = Files.createTempDirectory("graft_fullspec")
+    try {
+      Similarity.writeIndex(base, cents, dir.toString)
+      def listing(): Map[String, Set[(String, Long)]] = {
+        val s = Files.list(dir).iterator()
+        var m = Map.empty[String, Set[(String, Long)]]
+        while (s.hasNext) {
+          val cell: Path = s.next()
+          if (Files.isDirectory(cell)) {
+            val fs = Files.list(cell).iterator()
+            var set = Set.empty[(String, Long)]
+            while (fs.hasNext) {
+              val f = fs.next()
+              set += ((f.getFileName.toString, Files.size(f)))
+            }
+            m += cell.getFileName.toString -> set
+          }
+        }
+        m
+      }
+      val before = listing()
+      Similarity.appendIndex(wave, cents, dir.toString)
+      val after = listing()
+      val waveCells = Similarity.assign(wave, cents)
+        .select("centroid_id").collect()
+        .map(r => s"centroid_id=${r.getInt(0)}").toSet
+      for ((cell, files) <- before if !waveCells.contains(cell))
+        assert(after(cell) == files, s"untouched cell $cell changed")
+      for (cell <- waveCells if before.contains(cell))
+        assert(before(cell).subsetOf(after(cell)),
+          s"append must not rewrite $cell's existing files")
+      // the appended index answers exactly like a one-shot full index
+      Similarity.writeIndex(emb, cents, full.toString)
+      val q = emb.filter(col("vec_id") === 0)
+      val appended = Similarity
+        .searchIndex(spark, dir.toString, cents, q, k = 10, nprobe = 4)
+        .collect().toSeq
+      val oneShot = Similarity
+        .searchIndex(spark, full.toString, cents, q, k = 10, nprobe = 4)
+        .collect().toSeq
+      assert(appended == oneShot)
+    } finally {
+      graft.core.Scratch.deleteRecursively(dir)
+      graft.core.Scratch.deleteRecursively(full)
+    }
+  }
+
   test("probeAssign: nprobe=1 equals assign's argmax cell") {
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
