@@ -104,6 +104,58 @@ object Dedup {
         min("doc_id").as("keeper_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Maximal duplicated-substring spans — the exact-substring criterion
+    * of Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022), token-granular: a position is MARKED when the
+    * `k`-token window starting there also occurs in some other document,
+    * and runs of adjacent marked positions merge into maximal spans
+    * `[start_pos, end_pos]` (token indices, 1-based; a span therefore
+    * witnesses `end_pos − start_pos + k` tokens of cross-document
+    * duplicated text). Spans shorter than `minTokens` windows are
+    * dropped. Lee et al. find these spans with a monolithic suffix
+    * array; the distributed equivalent is this k-gram position inverted
+    * index — same marked set for duplicates of length ≥ k, built from
+    * shuffles Spark already does well.
+    *
+    * Scale shape: (a) gram-grain groupBy for the cross-doc test (the
+    * min≠max trick — no count-distinct, and the index frame is one row
+    * per DISTINCT gram); (b) the corpus gram stream semi-joins that
+    * index at gram grain; (c) one doc-grain window merges positions
+    * into islands. Nothing quadratic, no skew beyond natural gram
+    * frequency (a gram's group carries doc ids only, never text).
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+                     minTokens: Int = 1): DataFrame = {
+    val grams = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        md5(col("col")).as("g"))
+    val crossDoc = grams.groupBy("g")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(crossDoc, "g")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("start_pos"),
+        max("pos").cast("int").as("end_pos"))
+      .filter(col("end_pos") - col("start_pos") + 1 >= minTokens)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + lit(k)).cast("int")
+          .as("span_tokens"))
+  }
+
   /** The stored-index side of [[incrementalExact]]: the corpus's exact-
     * dedup fingerprint index, `(fp, keeper_doc_id)` — one row per
     * distinct normalized content. At production scale this frame lives

@@ -509,6 +509,45 @@ object Similarity {
       .select(col("src"), col("dst"), col("sim"), col("rnk"))
   }
 
+  /** Margin-scored neighbor pairs (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the `ratio` variant): every [[knnGraph]] edge rescored
+    *   margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2)
+    * where avgK(v) is v's mean cosine to its own k nearest neighbors.
+    * An absolute cosine threshold over-mines dense regions (hubs look
+    * close to everything) and under-mines sparse ones; dividing by the
+    * two local neighborhood densities is the standard correction for
+    * mined-pair / bitext filtering. margin > 1 ⇔ the pair is closer
+    * than either side's usual neighborhood.
+    *
+    * Determinism discipline: per-vector sims are already 9-decimal
+    * rounded; their mean goes through an order-independent DECIMAL sum
+    * before ONE double division per side, and the final ratio re-rounds
+    * via [[roundSim]] — both engines derive identical doubles.
+    * Neighborhoods whose mean cosine is ≤ [[minDensity]] are not scored
+    * (a near-zero denominator turns FP noise into unbounded margins;
+    * real mining pipelines threshold the same way).
+    *
+    * Scale shape: [[knnGraph]]'s inverted-index bound, then one
+    * corpus-grain agg (k·n → n rows) and two joins of the k·n-row edge
+    * list against the n-row stats frame — vec-grain shuffles, nothing
+    * quadratic.
+    */
+  def marginPairs(embeddings: DataFrame, centroids: DataFrame, k: Int = 5,
+                  nprobe: Int = 4, maxCell: Int = 1024,
+                  minDensity: Double = 0.01): DataFrame = {
+    val g = knnGraph(embeddings, centroids, k, nprobe, maxCell)
+    val stats = g.groupBy(col("src").as("vid"))
+      .agg((sum(col("sim").cast(org.apache.spark.sql.types
+        .DecimalType(20, 12))).cast("double") / count(lit(1))).as("avgk"))
+    g.join(stats.select(col("vid").as("src"), col("avgk").as("avg_a")), "src")
+      .join(stats.select(col("vid").as("dst"), col("avgk").as("avg_b")), "dst")
+      .filter(col("avg_a") > minDensity && col("avg_b") > minDensity)
+      .select(col("src"), col("dst"), col("sim"),
+        roundSim(col("sim") / ((col("avg_a") + col("avg_b")) / 2))
+          .as("margin"))
+  }
+
   /** Product quantization (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): split the d-dim space into
     * `m` contiguous subspaces of d/m dims and quantize each subvector to

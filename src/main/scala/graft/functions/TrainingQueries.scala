@@ -162,6 +162,44 @@ object TrainingQueries {
       |             ORDER BY d2 ASC, cid ASC) AS rn
       |    FROM grid) WHERE rn = 1)""".stripMargin
 
+  // The approximate kNN graph (ann_knn_graph's full text) as a reusable
+  // CTE chain ending in `graph(src, dst, sim, rnk)` — shared verbatim by
+  // the graph oracle and the margin rescoring (search_margin) so the
+  // edge list the margin scores cannot drift from the graph the query
+  // materializes: the ann_ivf argmax assignment caps each cell (dst
+  // index), the same ranking extended to rn ≤ 4 probes the src side,
+  // then a per-source rank over the cell join.
+  private val knnGraphCteSql: String =
+    s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+       |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+       |                    c.centroid_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, centroid_id
+       |             FROM ranked WHERE rn = 1),
+       |capped AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT vec_id, embedding, centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS crn
+       |    FROM assigned) r
+       |  WHERE crn <= 1024),
+       |probes AS (SELECT vec_id, embedding, centroid_id
+       |           FROM ranked WHERE rn <= 4),
+       |graph AS (
+       |  SELECT src, dst, sim, CAST(rnk AS INT) AS rnk FROM (
+       |    SELECT p.vec_id AS src, a.vec_id AS dst,
+       |           ${cosSql("p.embedding", "a.embedding")} AS sim,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC,
+       |                      a.vec_id ASC) AS rnk
+       |    FROM probes p JOIN capped a USING (centroid_id)
+       |    WHERE p.vec_id <> a.vec_id) g
+       |  WHERE rnk <= 5)
+       |""".stripMargin
+
   // IVF cell assignment + probe pruning on top of the PQ recon chain;
   // same argmax/tie-break text as ann_ivf, same recon as ann_pq_adc.
   // Shared verbatim by ann_ivfpq (in-memory composition) and
@@ -410,6 +448,16 @@ object TrainingQueries {
       Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .orderBy("src", "rnk")
     }),
+    // margin-scored mining (Artetxe & Schwenk ratio margin) over the
+    // same graph config: edges rescored by the two sides' neighborhood
+    // densities — the bitext/aligned-pair filtering criterion
+    "search_margin" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.marginPairs(e, cents, k = 5, nprobe = 4)
+        .orderBy(desc("margin"), asc("src"), asc("dst"))
+    }),
     // SemDeDup: centroid-cell blocking instead of sign-LSH; fixed
     // first-16 centroids (the ann_ivf oracle config) so DuckDB mirrors
     // the assignment argmax exactly
@@ -561,6 +609,13 @@ object TrainingQueries {
     // corpus-level non-overlapping 10-token segment dedup (Lee et al.)
     "dd_chunks" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d)).orderBy("fp")),
+    // Lee et al.'s exact-substring criterion proper: maximal spans of
+    // cross-document duplicated text (k-gram position inverted index +
+    // gaps-and-islands merge — the distributed form of the suffix-array
+    // pass)
+    "dd_substring_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), k = 5)
+        .orderBy("doc_id", "start_pos")),
     // C4-style heuristic filters. The raw corpus is uniform word-soup
     // (every branch would evaluate identically — a fixture-masked
     // conditional the oracle could never catch), so variants are
@@ -1019,6 +1074,36 @@ object TrainingQueries {
          |FROM chunks GROUP BY fp
          |HAVING count(DISTINCT doc_id) > 1
          |ORDER BY fp""".stripMargin,
+    // substring-span twin: same 5-gram position index, cross-doc test
+    // via min≠max, islands via the lag/running-sum window pair
+    "dd_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |gl AS (
+         |  SELECT doc_id, list_transform(range(1, len(t) - 3),
+         |           i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INT) AS pos,
+         |         unnest(gs) AS g
+         |  FROM gl),
+         |crossdoc AS (SELECT g FROM grams GROUP BY g
+         |             HAVING min(doc_id) <> max(doc_id)),
+         |marked AS (SELECT doc_id, pos FROM grams JOIN crossdoc USING (g)),
+         |brks AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+         |  FROM marked),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brks)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
+         |       CAST(max(pos) AS INT) AS end_pos,
+         |       CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, start_pos""".stripMargin,
     "ts_c4_filters" -> {
       val meanLen = Money.Sql.ratio2(
         "length(replace(text, ' ', ''))", "len(string_split(text, ' '))")
@@ -1460,34 +1545,24 @@ object TrainingQueries {
     // knn-graph twin: the ann_ivf argmax assignment (dst index), the
     // same ranking extended to rn ≤ 4 for the probe side, then a
     // per-source rank over the cell join
-    "ann_knn_graph" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
-         |ranked AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
-         |                    c.centroid_id ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, embedding, centroid_id
-         |             FROM ranked WHERE rn = 1),
-         |capped AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT vec_id, embedding, centroid_id,
-         |           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS crn
-         |    FROM assigned) r
-         |  WHERE crn <= 1024),
-         |probes AS (SELECT vec_id, embedding, centroid_id
-         |           FROM ranked WHERE rn <= 4)
-         |SELECT src, dst, sim, CAST(rnk AS INT) AS rnk FROM (
-         |  SELECT p.vec_id AS src, a.vec_id AS dst,
-         |         ${cosSql("p.embedding", "a.embedding")} AS sim,
-         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
-         |           ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC,
-         |                    a.vec_id ASC) AS rnk
-         |  FROM probes p JOIN capped a USING (centroid_id)
-         |  WHERE p.vec_id <> a.vec_id) g
-         |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
+    "ann_knn_graph" -> (knnGraphCteSql +
+      "SELECT src, dst, sim, rnk FROM graph ORDER BY src, rnk"),
+    // margin twin: the SAME graph CTE, per-vector mean neighbor cosine
+    // through an order-free DECIMAL sum, one double division per side
+    "search_margin" -> (knnGraphCteSql +
+      s""", stats AS (
+         |  SELECT src AS vid,
+         |         CAST(SUM(CAST(sim AS DECIMAL(20,12))) AS DOUBLE)
+         |           / COUNT(*) AS avgk
+         |  FROM graph GROUP BY 1)
+         |SELECT g.src, g.dst, g.sim,
+         |       CAST(ROUND(CAST(g.sim / ((a.avgk + b.avgk) / 2)
+         |                       AS DECIMAL(20,12)), 9) AS DOUBLE) AS margin
+         |FROM graph g
+         |JOIN stats a ON a.vid = g.src
+         |JOIN stats b ON b.vid = g.dst
+         |WHERE a.avgk > 0.01 AND b.avgk > 0.01
+         |ORDER BY margin DESC, src, dst""".stripMargin),
     // proto-prune twin: the ann_ivf argmax assignment, centroid-cosine
     // re-score, integer drop boundary floor(0.25·n)
     "dd_proto_prune" ->

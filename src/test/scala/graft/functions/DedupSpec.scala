@@ -108,6 +108,39 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("keeper_doc_id") == 1L)
   }
 
+  test("duplicateSpans: marked windows merge into maximal cross-doc spans") {
+    // A and B share exactly the 7-token run "a b c d e f g": its 5-gram
+    // windows sit at A positions 1-3 and B positions 3-5; C is disjoint
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e f g y"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // one maximal island per doc, 3 windows wide = 7 duplicated tokens
+    assert(spans == Set((1L, 1, 3, 7), (2L, 3, 5, 7)))
+    // minTokens floors the island width (in windows): 3-window islands
+    // survive a floor of 3 and fall to one of 4
+    assert(Dedup.duplicateSpans(docs, k = 5, minTokens = 3).count() == 2)
+    assert(Dedup.duplicateSpans(docs, k = 5, minTokens = 4).count() == 0)
+  }
+
+  test("duplicateSpans: disjoint shared runs stay separate islands") {
+    // B lifts two NON-adjacent 5-token runs of A (positions 1-5 and
+    // 11-15); the gap keeps them distinct spans in both docs
+    val docs = Seq(
+      (1L, "a b c d e m1 m2 m3 m4 m5 v w x y z"),
+      (2L, "a b c d e q1 q2 q3 q4 q5 v w x y z"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(spans == Set((1L, 1, 1, 5), (1L, 11, 11, 5),
+      (2L, 1, 1, 5), (2L, 11, 11, 5)))
+  }
+
   test("connected components: path graph converges to min label") {
     // 0-1-2-3-4-5 as a path: diameter 5 forces multiple propagation
     // rounds (each round moves the min label one hop), plus a separate

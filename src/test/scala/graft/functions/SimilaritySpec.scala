@@ -127,6 +127,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("marginPairs: every score recomputes from the graph + density guard") {
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val g = Similarity.knnGraph(emb, cents, k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val avgk = g.groupBy(_._1).map { case (v, es) =>
+      // mirror the engine's decimal-sum-then-one-division discipline
+      val s = es.map(e => BigDecimal(e._3)).sum
+      v -> (s.toDouble / es.length)
+    }
+    val m = Similarity.marginPairs(emb, cents, k = 5, nprobe = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(m.nonEmpty)
+    // every margin recomputes from the edge list and both sides' density
+    for (((src, dst, sim)) <- g
+         if avgk(src) > 0.01 && avgk.getOrElse(dst, 0.0) > 0.01) {
+      val expect = BigDecimal(sim / ((avgk(src) + avgk(dst)) / 2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(m((src, dst)) - expect) < 1e-9,
+        s"margin mismatch for ($src,$dst)")
+    }
+    // exactly the density-qualified edges are scored — the low-density
+    // guard drops edges, never invents them
+    val qualified = g.count(e =>
+      avgk(e._1) > 0.01 && avgk.getOrElse(e._2, 0.0) > 0.01)
+    assert(m.size == qualified)
+  }
+
   test("probeAssign: nprobe=1 equals assign's argmax cell") {
     val cents = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
