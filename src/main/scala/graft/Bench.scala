@@ -48,8 +48,11 @@ object Bench {
   // per invocation — an ETL replay, not a query. ann_index_append
   // likewise builds, appends and deletes a fresh stored index per
   // invocation (index maintenance, measured by its spec and gate).
+  // src_orc_roundtrip rewrites the orders table through the ORC sink
+  // per invocation — format-interchange ETL, not a query.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert", "k4_merge_partitioned", "ann_index_append")
+    "st_upsert", "k4_merge_partitioned", "ann_index_append",
+    "src_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -221,6 +221,22 @@ object SparkEntry {
           "quantity", "discount", "shipping_cost", "order_status",
           "payment_mode")),
 
+    // ORC round-trip: the parquet orders table written through the ORC
+    // sink, scanned back, and aggregated — the result must be
+    // indistinguishable from querying the parquet original (the oracle
+    // runs on the parquet table). Money through the decimal pattern.
+    "src_orc_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_orc")
+      sources.Ingest.writeOrc(sources.Tables.orders(s, d), root.toString)
+      val agg = sources.Ingest.readOrc(s, root.toString)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          core.Money.round2(core.Money.moneySum(col("o_totalprice")))
+            .as("total_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+      core.Scratch.materializeAndDelete(agg, root)
+    }),
+
     // ── correlated subqueries through the SQL front door (Catalyst
     //    decorrelates to a join; identical SQL runs on both engines) ───
     "q_correlated_subquery" -> ((s, d) => {
@@ -474,6 +490,15 @@ object SparkEntry {
       """SELECT * FROM sales
         |ORDER BY sale_id, customer_id, product_id, sale_date, quantity,
         |         discount, shipping_cost, order_status, payment_mode""".stripMargin),
+    // the ORC round-trip must be invisible: oracle aggregates the
+    // parquet original
+    "src_orc_roundtrip" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         |       ${core.Money.Sql.round2(
+                    core.Money.Sql.moneySum("o_totalprice"))} AS total_price
+         |FROM orders
+         |GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

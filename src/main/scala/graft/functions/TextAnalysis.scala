@@ -88,6 +88,45 @@ object TextAnalysis {
       size(tokens(col("text"))).as("ws_tokens"),
       size(regexTokens(col("text"))).as("lex_tokens"))
 
+  /** Per-source corpus profile — the data card a curation run publishes
+    * with its output (what a 100 TB corpus's per-domain dashboard is
+    * made of): document and token volumes, language spread (distinct
+    * langs, dominant lang and its share), and exact-duplicate exposure
+    * (documents whose normalized content fingerprint collides anywhere
+    * in the corpus — the fp test is corpus-GLOBAL, so cross-source
+    * copies count in both sources' rows).
+    *
+    * Scale shape: one fp-grain groupBy + join-back (the dd_exact
+    * shuffle), then source-grain aggs — source cardinality is
+    * dashboard-sized, the heavy frames never exceed corpus grain.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    import graft.core.Money
+    val base = docs.select(col("source"), col("lang"),
+      size(tokens(col("text"))).as("n_tok"),
+      md5(normalized(col("text"))).as("fp"))
+    val fpCounts = base.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    val agg = base.join(fpCounts, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("n"), asc("lang"))
+    val top = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+    agg.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Money.ratio2(col("n_tokens"), col("n_docs")).as("avg_tokens"),
+        col("n_langs"), col("top_lang"),
+        Money.ratio2(col("top_n"), col("n_docs")).as("top_lang_share"),
+        col("dup_docs"),
+        Money.ratio2(col("dup_docs"), col("n_docs")).as("dup_share"))
+  }
+
   /** Content fingerprints: md5 of the whitespace-normalized text (the
     * canonical exact-dedup key), Spark's block-based xxhash64, and the
     * engine's own codegen'd FNV-1a rolling hash ([[Fnv1a64]]). The
@@ -553,6 +592,126 @@ object TextAnalysis {
     */
   def md5Shard(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Overlapping retrieval chunks — the RAG ingestion shape: fixed
+    * `size`-token windows advancing by `stride` tokens (overlap =
+    * size − stride keeps a sentence that straddles a boundary whole in
+    * at least one chunk), each chunk carrying its 1-based token span
+    * and its own content fingerprint (the downstream embed/dedup key).
+    * The last window of a document may be short (the tail), but a
+    * document shorter than one stride still yields exactly one chunk.
+    *
+    * Pure narrow projection — tokenize, per-row `sequence` of window
+    * starts, explode, slice — zero shuffle at any corpus size.
+    */
+  def ragChunks(docs: DataFrame, width: Int = 64,
+                stride: Int = 48): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"ragChunks: need 1 <= stride <= width, got width=$width stride=$stride")
+    val toks = split(normalized(col("text")), " ")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      // window starts 1, 1+stride, 1+2·stride, …; the LAST start is the
+      // first one whose window reaches the end of the document
+      // (ceil((L−width)/stride)·stride + 1), clamped to ≥ 1 so a short
+      // document still yields its single chunk (sequence(1, 0) counts
+      // DOWN in Spark — the clamp is load-bearing)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1),
+          greatest(ceil((size(col("t")) - width).cast("double") / stride)
+            .cast("int") * stride + 1, lit(1)),
+          lit(stride))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_id"),
+        col("col").cast("int").as("start_tok"),
+        least(col("col") + width - 1, size(col("t"))).cast("int")
+          .as("end_tok"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("col"), lit(width)))).as("chunk_fp"))
+  }
+
+  /** N-gram novelty score — the inverse of boilerplate exposure: the
+    * fraction of a document's DISTINCT n-gram shingles that occur in no
+    * other document. Low novelty marks template/mirror content whose
+    * phrasing is corpus-common even when no single document duplicates
+    * it (the signal exact and near-dup both miss); it is also the
+    * document-level summary a memorization analysis starts from.
+    * Documents with fewer than `n` tokens have no shingles and are
+    * absent from the output.
+    *
+    * Scale shape: the dedup family's shingle shuffles — gram-grain
+    * groupBy with the min≠max single-doc test (no count-distinct), a
+    * gram-grain join-back, one doc-grain agg. Only (doc_id, shingle)
+    * pairs cross the wide shuffles.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    import graft.core.Money
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(
+        Dedup.shingles(col("text"), n))).as("shingle"))
+    val grams = sh.groupBy("shingle")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    sh.join(grams, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("mn") === col("mx"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Money.ratio2(col("n_novel"), col("n_shingles")).as("novelty"))
+  }
+
+  /** One BPE-training statistics pass (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): adjacent
+    * symbol-pair frequencies weighted by word frequency. Real BPE
+    * trainers loop count→merge; the distributed cost is THIS counting
+    * pass (the merge decision is vocab-sized, driver territory), and it
+    * runs over the DISTINCT-word frequency table, not the corpus —
+    * exactly how production tokenizer trainers structure it, and why a
+    * 100 TB corpus trains a tokenizer cheaply: the vocab frame is
+    * millions of rows, not billions.
+    *
+    * Shuffles: the word-count groupBy (corpus-token grain, the ts_vocab
+    * shuffle) then a pair-grain groupBy over the vocab-sized pair
+    * explode. The `length ≥ 2` guard is load-bearing — Spark's
+    * `sequence(1, 0)` counts DOWN, it does not yield [].
+    */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(split(normalized(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("pair"))
+      .limit(topK)
+  }
+
+  /** Deterministic shard layout for a training run: every document gets
+    * a reproducible pseudorandom `(shard_id, shard_pos)`. The salted-md5
+    * order is the global shuffle (consecutive documents from one crawl
+    * correlate; training wants them apart), and shards are HASH-RANGED —
+    * `floor(bucket·n/256)` over the first hash byte — so growing the
+    * shard count only splits ranges instead of remapping every document
+    * the way `row_number % n` would.
+    *
+    * Scale shape: one narrow projection, then per-shard rank windows
+    * (each sorts its own shard, all shards in parallel) — at corpus
+    * scale this is `repartitionByRange(hash)` + within-partition sort,
+    * which is exactly the plan Spark builds here.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1 && nShards <= 256,
+      s"shardAssign: nShards $nShards outside [1, 256]")
+    val h = md5(concat(col("doc_id").cast("string"), lit(":shard")))
+    val w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard_id",
+        floor(conv(substring(col("h"), 1, 2), 16, 10).cast("int")
+          * nShards / 256).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"))
+  }
 
   /** Sequence packing: assign documents to fixed-token-budget bins (the
     * context windows of a pretraining run) with the contiguous streaming

@@ -330,6 +330,10 @@ object TrainingQueries {
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
+    // the per-source data card a curation run publishes with its output
+    "ts_corpus_profile" -> ((s, d) =>
+      TextAnalysis.corpusProfile(Tables.documents(s, d))
+        .orderBy("source")),
     "ts_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
     "ts_tokens_fp" -> ((s, d) => {
@@ -395,6 +399,23 @@ object TrainingQueries {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
         .orderBy("split")),
+    // one BPE count→merge statistics pass over the word-frequency table
+    "ts_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), topK = 50)),
+    // RAG ingestion chunking: 16-token windows advancing by 12 (the
+    // documents table's texts are short; production would run 512/384)
+    "ts_rag_chunks" -> ((s, d) =>
+      TextAnalysis.ragChunks(Tables.documents(s, d), width = 16,
+        stride = 12)
+        .orderBy("doc_id", "chunk_id")),
+    // fraction of each doc's distinct 3-gram phrasing unique to it
+    "ts_novelty" -> ((s, d) =>
+      TextAnalysis.noveltyScore(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    // deterministic training-order shuffle + hash-ranged shard layout
+    "ts_shards" -> ((s, d) =>
+      TextAnalysis.shardAssign(Tables.documents(s, d), nShards = 8)
+        .orderBy("shard_id", "shard_pos")),
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
     // incremental wave: docs %5==0 arrive as a new batch against the
@@ -717,6 +738,39 @@ object TrainingQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // data-card twin: the dd_exact fp (corpus-global) feeds dup
+    // exposure; the mode-lang rank mirrors the engine's (n DESC, lang
+    // ASC) tie-break; HUGEINT sums pinned back to BIGINT
+    "ts_corpus_profile" -> {
+      val r2 = (n: String, d: String) => Money.Sql.ratio2(n, d)
+      s"""WITH base AS (
+         |  SELECT source, lang, len(string_split(text, ' ')) AS n_tok,
+         |         md5($normSql) AS fp
+         |  FROM documents),
+         |fpc AS (SELECT fp, count(*) AS n_fp FROM base GROUP BY 1),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |         count(DISTINCT lang) AS n_langs,
+         |         CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS dup_docs
+         |  FROM base JOIN fpc USING (fp) GROUP BY 1),
+         |top AS (
+         |  SELECT source, lang AS top_lang, n AS top_n FROM (
+         |    SELECT source, lang, count(*) AS n,
+         |           ROW_NUMBER() OVER (PARTITION BY source
+         |             ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM documents GROUP BY source, lang) r
+         |  WHERE rn = 1)
+         |SELECT a.source, a.n_docs, a.n_tokens,
+         |       ${r2("a.n_tokens", "a.n_docs")} AS avg_tokens,
+         |       a.n_langs, t.top_lang,
+         |       ${r2("t.top_n", "a.n_docs")} AS top_lang_share,
+         |       a.dup_docs,
+         |       ${r2("a.dup_docs", "a.n_docs")} AS dup_share
+         |FROM agg a JOIN top t USING (source)
+         |ORDER BY source""".stripMargin
+    },
     "ts_quality" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INT) AS n_chars,
@@ -902,6 +956,76 @@ object TrainingQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS n, min(doc_id) AS min_doc
         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+    // BPE-pass twin: the vocab-sized word-frequency table, 2-char
+    // windows via substr, HUGEINT sum pinned to BIGINT
+    "ts_bpe_pairs" ->
+      s"""WITH wc AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, CAST(u AS INT), 2) AS pair, n
+         |  FROM (SELECT w, n, unnest(range(1, length(w))) AS u FROM wc) x)
+         |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+         |FROM pairs GROUP BY 1
+         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    // chunk twin: same ceil-based last-start, same inclusive spans,
+    // same slice fingerprint
+    "ts_rag_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t
+         |              FROM documents),
+         |st AS (
+         |  SELECT doc_id, t, len(t) AS L,
+         |         GREATEST(CAST(ceil((len(t) - 16) / 12.0) AS INT) * 12 + 1,
+         |                  1) AS last_start
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id, t, L,
+         |         CAST(generate_subscripts(ss, 1) AS INT) AS chunk_id,
+         |         CAST(unnest(ss) AS INT) AS start_tok
+         |  FROM (SELECT doc_id, t, L, range(1, last_start + 1, 12) AS ss
+         |        FROM st) x)
+         |SELECT doc_id, chunk_id, start_tok,
+         |       CAST(LEAST(start_tok + 15, L) AS INT) AS end_tok,
+         |       md5(array_to_string(
+         |         list_slice(t, start_tok, LEAST(start_tok + 15, L)), ' '))
+         |         AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // novelty twin: distinct shingles, min≠max single-doc test,
+    // gram join-back, doc-grain agg
+    "ts_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents) x),
+         |g AS (SELECT shingle, min(doc_id) AS mn, max(doc_id) AS mx
+         |      FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_novel,
+         |       ${Money.Sql.ratio2(
+                   "SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END)",
+                   "count(*)")} AS novelty
+         |FROM sh JOIN g USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // shard twin: same salted hash, same floor(byte*n/256) range map,
+    // same (h, doc_id) within-shard order
+    "ts_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard') AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, h,
+        |         CAST(floor(CAST(('0x' || substr(h, 1, 2))::INT AS INT)
+        |           * 8 / 256) AS INT) AS shard_id
+        |  FROM s)
+        |SELECT doc_id, shard_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+        |         ORDER BY h, doc_id) AS INT) AS shard_pos
+        |FROM b ORDER BY shard_id, shard_pos""".stripMargin,
     "ts_vocab" ->
       s"""SELECT token, count(*) AS occurrences,
          |       count(DISTINCT doc_id) AS doc_frequency

@@ -31,6 +31,19 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** ORC sink + scan — the columnar interchange format the warehouse
+    * world that isn't parquet speaks. Spark's native `orc` datasource
+    * keeps the same pushdown/pruning machinery as parquet (predicate
+    * pushdown into ORC stripe/row-group indexes, column projection into
+    * the stripe reader), so a query over the round-tripped table plans
+    * the way the parquet original does.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5: a JSON array/lines payload already on the driver → DataFrame. */
   def readJsonPayload(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
     import spark.implicits._

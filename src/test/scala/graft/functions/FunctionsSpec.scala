@@ -81,6 +81,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("Ingest: ORC round-trip preserves schema and every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orcspec")
+    try {
+      val orig = graft.sources.Tables.orders(spark, TestSpark.sf)
+      Ingest.writeOrc(orig, dir.toString)
+      val back = Ingest.readOrc(spark, dir.toString)
+      assert(back.schema == orig.schema,
+        "ORC must carry the exact parquet schema through")
+      assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+        "round-trip must preserve the exact multiset of rows")
+    } finally graft.core.Scratch.deleteRecursively(dir)
+  }
+
   test("Ingest: local JSON payload via Row reflection path") {
     val df = Ingest.readJsonPayload(spark, Seq(
       """{"id": 1, "tags": ["a", "b"], "score": 0.5}""",
@@ -478,5 +491,107 @@ class FunctionsSpec extends AnyFunSuite {
     // fusion puts the both-retriever doc first
     val best = out.maxBy(_._2._3)
     assert(best._1 == 1L)
+  }
+
+  test("ragChunks: overlapping windows cover every token, tail included") {
+    // 10 tokens, width 4, stride 3: starts 1,4,7 (ceil((10-4)/3)*3+1 = 7)
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"), // shorter than one window → exactly one chunk
+      (3L, "x1 x2 x3 x4 x5")) // starts 1, 4 (tail window short)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ragChunks(docs, width = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(out(1L).map(t => (t._2, t._3, t._4)).sorted.toSeq ==
+      Seq((1, 1, 4), (2, 4, 7), (3, 7, 10)))
+    assert(out(2L).map(t => (t._2, t._3, t._4)).toSeq == Seq((1, 1, 2)))
+    assert(out(3L).map(t => (t._2, t._3, t._4)).sorted.toSeq ==
+      Seq((1, 1, 4), (2, 4, 5)))
+    // every token of every doc is inside at least one chunk
+    for ((d, chunks) <- out) {
+      val sorted = chunks.sortBy(_._3).toSeq
+      assert(sorted.head._3 == 1, s"doc $d must start at token 1")
+      for (Seq(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(b._3 <= a._4 + 1, s"coverage gap in doc $d after ${a._4}")
+    }
+  }
+
+  test("noveltyScore: corpus-common phrasing scores below unique text") {
+    val docs = Seq(
+      // doc 1 and 2 share their first 4 tokens (2 shared 3-grams);
+      // doc 3 is fully unique; docs with <3 tokens are absent
+      (1L, "alpha beta gamma delta one1"),
+      (2L, "alpha beta gamma delta two2"),
+      (3L, "epsilon zeta eta theta iota"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2: 3 shingles each, "alpha beta gamma"/"beta gamma delta"
+    // shared → 1 novel of 3
+    assert(out(1L) == ((3L, 1L, 0.33)))
+    assert(out(2L) == ((3L, 1L, 0.33)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(!out.contains(4L), "sub-shingle docs have no score")
+  }
+
+  test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
+    val docs = Seq(
+      (1L, "ab ab abc"),
+      (2L, "ab x")) // "x" is single-char: no pairs, must not blow up
+      .toDF("doc_id", "text")
+    // wc = {ab: 3, abc: 1}; pairs: ab→"ab"×3, abc→"ab","bc" → ab:4, bc:1
+    val out = TextAnalysis.bpePairCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("ab" -> 4L, "bc" -> 1L))
+  }
+
+  test("shardAssign: hash-ranged shards, dense positions, split-stable") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val s8 = TextAnalysis.shardAssign(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(s8.length == docs.count())
+    assert(s8.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are dense 1..n within each shard
+    for ((_, g) <- s8.groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    // hash-RANGED layout: doubling the shard count splits ranges —
+    // every 8-shard nests inside the 4-shard covering its range
+    val s4 = TextAnalysis.shardAssign(docs, nShards = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s8.forall { case (id, sh, _) => sh / 2 == s4(id) },
+      "growing the shard count must only split ranges, never remap")
+  }
+
+  test("corpusProfile: per-source card with corpus-global dup exposure") {
+    val docs = Seq(
+      // src_a: 3 docs, langs en/en/de → top en 2/3; doc 3 dups doc 10
+      (1L, "one two three", "en", "src_a"),
+      (2L, "four five", "en", "src_a"),
+      (3L, "Shared  Text", "de", "src_a"),
+      // src_b: 2 docs; lang tie en/de broken alphabetically → de;
+      // doc 10 dups ACROSS sources (both rows must count it)
+      (10L, "shared text", "de", "src_b"),
+      (11L, "unique content", "en", "src_b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("src_a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    // raw whitespace split (the ts_quality semantic): "Shared  Text"'s
+    // double space yields an empty token → 3 + 2 + 3
+    assert(a.getAs[Long]("n_tokens") == 8L)
+    assert(a.getAs[Double]("avg_tokens") == 2.67)
+    assert(a.getAs[Long]("n_langs") == 2L)
+    assert(a.getAs[String]("top_lang") == "en")
+    assert(a.getAs[Double]("top_lang_share") == 0.67)
+    assert(a.getAs[Long]("dup_docs") == 1L)
+    val b = out("src_b")
+    assert(b.getAs[String]("top_lang") == "de", "tie breaks alphabetically")
+    assert(b.getAs[Long]("dup_docs") == 1L,
+      "cross-source copy counts in both sources")
+    assert(b.getAs[Double]("dup_share") == 0.5)
   }
 }
