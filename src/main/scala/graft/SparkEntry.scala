@@ -187,6 +187,14 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
+    // ordered funnel: users reaching view → click → purchase, each
+    // stage at-or-after the first reach of the previous one
+    "q_funnel" -> ((s, d) =>
+      operators.Analytics.funnel(sources.Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+    // weekly cohort retention over first-event cohorts
+    "q_cohort" -> ((s, d) =>
+      operators.Analytics.cohortRetention(sources.Tables.events(s, d))),
     // streaming CDC apply: three update waves foreachBatch-MERGEd into
     // a stored dimension; stream-order semantics (last wave wins)
     "st_upsert" -> ((s, d) =>
@@ -508,6 +516,48 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // funnel twin: per-stage first-reach chains on epoch_us (Spark's
+    // events carry µs precision — comparisons must not see DuckDB's ns)
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         |s1 AS (SELECT user_id, min(tu) AS t FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.tu) AS t FROM e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.tu >= s1.t GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.tu) AS t FROM e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.tu >= s2.t GROUP BY 1),
+         |c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+         |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+         |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         |SELECT c.stage_idx, c.stage, c.n_users,
+         |       ${core.Money.Sql.ratio2("c.n_users",
+                    "coalesce(p.n_users, c.n_users)")} AS conv_prev,
+         |       ${core.Money.Sql.ratio2("c.n_users", "t.n_users")} AS conv_top
+         |FROM c LEFT JOIN c p ON c.stage_idx = p.stage_idx + 1
+         |CROSS JOIN (SELECT n_users FROM c WHERE stage_idx = 1) t
+         |ORDER BY c.stage_idx""".stripMargin,
+    // cohort twin: week-of-first-event cohorts; week grain is
+    // ns/µs-truncation safe (see Analytics.cohortRetention)
+    "q_cohort" ->
+      s"""WITH first AS (
+         |  SELECT user_id,
+         |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+         |  FROM events GROUP BY 1),
+         |act AS (
+         |  SELECT DISTINCT e.user_id, f.cohort_week,
+         |         CAST(date_diff('day', f.cohort_week,
+         |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         |           AS week_offset
+         |  FROM events e JOIN first f USING (user_id)),
+         |cells AS (SELECT cohort_week, week_offset, count(*) AS n_active
+         |          FROM act GROUP BY 1, 2),
+         |sizes AS (SELECT cohort_week, count(*) AS cohort_size
+         |          FROM first GROUP BY 1)
+         |SELECT c.cohort_week, c.week_offset, s.cohort_size, c.n_active,
+         |       ${core.Money.Sql.ratio2("c.n_active", "s.cohort_size")}
+         |         AS retention
+         |FROM cells c JOIN sizes s USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin,
     // stream-order twin: a user's final row comes from their LAST wave
     // (wave = event_id % 3, applied 0 then 1 then 2), latest
     // (ts, event_id) within it

@@ -811,4 +811,81 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  // ── Bloom-pruned incremental dedup ─────────────────────────────────
+  //
+  // The production shape for HIGH-NOVELTY ingest waves: when most batch
+  // documents are genuinely new, [[incrementalExact]]'s index join does
+  // a corpus-index-sized shuffle to discover mostly misses. A Bloom
+  // filter over the index fingerprints — bounded bits, broadcast to
+  // every executor — answers "definitely new" for the bulk of the batch
+  // BEFORE the join, so only might-contain suspects (true dups + the
+  // filter's false positives) reach the index at all. The final verdict
+  // is still the exact join: false positives cost a probe, never an
+  // answer.
+  //
+  // The k bit positions derive from md5 of the fingerprint (identical
+  // hex arithmetic in Spark and DuckDB), so the filter itself — not
+  // just the pruned result — is oracle-comparable.
+
+  /** Bit position `i` of `fp`'s Bloom probe: the first 8 md5 hex chars
+    * of `fp:i` read as an integer, mod `mBits`. Non-negative (8 hex
+    * chars < 2^32), so `%` and `pmod` agree.
+    */
+  private def bloomPos(fp: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(fp, lit(s":$i"))), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** Build the filter: the distinct set bits of the index's
+    * fingerprints, packed into `mBits / 64` longs. The collect is
+    * by-contract bounded at `mBits` bits (16 KiB of words at the
+    * default 2^17) — sketch-sized, like the ANN centroid/codebook
+    * collects, NOT corpus-sized; the bit-position frame it reads is
+    * already distinct-aggregated to ≤ mBits rows.
+    */
+  def bloomBuild(index: DataFrame, mBits: Int = 1 << 17,
+                 k: Int = 4): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"bloomBuild: mBits $mBits")
+    val pos = index.select(explode(array(
+        (0 until k).map(i => bloomPos(col("fp"), i, mBits)): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    words
+  }
+
+  /** Classify an ingest batch against a stored exact-fingerprint index
+    * with Bloom pre-pruning: output one row per batch document with
+    * `bloom_hit` (did the filter say "maybe"), `status`
+    * (`corpus_dup` / `novel`) and the corpus keeper for dups. Documents
+    * the filter clears skip the index join entirely — at scale the join
+    * input shrinks to the dup rate plus the filter's false-positive
+    * rate. Exactness is unconditional: the join, not the filter,
+    * decides `status`.
+    */
+  def bloomPrunedIncremental(index: DataFrame, batch: DataFrame,
+                             mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+    val words = bloomBuild(index, mBits, k)
+    val wordsLit = typedLit(words.toSeq)
+    val fps = batch.select(col("doc_id"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val mightContain = (0 until k).map { i =>
+      val p = bloomPos(col("fp"), i, mBits)
+      element_at(wordsLit, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))
+        .=!=(0L)
+    }.reduce(_ && _)
+    val flagged = fps.withColumn("bloom_hit", mightContain)
+    val suspects = flagged.filter(col("bloom_hit"))
+      .join(index.select(col("fp"),
+        col("keeper_doc_id").as("corpus_keeper")), Seq("fp"), "left")
+    val cleared = flagged.filter(!col("bloom_hit"))
+      .withColumn("corpus_keeper", lit(null).cast("long"))
+    suspects.unionByName(cleared)
+      .select(col("doc_id"), col("bloom_hit"),
+        when(col("corpus_keeper").isNotNull, lit("corpus_dup"))
+          .otherwise(lit("novel")).as("status"),
+        col("corpus_keeper").as("keeper_doc_id"))
+  }
 }

@@ -85,6 +85,53 @@ object Similarity {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
 
+  /** Deterministic Rademacher (±1) Johnson–Lindenstrauss matrix:
+    * entry (j, i) is +1 iff the first byte of md5("jl:j:i") is even.
+    * Regenerating from the seed string on both engines (the oracle
+    * embeds the same values as a SQL literal) keeps the projection
+    * reproducible without shipping state.
+    */
+  def jlMatrix(outDims: Int, inDims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        val h = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Two-stage retrieval through a random projection: rank ALL vectors
+    * by cosine in a JL-projected `outDims`-dim space (a ±1 Rademacher
+    * sketch — distance-preserving in expectation, `outDims/inDims` of
+    * the full-width compute), then re-rank the `kCoarse` survivors with
+    * the exact full-width cosine. Unlike [[prefixRerank]] this works for
+    * embeddings with NO matryoshka structure — the projection mixes
+    * every input dimension into every output dimension.
+    *
+    * The projection is a narrow per-row map (a `transform` over the
+    * literal matrix rows, each a codegen'd [[VecDot]]); the plan is the
+    * bruteTopK plan with a cheaper rank key. At corpus scale the
+    * projected vectors would be precomputed once and stored alongside
+    * the index (the [[pqEncode]] layout), not recomputed per query.
+    */
+  def jlRerank(embeddings: DataFrame, query: DataFrame, k: Int = 10,
+               kCoarse: Int = 100, outDims: Int = 32,
+               inDims: Int = 64): DataFrame = {
+    val rLit = typedLit(jlMatrix(outDims, inDims))
+    def proj(v: Column): Column = transform(rLit, row => dot(v, row))
+    crossBroadcast(embeddings, query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qvec"),
+        roundSim(cosine(proj(col("embedding")), proj(col("qvec"))))
+          .as("coarse_sim"))
+      .orderBy(desc("coarse_sim"), asc("vec_id"))
+      .limit(kCoarse)
+      .select(col("vec_id"), col("label"), col("coarse_sim"),
+        roundSim(cosine(col("embedding"), col("qvec"))).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Ceiling on the centroid-set size the plan-literal path embeds. A
     * `typedLit` of C×d doubles is re-analyzed and re-codegen'd by every
     * operator that references it — fine to a few hundred centroids,

@@ -427,6 +427,14 @@ object TrainingQueries {
       Dedup.incrementalExact(index, docs.filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
     }),
+    // Bloom-pruned wave classification: the high-novelty ingest shape —
+    // only might-contain suspects reach the stored index join
+    "dd_bloom_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.exactIndex(docs.filter(col("doc_id") % 5 =!= 0))
+      Dedup.bloomPrunedIncremental(index, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.2)
         .orderBy("doc_a", "doc_b")),
@@ -448,6 +456,12 @@ object TrainingQueries {
     "ann_prefix_rerank" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.prefixRerank(e, e.filter(col("vec_id") === 0), k = 10)
+    }),
+    // two-stage retrieval through a Rademacher JL projection — the
+    // no-matryoshka-structure counterpart of ann_prefix_rerank
+    "ann_jl_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.jlRerank(e, e.filter(col("vec_id") === 0), k = 10)
     }),
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1311,6 +1325,33 @@ object TrainingQueries {
          |       COALESCE(i.corpus_keeper, b.batch_min) AS keeper_doc_id
          |FROM batch b LEFT JOIN idx i USING (fp)
          |ORDER BY doc_id""".stripMargin,
+    // bloom twin: the filter itself is recomputed — same md5-derived
+    // bit positions (k=4, m=2^17), so bloom_hit (not just the exact
+    // verdict) must agree bit-for-bit
+    "dd_bloom_prune" ->
+      s"""WITH idx AS (
+         |  SELECT md5($normSql) AS fp, min(doc_id) AS keeper
+         |  FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+         |ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |bits AS (
+         |  SELECT DISTINCT
+         |         ('0x' || substr(md5(fp || ':' || i), 1, 8))::BIGINT
+         |           % 131072 AS p
+         |  FROM idx CROSS JOIN ks),
+         |batch AS (
+         |  SELECT doc_id, md5($normSql) AS fp
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |probe AS (
+         |  SELECT b.doc_id, b.fp,
+         |         bool_and(('0x' || substr(md5(b.fp || ':' || k.i), 1, 8))::BIGINT
+         |                  % 131072 IN (SELECT p FROM bits)) AS bloom_hit
+         |  FROM batch b CROSS JOIN ks k GROUP BY 1, 2)
+         |SELECT p.doc_id, p.bloom_hit,
+         |       CASE WHEN i.keeper IS NOT NULL THEN 'corpus_dup'
+         |            ELSE 'novel' END AS status,
+         |       i.keeper AS keeper_doc_id
+         |FROM probe p LEFT JOIN idx i USING (fp)
+         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" -> (shingleCtes +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)
         |, common AS (
@@ -1500,6 +1541,30 @@ object TrainingQueries {
          |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim
          |FROM embeddings CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // JL twin: the SAME ±1 matrix the engine folds over, embedded as a
+    // SQL literal (both sides regenerate from the md5 seed string);
+    // list_transform keeps the projection's accumulation order
+    "ann_jl_rerank" -> {
+      val matrixSql = Similarity.jlMatrix(32, 64)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+        .mkString("[", ",\n         |   ", "]")
+      s"""WITH r AS (SELECT $matrixSql AS m),
+         |q AS (SELECT e.embedding AS qv,
+         |             list_transform(r.m, row ->
+         |               ${dotSql("e.embedding", "row")}) AS pq
+         |      FROM embeddings e CROSS JOIN r WHERE e.vec_id = 0),
+         |pe AS (SELECT e.vec_id, e.label, e.embedding,
+         |              list_transform(r.m, row ->
+         |                ${dotSql("e.embedding", "row")}) AS pv
+         |       FROM embeddings e CROSS JOIN r),
+         |c AS (SELECT pe.vec_id, pe.label, pe.embedding, q.qv,
+         |             ${cosSql("pe.pv", "q.pq")} AS coarse_sim
+         |      FROM pe CROSS JOIN q
+         |      ORDER BY coarse_sim DESC, vec_id ASC LIMIT 100)
+         |SELECT vec_id, label, coarse_sim, ${cosSql("embedding", "qv")} AS sim
+         |FROM c ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     // prefix-rerank twin: list-slice prefixes feed the same rounded
     // cosine; survivors re-ranked with the full-width expression
     "ann_prefix_rerank" ->

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Money
+
+/** Behavioral analytics over the event stream: funnel conversion and
+  * cohort retention — the two dashboard queries every product-analytics
+  * deployment of the reference's event tables runs (the reference's
+  * events feed its Superset dashboards; these are the standard shapes
+  * those dashboards are built from).
+  *
+  * Both are user-grain: every wide operation shuffles on `user_id`
+  * once, and every frame after the first aggregation is user- or
+  * cohort-sized, never event-sized. At 100 TB of events the plans are
+  * a handful of co-keyed exchanges over progressively tiny frames.
+  */
+object Analytics {
+
+  /** Ordered funnel: how many users reach each stage, where a stage
+    * counts only if it happens at-or-after the user's first time
+    * reaching the previous stage (the standard "ordered funnel"
+    * semantic — a purchase before ever viewing does not convert).
+    *
+    * Computed as a left fold over the stages: stage k's frame is
+    * (user_id, first_ts) of users whose earliest qualifying event
+    * exists. Each step is one filter + one user-keyed join + one
+    * user-grain min — k small co-keyed shuffles, no windows over the
+    * raw event stream. Emits one row per stage with absolute counts
+    * and conversion ratios (vs the previous stage and vs the top).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+
+    // fold: (users who reached stage k-1 with their first-reach ts)
+    val reached: Seq[DataFrame] = stages.zipWithIndex.scanLeft(
+      Option.empty[DataFrame]) { case (prev, (stage, _)) =>
+      val ev = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts"))
+      val qualified = prev match {
+        case None => ev
+        case Some(p) => ev.join(p.select(col("user_id"),
+            col("first_ts").as("prev_ts")), Seq("user_id"))
+          .filter(col("ts") >= col("prev_ts"))
+          .select(col("user_id"), col("ts"))
+      }
+      Some(qualified.groupBy("user_id").agg(min("ts").as("first_ts")))
+    }.flatten
+
+    val counts = reached.zip(stages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.groupBy().agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }
+    val all = counts.reduce(_ union _)
+    // self-join on adjacent stage index: funnel height is stages.length
+    // rows — driver-trivial, but kept in-plan so the whole thing is one
+    // DataFrame program (crossBroadcast keeps the 1-row top join a
+    // hash join, not the banned nested loop)
+    val prev = all.select(col("stage_idx").as("pi"),
+      col("n_users").as("prev_users"))
+    val top = all.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("top_users"))
+    graft.core.Scalars.crossBroadcast(
+      all.join(prev, col("stage_idx") === col("pi") + 1, "left"), top)
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        Money.ratio2(col("n_users"),
+          coalesce(col("prev_users"), col("n_users"))).as("conv_prev"),
+        Money.ratio2(col("n_users"), col("top_users")).as("conv_top"))
+      .orderBy("stage_idx")
+  }
+
+  /** Weekly cohort retention: users cohorted by the ISO week of their
+    * first event; a cohort-week cell counts users with any activity in
+    * that week offset. `retention` is the cell count over the cohort
+    * size (the offset-0 diagonal is 1.0 by construction — a user's
+    * first event is activity in week 0).
+    *
+    * Shape: one user-grain min (first event), one co-keyed join back to
+    * the event stream, then a distinct and aggs at (user, week) and
+    * (cohort, week) grain — the only corpus-grain exchange is the
+    * first-event agg; everything downstream is user-sized or smaller.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id")
+      .agg(min("ts").as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val activity = events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .distinct()
+    val cells = activity.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        Money.ratio2(col("n_active"), col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

@@ -108,4 +108,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(Dedup.incrementalMinhash(Dedup.minhashBands(lshCorpus), empty)
       .isEmpty)
   }
+
+  // ---- Bloom pre-pruning over the exact index
+
+  test("bloomPrunedIncremental: no false negatives, exact verdicts") {
+    val out = Dedup.bloomPrunedIncremental(Dedup.exactIndex(corpus), batch)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2), Option(r.get(3)))).toMap
+    // a Bloom filter can lie "maybe", never "no": every true corpus dup
+    // MUST be a bloom hit, and its verdict comes from the exact join
+    assert(out(10L) == ((true, "corpus_dup", Some(1L))))
+    assert(out(14L) == ((true, "corpus_dup", Some(2L))))
+    // novel docs: status novel, no keeper, whatever the filter said
+    for (id <- Seq(11L, 12L, 13L))
+      assert(out(id)._2 == "novel" && out(id)._3.isEmpty)
+    // at m=2^17 over a 2-fp index, the novel docs clear the filter —
+    // the join input is exactly the dup set
+    assert(Seq(11L, 12L, 13L).forall(!out(_)._1),
+      "high-novelty wave must be pruned before the join")
+  }
+
+  test("bloom false positives cost a probe, never an answer") {
+    // m=64, k=2 over a 3-fp index: ~9% of bits set, FP rate ~1% per
+    // novel doc. Scan a 300-doc all-novel wave: any FPs that occur must
+    // still classify novel (the exact join decides), and build/probe
+    // must agree with a straight membership recomputation
+    val wave = (100L until 400L).map(i => (i, s"unique text number $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomPrunedIncremental(Dedup.exactIndex(corpus), wave,
+      mBits = 64, k = 2).collect()
+    assert(out.length == 300)
+    assert(out.forall(r => r.getString(2) == "novel" && r.isNullAt(3)),
+      "false positives must never change a verdict")
+  }
+
+  test("bloomBuild packs exactly the k·|index| derived bit positions") {
+    val words = Dedup.bloomBuild(Dedup.exactIndex(corpus), mBits = 128, k = 4)
+    assert(words.length == 2)
+    val setBits = words.map(java.lang.Long.bitCount).sum
+    // corpus has 2 distinct fingerprints → ≤ 8 positions (collisions
+    // can only lower the count), and at least k (one fp sets k bits)
+    assert(setBits >= 4 && setBits <= 8, s"unexpected bit count $setBits")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.TestSpark
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // u1 converts fully in order; u2 clicks BEFORE ever viewing (the
+  // click must not count); u3 purchases before clicking (stages 1-2
+  // only); u4 clicks at the exact view instant (at-or-after counts)
+  // and purchased before everything (must not count)
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+    (2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+    (3L, ts("2024-01-01 10:10:00"), 1L, "purchase"),
+    (4L, ts("2024-01-01 09:00:00"), 2L, "click"),
+    (5L, ts("2024-01-01 09:30:00"), 2L, "view"),
+    (6L, ts("2024-01-01 08:00:00"), 3L, "purchase"),
+    (7L, ts("2024-01-01 08:30:00"), 3L, "view"),
+    (8L, ts("2024-01-01 08:45:00"), 3L, "click"),
+    (9L, ts("2024-01-01 07:00:00"), 4L, "purchase"),
+    (10L, ts("2024-01-01 07:30:00"), 4L, "view"),
+    (11L, ts("2024-01-01 07:30:00"), 4L, "click"))
+    .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnel: ordered semantics with at-or-after stage boundaries") {
+    val out = Analytics.funnel(events, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1) == (("view", 4L, 1.0, 1.0)))
+    // u1, u3, u4 click at-or-after first view; u2's early click is out
+    assert(out(2) == (("click", 3L, 0.75, 0.75)))
+    // only u1 purchases after the click chain
+    assert(out(3)._1 == "purchase")
+    assert(out(3)._2 == 1L)
+    assert(out(3)._3 == 0.33, "conversion vs previous stage")
+    assert(out(3)._4 == 0.25, "conversion vs funnel top")
+  }
+
+  test("funnel: a stage nobody reaches yields a zero row, not absence") {
+    val out = Analytics.funnel(events, Seq("view", "signup"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 4L)
+    assert(out(2) == 0L, "empty stage must still report its row")
+  }
+
+  test("cohortRetention: weekly cohorts, offset-0 diagonal is 1.0") {
+    // 2024-01-01 and 2024-01-08 are both Mondays: u1/u2 cohort week 1,
+    // u3 cohort week 2; u1 returns in week 2, u2 does not
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "view"),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view"),
+      (4L, ts("2024-01-10 10:00:00"), 3L, "view"),
+      (5L, ts("2024-01-10 12:00:00"), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1)) == ((2L, 1L, 0.5)))
+    assert(out(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
+    assert(out.size == 3, "no empty cells emitted")
+  }
+}
