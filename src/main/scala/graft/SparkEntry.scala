@@ -187,6 +187,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       streaming.EventsStream.sessionizeBatch(sources.Tables.events(s, d))
         .orderBy("user_id", "session_idx")),
+    // sliding 1h/15min windowed counts+sums (each event in 4 windows)
+    "q_sliding_window" -> ((s, d) =>
+      streaming.EventsStream.slidingAggBatch(sources.Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
     // ordered funnel: users reaching view → click → purchase, each
     // stage at-or-after the first reach of the previous one
     "q_funnel" -> ((s, d) =>
@@ -516,6 +520,19 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM h GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // sliding twin: expand each event into its 4 epoch-aligned window
+    // starts (floor(µs / slide) − k); µs arithmetic matches Spark's
+    // already-truncated timestamps
+    "q_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+        |x AS (SELECT make_timestamp((tu // 900000000 - k) * 900000000)
+        |               AS window_start,
+        |             event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // funnel twin: per-stage first-reach chains on epoch_us (Spark's
     // events carry µs precision — comparisons must not see DuckDB's ns)
     "q_funnel" ->

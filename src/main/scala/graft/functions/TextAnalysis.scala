@@ -304,6 +304,32 @@ object TextAnalysis {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Weight-proportional sampling without replacement (Efraimidis &
+    * Spirakis's A-ES, "Weighted random sampling with a reservoir",
+    * IPL 2006): each row draws a deterministic md5 uniform u ∈ (0,1)
+    * and ranks by ln(u)/w — the global top-k of that key is exactly a
+    * weighted sample without replacement. ln(u)/w orders identically
+    * to the paper's u^(1/w) (monotone in it) while staying far from
+    * double rounding cliffs; the emitted key is decimal-rounded to 9
+    * like every cross-engine score here.
+    *
+    * Scale: a per-row projection plus ONE top-k (TakeOrderedAndProject
+    * — per-partition heaps, k rows to the driver stage, no sort of the
+    * corpus). The classic reservoir formulation is sequential; the
+    * rank-key formulation IS its distributed equivalent.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+                     weight: Column = col("n_chars")): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
+        lit(0.5)) / lit(4294967296.0)
+    docs.select(col("doc_id"), weight.cast("double").as("weight"),
+        Similarity.roundSim(log(u) / weight.cast("double")).as("samp_key"))
+      .filter(col("weight") > 0)
+      .orderBy(desc("samp_key"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Data-mixture sampling: downsample each source/domain to a token
     * budget — the "mixture weights" step of assembling a pretraining
     * corpus from heterogeneous sources. Rate-based: per source the keep

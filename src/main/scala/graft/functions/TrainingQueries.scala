@@ -416,6 +416,9 @@ object TrainingQueries {
     "ts_shards" -> ((s, d) =>
       TextAnalysis.shardAssign(Tables.documents(s, d), nShards = 8)
         .orderBy("shard_id", "shard_pos")),
+    // A-ES weighted sample: longer documents proportionally likelier
+    "ts_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(Tables.documents(s, d), k = 50)),
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("fp")),
     // incremental wave: docs %5==0 arrive as a new batch against the
@@ -1325,6 +1328,17 @@ object TrainingQueries {
          |       COALESCE(i.corpus_keeper, b.batch_min) AS keeper_doc_id
          |FROM batch b LEFT JOIN idx i USING (fp)
          |ORDER BY doc_id""".stripMargin,
+    // A-ES twin: same md5 uniform, same ln(u)/w rank key through the
+    // 9-decimal rounding
+    "ts_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |       CAST(ROUND(CAST(
+        |         ln((('0x' || substr(md5('ws:' || doc_id), 1, 8))::BIGINT
+        |             + 0.5) / 4294967296.0)
+        |         / CAST(n_chars AS DOUBLE) AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |         AS samp_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY samp_key DESC, doc_id ASC LIMIT 50""".stripMargin,
     // bloom twin: the filter itself is recomputed — same md5-derived
     // bit positions (k=4, m=2^17), so bloom_hit (not just the exact
     // verdict) must agree bit-for-bit

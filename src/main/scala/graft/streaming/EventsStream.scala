@@ -27,6 +27,25 @@ object EventsStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation: `windowMinutes` windows advancing every
+    * `slideMinutes` (each event lands in window/slide overlapping
+    * windows — 4 at the 60/15 default): the dashboard "smoothed rate"
+    * query. Spark's `window(ts, win, slide)` expands the overlap in a
+    * narrow generator before the shuffle, so the exchange carries
+    * overlap× rows at (window, type) grain — linear fan-out, no
+    * self-join. Works unchanged under `readStream` + watermark (the
+    * same operator [[hourlyAggStreaming]] runs tumbling).
+    */
+  def slidingAggBatch(events: DataFrame, windowMinutes: Int = 60,
+                      slideMinutes: Int = 15): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowMinutes minutes",
+        s"$slideMinutes minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.round2(Money.moneySum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming version: file-source stream over the same parquet, 10-min
     * watermark, complete-mode memory sink, drained synchronously.
     * Returns the result as a batch DataFrame (for verification; a real

@@ -493,6 +493,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(best._1 == 1L)
   }
 
+  test("weightedSample: A-ES top-k matches a driver recompute, skews long") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val out = TextAnalysis.weightedSample(docs, k = 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 50)
+    // the distributed top-k must equal a full driver-side rank by the
+    // same (key desc, id asc) order
+    val all = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toDouble))
+      .filter(_._2 > 0)
+    def key(id: Long, w: Double): Double = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"ws:$id")
+          .substring(0, 8), 16)
+      val raw = math.log((h + 0.5) / 4294967296.0) / w
+      // mirror roundSim exactly: double → DECIMAL(20,12) → round 9
+      BigDecimal(raw).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = all.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy(t => (-t._3, t._1)).take(50)
+    assert(out.map(_._1).toSeq == expect.map(_._1).toSeq,
+      "distributed top-k diverges from the reference ranking")
+    // weight-proportional sampling must skew the sample long: the
+    // sampled mean length exceeds the corpus mean (deterministic here)
+    val corpusMean = all.map(_._2).sum / all.length
+    val sampleMean = out.map(_._2).sum / out.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("ragChunks: overlapping windows cover every token, tail included") {
     // 10 tokens, width 4, stride 3: starts 1,4,7 (ceil((10-4)/3)*3+1 = 7)
     val docs = Seq(

@@ -62,6 +62,24 @@ class StreamingSpec extends AnyFunSuite {
       "closed sessions identical; open tail sessions withheld by state")
   }
 
+  test("sliding windows: each event lands in exactly window/slide windows") {
+    import spark.implicits._
+    // one event at 10:07 → 60/15 windows starting 09:15, 09:30, 09:45,
+    // 10:00; a second at 10:07 same type aggregates into the same four
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "view", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:30"), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventsStream.slidingAggBatch(ev).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("2024-01-01 09:15:00.0",
+      "2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+      "2024-01-01 10:00:00.0"))
+    assert(out.forall(t => t._2 == 2L && t._3 == 5.0),
+      "both events aggregate into every covering window")
+  }
+
   test("watermark drops late rows in append-mode windowed aggregation") {
     // Spark 4 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
