@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data Selection via Importance Resampling (DSIR — Xie et al., NeurIPS
+  * 2023): score every raw document by how much more likely its hashed
+  * n-gram features are under a TARGET distribution (the data you want
+  * more of) than under the RAW distribution (the data you have), then
+  * sample without replacement with probability ∝ the importance weight
+  * via the Gumbel top-k trick. The workhorse of "make 100 TB of crawl
+  * look like Wikipedia" selection, next to the heuristic C4/Gopher gates
+  * ([[TextAnalysis.c4Filters]]) and the model-free perplexity scores
+  * ([[TextAnalysis.unigramLogProb]]).
+  *
+  * Features are word unigrams AND bigrams hashed into `buckets` cells
+  * (the paper's hashed n-gram generative model): a bag-of-buckets keeps
+  * both distributions a fixed `buckets`-row table no matter the corpus
+  * size. log w(x) = Σ_b c_b(x)·(ln p̂_tgt[b] − ln p̂_raw[b]) with add-one
+  * smoothing on both estimates.
+  *
+  * Distributed shape, sized for the 100 TB case: feature extraction is a
+  * per-row projection; counts collapse FIRST to (doc, bucket) type grain
+  * (map-side combinable, ≤ min(tokens, buckets) rows per doc), the two
+  * corpus distributions aggregate that to `buckets` rows, and scoring
+  * joins the bucket-grain doc frame against the `buckets`-row log-ratio
+  * table — aggregate-sized, AQE broadcasts it. No token-grain join, no
+  * corpus-crossing shuffle, no driver loop; the only wide exchanges are
+  * key-grain aggregations.
+  *
+  * Cross-engine determinism: bucket = first 8 md5 hex digits of the
+  * n-gram mod `buckets` (same text both engines); each ln routes through
+  * the 9-dp decimal rounding (libm ulp guard); the per-doc weight is an
+  * exact decimal Σ count·Δln; the Gumbel noise derives from md5(doc_id)
+  * — a deterministic, salted draw, as [[TextAnalysis.epochUpsample]].
+  */
+object Importance {
+
+  private val D2012 = DecimalType(20, 12)
+  private val D2612 = DecimalType(26, 12)
+  private val D3810 = DecimalType(38, 10)
+  private val D90 = DecimalType(9, 0)
+
+  /** round-through-decimal ln, the tfIdf/unigramLogProb parity ladder */
+  private def lnR9(c: Column): Column = round(log(c).cast(D2012), 9).cast(D2612)
+
+  private def bucketOf(s: Column, buckets: Int): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Per-document hashed-feature counts at (doc_id, bucket) type grain,
+    * with the document's target-membership flag carried through.
+    */
+  private def features(docs: DataFrame, isTarget: Column,
+                       buckets: Int): DataFrame = {
+    val toks = split(TextAnalysis.normalized(col("text")), " ")
+    // unigrams ++ space-joined bigrams, hashed; one array concat keeps
+    // it one explode (one pass over the text, no second tokenize)
+    val grams = concat(
+      toks,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("is_target"),
+        bucketOf(col("gram"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("nf"))
+  }
+
+  /** (doc_id, n_feats, log_weight) for every document, raw-corpus-wide.
+    *
+    * @param isTarget document-level predicate defining the target
+    *                 distribution (e.g. `col("lang") === "en"`); the raw
+    *                 distribution is the whole input
+    * @param buckets  hashed-feature space size (paper: 10k; production
+    *                 sizing — the ratio table stays broadcast-small into
+    *                 the millions)
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"dsirWeights: buckets $buckets < 2")
+    val feats = graft.core.PlanMemo.cached(s"importance.feats.$buckets",
+      features(docs, isTarget, buckets))
+    // both corpus distributions in ONE pass over the bucket-grain frame
+    val dist = feats.groupBy("bucket").agg(
+      sum(when(col("is_target"), col("nf")).otherwise(lit(0))).as("ct"),
+      sum("nf").as("cr"))
+    // totals join back via the scalar-broadcast seam (dist is a
+    // buckets-row aggregate; the totals frame is one row)
+    val totals = dist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val ratio = graft.core.Scalars.crossBroadcast(dist, totals)
+      .select(col("bucket"),
+        (lnR9((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
+          lnR9((col("cr") + 1).cast("double") / (col("nr") + buckets)))
+          .as("dln"))
+    feats.join(ratio, "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum("nf").cast("int").as("n_feats"),
+        round(sum(col("nf").cast(D90) * col("dln")).cast("double")
+          .cast(D3810), 6).cast("double").as("log_weight"))
+  }
+
+  /** Gumbel top-k resampling over [[dsirWeights]]: draw u from the first
+    * 8 md5 hex digits of `doc_id || ':dsir'` (half-offset keeps u in the
+    * open interval), add g = −ln(−ln u) to the log-weight, keep the k
+    * largest keys — a without-replacement sample with inclusion
+    * probability ∝ w(x), fully deterministic across engines.
+    */
+  def dsirSample(docs: DataFrame, isTarget: Column, k: Int,
+                 buckets: Int = 256): DataFrame = {
+    require(k >= 1, s"dsirSample: k $k < 1")
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":dsir"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    // both ln's route through the 9-dp decimal rounding — nesting two
+    // raw libm ln's would square the ulp-divergence exposure
+    val nlu = round(negate(log(u)).cast(D2012), 9).cast("double")
+    val g = round(negate(log(nlu)).cast(D2012), 9).cast(D2612)
+    val keyed = dsirWeights(docs, isTarget, buckets)
+      .withColumn("key",
+        round((col("log_weight").cast(D2612) + g).cast(D3810), 6)
+          .cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("key"), asc("doc_id"))
+    // global top-k: rank over a single ordered window — AQE plans it as
+    // a TopK (WindowGroupLimit) so no full sort materializes
+    keyed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("n_feats"), col("log_weight"),
+        col("key").as("sample_key"), col("rnk").cast("int").as("rnk"))
+  }
+}

@@ -546,7 +546,10 @@ object Similarity {
         col("centroid_id"), norm(col("embedding")).as("nrm_a"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(desc("sim"), asc("dst"))
-    src.join(dst, Seq("centroid_id"))
+    // memoized: ann_knn_graph materializes this frame, marginPairs
+    // reads it THREE times (edge list + both sides of the stats join) —
+    // without the memo each reference re-runs the cell join + rank
+    val g = src.join(dst, Seq("centroid_id"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         roundSim(dot(col("emb_a"), col("emb_b")) /
@@ -554,6 +557,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"), col("sim"), col("rnk"))
+    graft.core.PlanMemo.cached("similarity.knngraph", g)
   }
 
   /** Margin-scored neighbor pairs (Artetxe & Schwenk, "Margin-based

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Money
+import graft.operators.{PageRank => PageRankOp}
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -325,7 +326,18 @@ object TrainingQueries {
       (s, d) => Curation.prefillShared(Tables.documents(s, d))),
     // the stored ANN index both serving queries probe
     ("__ann_index_fill", Set("ann_index_scan", "ann_filtered"),
-      (s, d) => { storedIndex(s, d); () }))
+      (s, d) => { storedIndex(s, d); () }),
+    // the kNN edge list the graph query materializes and the margin
+    // rescoring reads three times
+    ("__knn_graph_fill", Set("ann_knn_graph", "search_margin", "graph_pagerank"),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cvec"))
+        Similarity.knnGraph(e, cents, k = 5, nprobe = 4).count()
+        ()
+      }))
 
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
@@ -485,6 +497,23 @@ object TrainingQueries {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .orderBy("src", "rnk")
+    }),
+    // DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram bag scored target('en')-vs-raw with add-one
+    // smoothing, Gumbel top-k sample without replacement
+    "ts_dsir" -> ((s, d) =>
+      Importance.dsirSample(Tables.documents(s, d),
+        col("lang") === "en", k = 200, buckets = 256)
+        .orderBy("rnk")),
+    // PageRank centrality over the same kNN graph: prototypicality /
+    // hub scoring; 5 power iterations through the CC checkpoint seam
+    "graph_pagerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      PageRankOp.pageRank(
+        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+          .select(col("src"), col("dst")))
     }),
     // margin-scored mining (Artetxe & Schwenk ratio margin) over the
     // same graph config: edges rescored by the two sides' neighborhood
@@ -1750,6 +1779,107 @@ object TrainingQueries {
     // per-source rank over the cell join
     "ann_knn_graph" -> (knnGraphCteSql +
       "SELECT src, dst, sim, rnk FROM graph ORDER BY src, rnk"),
+    // DSIR twin: hashed n-gram features via lockstep unnest (unigrams
+    // UNION ALL lag-bigrams), bucket = first 8 md5 hex digits mod 256;
+    // both distributions from one bucket-grain frame; every ln through
+    // the 9-dp decimal rounding, the per-doc weight an exact decimal
+    // Σ nf·Δln; Gumbel noise from md5(doc_id || ':dsir') with BOTH
+    // nested ln's 9-dp-rounded, exactly as the Spark side
+    "ts_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         generate_subscripts(string_split($normSql, ' '), 1) AS pos,
+         |         unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang, token AS gram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, lang, w1 || ' ' || w2 AS gram FROM (
+         |    SELECT doc_id, lang,
+         |           lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |           token AS w2
+         |    FROM tok) b WHERE w1 IS NOT NULL),
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket,
+         |         count(*) AS nf
+         |  FROM grams GROUP BY 1, 2, 3),
+         |dist AS (
+         |  SELECT bucket,
+         |         SUM(CASE WHEN lang = 'en' THEN nf ELSE 0 END) AS ct,
+         |         SUM(nf) AS cr
+         |  FROM feats GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+         |ratio AS (
+         |  SELECT bucket,
+         |         CAST(ROUND(CAST(ln(CAST(ct + 1 AS DOUBLE) / (nt + 256))
+         |             AS DECIMAL(20,12)), 9) AS DECIMAL(26,12))
+         |       - CAST(ROUND(CAST(ln(CAST(cr + 1 AS DOUBLE) / (nr + 256))
+         |             AS DECIMAL(20,12)), 9) AS DECIMAL(26,12)) AS dln
+         |  FROM dist CROSS JOIN tot),
+         |wts AS (
+         |  SELECT doc_id, CAST(SUM(nf) AS INT) AS n_feats,
+         |         CAST(ROUND(CAST(CAST(SUM(CAST(nf AS DECIMAL(9,0)) * dln)
+         |             AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE) AS log_weight
+         |  FROM feats JOIN ratio USING (bucket)
+         |  GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, n_feats, log_weight,
+         |         CAST(ROUND(CAST(CAST(log_weight AS DECIMAL(26,12))
+         |           + CAST(ROUND(CAST(-ln(
+         |               CAST(ROUND(CAST(-ln(
+         |                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |                    || ':dsir'), 1, 8)) AS BIGINT) + 0.5)
+         |                 / 4294967296.0) AS DECIMAL(20,12)), 9) AS DOUBLE))
+         |             AS DECIMAL(20,12)), 9) AS DECIMAL(26,12))
+         |           AS DECIMAL(38,10)), 6) AS DOUBLE) AS sample_key
+         |  FROM wts),
+         |ranked AS (
+         |  SELECT doc_id, n_feats, log_weight, sample_key,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id ASC)
+         |           AS INT) AS rnk
+         |  FROM keyed)
+         |SELECT doc_id, n_feats, log_weight, sample_key, rnk
+         |FROM ranked WHERE rnk <= 200 ORDER BY rnk""".stripMargin,
+    // PageRank twin: the SAME graph CTE, 5 unrolled power iterations —
+    // every sum through DECIMAL(28,16), every iteration re-rounded to
+    // 12 decimals, teleport/damping as the same parsed literals
+    "graph_pagerank" -> {
+      val iters = 5
+      val iterCtes = (1 to iters).map { i =>
+        val p = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""d$i AS (
+           |  SELECT coalesce(CAST(SUM(CAST(p.pr AS DECIMAL(28,16)))
+           |           AS DOUBLE), 0.0) AS dang
+           |  FROM $p p LEFT JOIN deg ON p.node = deg.src
+           |  WHERE deg.src IS NULL),
+           |s$i AS (
+           |  SELECT e.dst AS node,
+           |         CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(28,16)))
+           |           AS DOUBLE) AS m
+           |  FROM edges e JOIN $p p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY 1),
+           |pr$i AS (
+           |  SELECT n.node,
+           |         CAST(ROUND(CAST(0.15 * (SELECT invn FROM nn)
+           |           + 0.85 * (coalesce(s.m, 0.0)
+           |             + (SELECT dang FROM d$i) * (SELECT invn FROM nn))
+           |           AS DECIMAL(28,16)), 12) AS DOUBLE) AS pr
+           |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      knnGraphCteSql +
+        s""", edges AS (SELECT DISTINCT src, dst FROM graph),
+           |nodes AS (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS invn FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |pr0 AS (SELECT node, (SELECT invn FROM nn) AS pr FROM nodes),
+           |$iterCtes
+           |SELECT node, CAST(ROUND(CAST(pr AS DECIMAL(28,16)), 9) AS DOUBLE)
+           |         AS pr
+           |FROM pr$iters ORDER BY pr DESC, node ASC""".stripMargin
+    },
     // margin twin: the SAME graph CTE, per-vector mean neighbor cosine
     // through an order-free DECIMAL sum, one double division per side
     "search_margin" -> (knnGraphCteSql +
