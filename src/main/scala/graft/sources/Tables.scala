@@ -24,16 +24,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
-    * the column arrives as LONG nanos; convert to a microsecond timestamp
-    * (floor division — same truncation DuckDB applies reading the file).
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How that surfaces depends
+    * on the Spark build: older readers reject it unless
+    * `spark.sql.legacy.parquet.nanosAsLong` delivers it as LONG nanos;
+    * newer ones read it natively as a micro-truncated TIMESTAMP_NTZ and
+    * ignore the legacy conf. [[microTs]] lands BOTH on the same
+    * microsecond TimestampType (floor division — the same truncation
+    * DuckDB applies reading the file; the session timezone is pinned
+    * UTC so the NTZ cast is wall-clock = instant).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    microTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to microsecond TimestampType
+    * regardless of which nanos read path produced it (see [[events]]).
+    */
+  def microTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type ${other.simpleString}")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -60,7 +60,7 @@ object EventsStream {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.Tables.microTs(raw)
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -292,10 +292,10 @@ object EventsStream {
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def stream(): DataFrame = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream(): DataFrame = graft.sources.Tables.microTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
