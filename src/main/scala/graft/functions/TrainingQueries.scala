@@ -1843,24 +1843,29 @@ object TrainingQueries {
          |FROM ranked WHERE rnk <= 200 ORDER BY rnk""".stripMargin,
     // PageRank twin: the SAME graph CTE, 5 unrolled power iterations —
     // every sum through DECIMAL(28,16), every iteration re-rounded to
-    // 12 decimals, teleport/damping as the same parsed literals
+    // 12 decimals, teleport/damping as the same parsed literals. The
+    // iteration CTEs are AS MATERIALIZED (DuckDB-only syntax; this text
+    // never runs on Spark): each pr$i references pr${i-1} three times,
+    // and DuckDB's default CTE inlining would expand the kNN-graph
+    // build 3^iters times — ~15 min where the materialized form is
+    // 0.5 s at sf0.01.
     "graph_pagerank" -> {
       val iters = 5
       val iterCtes = (1 to iters).map { i =>
         val p = if (i == 1) "pr0" else s"pr${i - 1}"
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
            |  SELECT coalesce(CAST(SUM(CAST(p.pr AS DECIMAL(28,16)))
            |           AS DOUBLE), 0.0) AS dang
            |  FROM $p p LEFT JOIN deg ON p.node = deg.src
            |  WHERE deg.src IS NULL),
-           |s$i AS (
+           |s$i AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |         CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(28,16)))
            |           AS DOUBLE) AS m
            |  FROM edges e JOIN $p p ON e.src = p.node
            |  JOIN deg ON e.src = deg.src
            |  GROUP BY 1),
-           |pr$i AS (
+           |pr$i AS MATERIALIZED (
            |  SELECT n.node,
            |         CAST(ROUND(CAST(0.15 * (SELECT invn FROM nn)
            |           + 0.85 * (coalesce(s.m, 0.0)
@@ -1869,12 +1874,12 @@ object TrainingQueries {
            |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
       }.mkString(",\n")
       knnGraphCteSql +
-        s""", edges AS (SELECT DISTINCT src, dst FROM graph),
-           |nodes AS (SELECT src AS node FROM edges
+        s""", edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM edges
            |          UNION SELECT dst FROM edges),
            |nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS invn FROM nodes),
-           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-           |pr0 AS (SELECT node, (SELECT invn FROM nn) AS pr FROM nodes),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |pr0 AS MATERIALIZED (SELECT node, (SELECT invn FROM nn) AS pr FROM nodes),
            |$iterCtes
            |SELECT node, CAST(ROUND(CAST(pr AS DECIMAL(28,16)), 9) AS DOUBLE)
            |         AS pr
