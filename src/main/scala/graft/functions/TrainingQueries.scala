@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Money
-import graft.operators.{PageRank => PageRankOp}
+import graft.operators.{LabelProp, PageRank => PageRankOp}
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -329,7 +329,9 @@ object TrainingQueries {
       (s, d) => { storedIndex(s, d); () }),
     // the kNN edge list the graph query materializes and the margin
     // rescoring reads three times
-    ("__knn_graph_fill", Set("ann_knn_graph", "search_margin", "graph_pagerank"),
+    ("__knn_graph_fill",
+      Set("ann_knn_graph", "search_margin", "graph_pagerank",
+        "graph_label_prop"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -512,6 +514,18 @@ object TrainingQueries {
       val cents = e.filter(col("vec_id").between(1, 16))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       PageRankOp.pageRank(
+        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+          .select(col("src"), col("dst")))
+    }),
+    // label-propagation communities over the same kNN graph: dense-
+    // region clustering (topic-ish groups for balanced sampling) — CC
+    // would glue everything reachable; LPA splits along sparse cuts.
+    // 5 synchronous integer-only rounds, smallest-label tie-break
+    "graph_label_prop" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      LabelProp.labelPropagate(
         Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
           .select(col("src"), col("dst")))
     }),
@@ -1884,6 +1898,41 @@ object TrainingQueries {
            |SELECT node, CAST(ROUND(CAST(pr AS DECIMAL(28,16)), 9) AS DOUBLE)
            |         AS pr
            |FROM pr$iters ORDER BY pr DESC, node ASC""".stripMargin
+    },
+    // label-propagation twin: the SAME graph CTE symmetrized, 5
+    // unrolled synchronous rounds — integer counts only, ROW_NUMBER
+    // smallest-label tie-break, all iteration CTEs AS MATERIALIZED
+    // (each references the previous round twice; default inlining
+    // would expand the graph build exponentially, see graph_pagerank)
+    "graph_label_prop" -> {
+      val iters = 5
+      val iterCtes = (1 to iters).map { i =>
+        val p = if (i == 1) "lab0" else s"lab${i - 1}"
+        s"""cnt$i AS MATERIALIZED (
+           |  SELECT node, lab, count(*) AS c FROM (
+           |    SELECT e.dst AS node, l.lab
+           |    FROM edges e JOIN $p l ON e.src = l.node
+           |    UNION ALL
+           |    SELECT node, lab FROM $p) v
+           |  GROUP BY 1, 2),
+           |lab$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(b.lab, p0.lab) AS lab
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT node, lab FROM (
+           |      SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+           |        ORDER BY c DESC, lab ASC) AS rn FROM cnt$i) r
+           |    WHERE rn = 1) b ON n.node = b.node
+           |  JOIN $p p0 ON n.node = p0.node)""".stripMargin
+      }.mkString(",\n")
+      knnGraphCteSql +
+        s""", dirx AS MATERIALIZED (SELECT src, dst FROM graph),
+           |edges AS MATERIALIZED (
+           |  SELECT src, dst FROM dirx
+           |  UNION SELECT dst AS src, src AS dst FROM dirx),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+           |lab0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+           |$iterCtes
+           |SELECT node, lab AS community FROM lab$iters ORDER BY node""".stripMargin
     },
     // margin twin: the SAME graph CTE, per-vector mean neighbor cosine
     // through an order-free DECIMAL sum, one double division per side
