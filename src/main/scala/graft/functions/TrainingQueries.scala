@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Money
-import graft.operators.{LabelProp, PageRank => PageRankOp}
+import graft.operators.{KCore, LabelProp, PageRank => PageRankOp}
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -331,7 +331,7 @@ object TrainingQueries {
     // rescoring reads three times
     ("__knn_graph_fill",
       Set("ann_knn_graph", "search_margin", "graph_pagerank",
-        "graph_label_prop"),
+        "graph_label_prop", "graph_kcore"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -528,6 +528,23 @@ object TrainingQueries {
       LabelProp.labelPropagate(
         Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
           .select(col("src"), col("dst")))
+    }),
+    // k-core backbone of the MUTUAL-kNN graph (edges kept only when
+    // reciprocated — the standard hubness-reducing construction; the
+    // raw symmetrized kNN graph has uniform degree ≥ 5, which makes
+    // every k-core trivially full or empty). Iterative peel to the
+    // Spark-side fixpoint (loud-fail past 12 rounds); the oracle
+    // unrolls all 12 — post-convergence rounds are identity, so both
+    // engines land on the identical core
+    "graph_kcore" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+        .select(col("src"), col("dst"))
+      KCore.kCore(
+        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))),
+        k = 2, maxRounds = 12)
     }),
     // margin-scored mining (Artetxe & Schwenk ratio margin) over the
     // same graph config: edges rescored by the two sides' neighborhood
@@ -1933,6 +1950,33 @@ object TrainingQueries {
            |lab0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
            |$iterCtes
            |SELECT node, lab AS community FROM lab$iters ORDER BY node""".stripMargin
+    },
+    // k-core twin: the SAME graph CTE restricted to MUTUAL edges
+    // (INTERSECT with its own transpose — already symmetric), 12
+    // unrolled peel rounds (Spark fixpoints early and loud-fails past
+    // 12; peeling is monotone so the oracle's post-convergence rounds
+    // are no-ops) — AS MATERIALIZED against exponential inlining as in
+    // the other graph twins
+    "graph_kcore" -> {
+      val rounds = 12
+      val k = 2
+      val peelCtes = (1 to rounds).map { i =>
+        val p = s"e${i - 1}"
+        s"""e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $p e
+           |  JOIN (SELECT src FROM $p GROUP BY src
+           |        HAVING count(*) >= $k) a ON e.src = a.src
+           |  JOIN (SELECT src FROM $p GROUP BY src
+           |        HAVING count(*) >= $k) b ON e.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      knnGraphCteSql +
+        s""", e0 AS MATERIALIZED (
+           |  SELECT src, dst FROM graph
+           |  INTERSECT
+           |  SELECT dst AS src, src AS dst FROM graph),
+           |$peelCtes
+           |SELECT src AS node, CAST(count(*) AS INT) AS core_deg
+           |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // margin twin: the SAME graph CTE, per-vector mean neighbor cosine
     // through an order-free DECIMAL sum, one double division per side
