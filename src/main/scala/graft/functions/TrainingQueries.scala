@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Money
-import graft.operators.{KCore, LabelProp, PageRank => PageRankOp}
+import graft.operators.{KCore, LabelProp, Triangles, PageRank => PageRankOp}
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -331,7 +331,7 @@ object TrainingQueries {
     // rescoring reads three times
     ("__knn_graph_fill",
       Set("ann_knn_graph", "search_margin", "graph_pagerank",
-        "graph_label_prop", "graph_kcore"),
+        "graph_label_prop", "graph_kcore", "graph_triangles"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -545,6 +545,18 @@ object TrainingQueries {
       KCore.kCore(
         g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))),
         k = 2, maxRounds = 12)
+    }),
+    // triangle counts + local clustering coefficient over the mutual
+    // graph: degree-ordered orientation (compact-forward) bounds the
+    // wedge fan-out — the O(m^1.5) form that survives hubs at scale
+    "graph_triangles" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+        .select(col("src"), col("dst"))
+      Triangles.triangleStats(
+        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
     }),
     // margin-scored mining (Artetxe & Schwenk ratio margin) over the
     // same graph config: edges rescored by the two sides' neighborhood
@@ -1978,6 +1990,40 @@ object TrainingQueries {
            |SELECT src AS node, CAST(count(*) AS INT) AS core_deg
            |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // triangles twin: the SAME mutual restriction, the SAME (deg, id)
+    // orientation, the same single-division double coefficient
+    "graph_triangles" -> (knnGraphCteSql +
+      s""", sym AS MATERIALIZED (
+         |  SELECT src, dst FROM graph
+         |  INTERSECT
+         |  SELECT dst AS src, src AS dst FROM graph),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         |oriented AS MATERIALIZED (
+         |  SELECT s.src, s.dst FROM sym s
+         |  JOIN deg d1 ON s.src = d1.src
+         |  JOIN deg d2 ON s.dst = d2.src
+         |  WHERE d1.deg < d2.deg
+         |     OR (d1.deg = d2.deg AND s.src < s.dst)),
+         |tri AS MATERIALIZED (
+         |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+         |  FROM oriented ab
+         |  JOIN oriented bc ON ab.dst = bc.src
+         |  JOIN oriented ac ON ab.src = ac.src AND bc.dst = ac.dst),
+         |pern AS MATERIALIZED (
+         |  SELECT node, count(*) AS t FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) u
+         |  GROUP BY 1)
+         |SELECT d.src AS node, d.deg AS degree,
+         |       coalesce(p.t, 0) AS triangles,
+         |       CASE WHEN d.deg >= 2
+         |            THEN CAST(coalesce(p.t, 0) * 2 AS DOUBLE)
+         |                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+         |FROM deg d LEFT JOIN pern p ON d.src = p.node
+         |ORDER BY node""".stripMargin),
     // margin twin: the SAME graph CTE, per-vector mean neighbor cosine
     // through an order-free DECIMAL sum, one double division per side
     "search_margin" -> (knnGraphCteSql +
