@@ -331,7 +331,8 @@ object TrainingQueries {
     // rescoring reads three times
     ("__knn_graph_fill",
       Set("ann_knn_graph", "search_margin", "graph_pagerank",
-        "graph_label_prop", "graph_kcore", "graph_triangles"),
+        "graph_label_prop", "graph_kcore", "graph_triangles",
+        "graph_ppr"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -545,6 +546,19 @@ object TrainingQueries {
       KCore.kCore(
         g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))),
         k = 2, maxRounds = 12)
+    }),
+    // personalized PageRank: restart to the label-0 seed set — the
+    // corpus-expansion primitive (seed a curated handful, rank the
+    // whole graph by multi-hop similarity to it); unreachable nodes
+    // hold exactly 0.0 on both engines
+    "graph_ppr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      PageRankOp.personalizedPageRank(
+        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+          .select(col("src"), col("dst")),
+        e.filter(col("label") === 0).select(col("vec_id").as("node")))
     }),
     // triangle counts + local clustering coefficient over the mutual
     // graph: degree-ordered orientation (compact-forward) bounds the
@@ -1989,6 +2003,57 @@ object TrainingQueries {
            |$peelCtes
            |SELECT src AS node, CAST(count(*) AS INT) AS core_deg
            |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // personalized-PageRank twin: the pagerank iteration scheme with
+    // restart weight sw (1/|S∩V| on label-0 seeds, 0.0 elsewhere) in
+    // place of the uniform 1/n — teleport AND dangling mass land on
+    // the seeds; same DECIMAL(28,16) sums, per-round re-round, AS
+    // MATERIALIZED iteration CTEs
+    "graph_ppr" -> {
+      val iters = 5
+      val iterCtes = (1 to iters).map { i =>
+        val p = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT coalesce(CAST(SUM(CAST(p.pr AS DECIMAL(28,16)))
+           |           AS DOUBLE), 0.0) AS dang
+           |  FROM $p p LEFT JOIN deg ON p.node = deg.src
+           |  WHERE deg.src IS NULL),
+           |s$i AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |         CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(28,16)))
+           |           AS DOUBLE) AS m
+           |  FROM edges e JOIN $p p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY 1),
+           |pr$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST(ROUND(CAST((0.15 + 0.85 * (SELECT dang FROM d$i))
+           |             * n.sw
+           |           + 0.85 * coalesce(s.m, 0.0)
+           |           AS DECIMAL(28,16)), 12) AS DOUBLE) AS pr
+           |  FROM nodesw n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      knnGraphCteSql +
+        s""", edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |seedsv AS MATERIALIZED (
+           |  SELECT node FROM nodes WHERE node IN
+           |    (SELECT vec_id FROM embeddings WHERE label = 0)),
+           |ns AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS invs
+           |       FROM seedsv),
+           |nodesw AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CASE WHEN s.node IS NULL THEN CAST(0.0 AS DOUBLE)
+           |              ELSE (SELECT invs FROM ns) END AS sw
+           |  FROM nodes n LEFT JOIN seedsv s ON n.node = s.node),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS deg
+           |                     FROM edges GROUP BY 1),
+           |pr0 AS MATERIALIZED (SELECT node, sw AS pr FROM nodesw),
+           |$iterCtes
+           |SELECT node, CAST(ROUND(CAST(pr AS DECIMAL(28,16)), 9) AS DOUBLE)
+           |         AS pr
+           |FROM pr$iters ORDER BY pr DESC, node ASC""".stripMargin
     },
     // triangles twin: the SAME mutual restriction, the SAME (deg, id)
     // orientation, the same single-division double coefficient

@@ -84,4 +84,64 @@ object PageRank {
         round(col("pr").cast(Acc), 9).cast("double").as("pr"))
       .orderBy(desc("pr"), asc("node"))
   }
+
+  /** Personalized PageRank (random walk with restart to a SEED set) —
+    * the corpus-expansion primitive: seed a handful of curated
+    * documents and the stationary distribution ranks the whole graph
+    * by multi-hop similarity to them, which is how a small trusted set
+    * bootstraps a much larger training subset ("find everything that
+    * the seed neighborhood keeps linking to"). Identical distributed
+    * shape and determinism discipline as [[pageRank]]; the only change
+    * is WHERE restart mass lands — teleport AND dangling mass go to
+    * the seeds (weight 1/|S∩V|) instead of uniformly to all nodes, so
+    * unreachable nodes hold exactly 0.0 on both engines.
+    *
+    * @param seeds frame with a `node` column; restricted to graph
+    *              nodes (mass must not leak to absent seeds)
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5, damping: Double = 0.85,
+                           teleport: Double = 0.15): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: iterations $iterations < 1")
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    val e = truncate(edges.select(col("src").cast("long"),
+      col("dst").cast("long")).distinct())
+    val nodes = truncate(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = truncate(e.join(deg, "src"))
+
+    val seedNodes = nodes.join(
+      seeds.select(col("node").cast("long")), Seq("node"), "left_semi")
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed overlaps the graph")
+    val invS = lit(1.0 / nSeeds)
+    // node frame carrying the restart weight: 1/|S| on seeds, 0 off
+    val nodesW = truncate(nodes
+      .join(seedNodes.withColumn("sw", invS), Seq("node"), "left")
+      .select(col("node"), coalesce(col("sw"), lit(0.0)).as("sw")))
+
+    var pr = nodesW.select(col("node"), col("sw").as("pr"))
+    for (_ <- 1 to iterations) {
+      val sums = withDeg
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(decSum(col("pr") / col("deg")).as("m"))
+      val dangling = pr
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(decSum(col("pr")), lit(0.0)).as("dang"))
+      pr = truncate(graft.core.Scalars.crossBroadcast(
+          nodesW.join(sums, Seq("node"), "left"), dangling)
+        .select(col("node"),
+          round12((lit(teleport) + lit(damping) * col("dang")) * col("sw")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr")))
+    }
+    pr.select(col("node"),
+        round(col("pr").cast(Acc), 9).cast("double").as("pr"))
+      .orderBy(desc("pr"), asc("node"))
+  }
 }

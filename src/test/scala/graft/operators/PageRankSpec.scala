@@ -59,4 +59,49 @@ class PageRankSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](PageRank.pageRank(e))
     assert(ex.getMessage.contains("empty graph"))
   }
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  iters: Int = 20): Map[Long, Double] =
+    PageRank.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("personalized: restart mass concentrates around the seed") {
+    // two IDENTICAL directed triangles bridged 3↔4: without seeding the
+    // halves are symmetric, so seeding 1 is the only asymmetry — the
+    // seed half must strictly dominate and the seed must rank first
+    val p = ppr(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), (4L, 3L)), seeds = Seq(1L))
+    assert(p(1L) + p(2L) + p(3L) > p(4L) + p(5L) + p(6L))
+    assert(p(1L) == p.values.max, s"seed ranks first: $p")
+    assert(math.abs(p.values.sum - 1.0) < 1e-6, "mass conserved")
+  }
+
+  test("personalized: nodes unreachable from the seed hold exactly zero") {
+    val p = ppr(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), seeds = Seq(1L))
+    assert(p(3L) == 0.0 && p(4L) == 0.0)
+    assert(math.abs(p.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalized with ALL nodes seeded equals uniform PageRank") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val uni = ranks(edges, iters = 15)
+    val p = ppr(edges, seeds = Seq(1L, 2L, 3L), iters = 15)
+    uni.foreach { case (n, v) => assert(math.abs(p(n) - v) < 1e-9,
+      s"node $n: ppr ${p(n)} vs pr $v") }
+  }
+
+  test("personalized: dangling mass returns to the seeds") {
+    // 2 is dangling; its mass must restart at seed 1, not leak
+    val p = ppr(Seq((1L, 2L)), seeds = Seq(1L))
+    assert(math.abs(p.values.sum - 1.0) < 1e-6, s"mass conserved: $p")
+  }
+
+  test("personalized: seed disjoint from the graph fails loudly") {
+    val ex = intercept[IllegalArgumentException](
+      ppr(Seq((1L, 2L)), seeds = Seq(9L)))
+    assert(ex.getMessage.contains("no seed"))
+  }
 }
