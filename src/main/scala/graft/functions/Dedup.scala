@@ -156,6 +156,50 @@ object Dedup {
           .as("span_tokens"))
   }
 
+  /** Span scrubbing — the REMOVAL half of the Lee et al. exact-substring
+    * pass: every token covered by a [[duplicateSpans]] span (the span's
+    * windows witness `end_pos + k − 1` token positions) is cut from the
+    * document, and the cleaned text is re-emitted. This is the
+    * conservative boilerplate scrub: text duplicated ANYWHERE else in
+    * the corpus (headers, footers, lifted paragraphs) disappears from
+    * every copy, while each document's unique prose survives verbatim.
+    *
+    * Scale shape: the span frame is span-grain (tiny next to the
+    * corpus); it groups to one row per affected doc and joins back at
+    * doc grain. The scrub itself is a PER-ROW higher-order `filter`
+    * over the token array with an `exists` coverage probe against the
+    * doc's own span list — no token-grain explode, no shuffle beyond
+    * [[duplicateSpans]]' own gram index (the charEntropy lesson:
+    * per-document rewrites stay inside the row).
+    *
+    * Output is (doc_id, n_kept, n_removed, clean_fp) — the md5 of the
+    * scrubbed text rather than the text itself, which keeps the frame
+    * narrow while still witnessing the exact reconstruction.
+    */
+  def scrubSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 1): DataFrame = {
+    val cover = duplicateSpans(docs, k, minTokens)
+      .select(col("doc_id"),
+        struct(col("start_pos").as("s"),
+          (col("end_pos") + lit(k) - 1).cast("int").as("e")).as("sp"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("sp")).as("spans"))
+    docs
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), (_, i) =>
+          col("spans").isNull ||
+            !exists(col("spans"), sp =>
+              i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e")))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** The stored-index side of [[incrementalExact]]: the corpus's exact-
     * dedup fingerprint index, `(fp, keeper_doc_id)` — one row per
     * distinct normalized content. At production scale this frame lives

@@ -740,6 +740,11 @@ object TrainingQueries {
     "dd_substring_spans" -> ((s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), k = 5)
         .orderBy("doc_id", "start_pos")),
+    // the removal half: every token covered by a duplicated span is
+    // scrubbed from every copy (conservative boilerplate removal);
+    // per-row HOF filter, no token-grain shuffle
+    "dd_span_scrub" -> ((s, d) =>
+      Dedup.scrubSpans(Tables.documents(s, d), k = 5)),
     // C4-style heuristic filters. The raw corpus is uniform word-soup
     // (every branch would evaluate identically — a fixture-masked
     // conditional the oracle could never catch), so variants are
@@ -1331,6 +1336,56 @@ object TrainingQueries {
          |       CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, start_pos""".stripMargin,
+    // scrub twin: the SAME span CTEs, coverage window end_pos + k − 1,
+    // token positions anti-probed against the doc's covered ranges,
+    // kept tokens re-joined in position order; md5('') for fully
+    // scrubbed docs mirrors Spark's empty array_join
+    "dd_span_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |gl AS (
+         |  SELECT doc_id, list_transform(range(1, len(t) - 3),
+         |           i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INT) AS pos,
+         |         unnest(gs) AS g
+         |  FROM gl),
+         |crossdoc AS (SELECT g FROM grams GROUP BY g
+         |             HAVING min(doc_id) <> max(doc_id)),
+         |marked AS (SELECT doc_id, pos FROM grams JOIN crossdoc USING (g)),
+         |brks AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+         |  FROM marked),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brks),
+         |cov AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |tokpos AS (
+         |  SELECT doc_id, CAST(generate_subscripts(t, 1) AS INT) AS p,
+         |         unnest(t) AS tok
+         |  FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.p, tp.tok
+         |  FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                    WHERE c.doc_id = tp.doc_id
+         |                      AND tp.p BETWEEN c.s AND c.e)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+         |       coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "ts_c4_filters" -> {
       val meanLen = Money.Sql.ratio2(
         "length(replace(text, ' ', ''))", "len(string_split(text, ' '))")

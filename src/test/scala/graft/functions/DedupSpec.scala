@@ -127,6 +127,42 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(docs, k = 5, minTokens = 4).count() == 0)
   }
 
+  test("scrubSpans removes exactly the covered tokens, keeps unique prose") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // A and B share the 7-token run "a b c d e f g"; C is untouched
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e f g y"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // A: span windows 1-3 cover tokens 1..7 → keep "h i j"
+    assert(out(1L) == ((3, 7, md5hex("h i j"))), s"A: ${out(1L)}")
+    // B: windows 3-5 cover tokens 3..9 → keep "x x" + trailing "y"
+    assert(out(2L) == ((3, 7, md5hex("x x y"))), s"B: ${out(2L)}")
+    // C: no cross-doc grams — full text survives
+    assert(out(3L) == ((8, 0, md5hex("p q r s t u v w"))), s"C: ${out(3L)}")
+  }
+
+  test("scrubSpans: fully duplicated documents scrub to empty") {
+    val docs = Seq(
+      (1L, "same text in every copy here"),
+      (2L, "same text in every copy here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    Seq(1L, 2L).foreach { d =>
+      assert(out(d) == ((0, 6, emptyFp)), s"doc $d: ${out(d)}")
+    }
+  }
+
   test("duplicateSpans: disjoint shared runs stay separate islands") {
     // B lifts two NON-adjacent 5-token runs of A (positions 1-5 and
     // 11-15); the gap keeps them distinct spans in both docs
