@@ -199,6 +199,11 @@ object SparkEntry {
     // weekly cohort retention over first-event cohorts
     "q_cohort" -> ((s, d) =>
       operators.Analytics.cohortRetention(sources.Tables.events(s, d))),
+    // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
+    // recursion as a per-key prefix fold — bit-identical doubles on
+    // both engines (no pow(), no FP reassociation)
+    "q_ewma" -> ((s, d) =>
+      operators.Analytics.dailySalesEwma(sources.Entities.sales(s, d))),
     // streaming CDC apply: three update waves foreachBatch-MERGEd into
     // a stored dimension; stream-order semantics (last wave wins)
     "st_upsert" -> ((s, d) =>
@@ -553,6 +558,29 @@ object SparkEntry {
          |FROM c LEFT JOIN c p ON c.stage_idx = p.stage_idx + 1
          |CROSS JOIN (SELECT n_users FROM c WHERE stage_idx = 1) t
          |ORDER BY c.stage_idx""".stripMargin,
+    // EWMA twin: the same daily decimal money sums, the same left fold
+    // (list_reduce starts its accumulator at the first element exactly
+    // as the Spark reduce() is seeded with element 1), α/1−α as the
+    // same parsed literals, decimal-9 re-round
+    "q_ewma" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |series AS (
+        |  SELECT payment_mode,
+        |         list(sale_date ORDER BY sale_date) AS ds,
+        |         list(daily_total ORDER BY sale_date) AS vs
+        |  FROM daily GROUP BY 1),
+        |expanded AS (
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
+        |  FROM series)
+        |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
+        |       CAST(ROUND(CAST(list_reduce(vs[1:t],
+        |                (a, x) -> 0.3 * x + 0.7 * a)
+        |              AS DECIMAL(20,12)), 9) AS DOUBLE) AS ewma
+        |FROM expanded
+        |ORDER BY payment_mode, sale_date""".stripMargin),
     // cohort twin: week-of-first-event cohorts; week grain is
     // ns/µs-truncation safe (see Analytics.cohortRetention)
     "q_cohort" ->

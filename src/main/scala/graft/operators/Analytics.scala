@@ -104,4 +104,63 @@ object Analytics {
         Money.ratio2(col("n_active"), col("cohort_size")).as("retention"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Running exponentially-weighted moving average over a per-key daily
+    * series — the time-series smoother next to [[funnel]]/
+    * [[cohortRetention]] (trend lines on the same dashboards; at
+    * pipeline scale, the drift detector for per-source daily volumes).
+    *
+    * The recursion e₁ = x₁, eₜ = α·xₜ + (1−α)·eₜ₋₁ is evaluated as a
+    * LEFT FOLD over each key's date-ordered value array: pure
+    * multiply/add in a fixed order, so both engines derive
+    * bit-identical doubles (a closed-form pow() version would hang
+    * determinism on two libms' pow rounding — rejected). The running
+    * value at every t re-folds the t-prefix: O(days²) per key, bounded
+    * by the TIME dimension (n ≈ days, a few hundred), never by corpus
+    * size — the per-key series frame is (keys × days) however large
+    * the fact table is, and the only corpus-grain work is the daily
+    * pre-aggregation (decimal money sums, one shuffle).
+    *
+    * @param daily (key, day, value) frame; (key, day) must be unique
+    * @param alpha smoothing weight, passed as BOTH literals (α and
+    *              1−α) to keep cross-engine double identity — never
+    *              derive one from the other at runtime
+    */
+  /** [[ewmaSmooth]] over per-payment-mode daily units sold — the
+    * query-entry composition (integer daily sums, exactly
+    * representable as doubles, then the fold).
+    */
+  def dailySalesEwma(sales: DataFrame): DataFrame =
+    ewmaSmooth(
+      sales.groupBy(col("payment_mode"), col("sale_date"))
+        .agg(sum(col("quantity")).cast("double").as("daily_total")),
+      "payment_mode", "sale_date", "daily_total")
+
+  def ewmaSmooth(daily: DataFrame, keyCol: String, dayCol: String,
+                 valCol: String, alpha: Double = 0.3,
+                 oneMinusAlpha: Double = 0.7): DataFrame = {
+    require(math.abs(alpha + oneMinusAlpha - 1.0) < 1e-9,
+      s"ewmaSmooth: alpha $alpha + $oneMinusAlpha must be 1")
+    val series = daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
+        col(valCol).as("v")))).as("s"))
+      .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
+        transform(col("s"), p => p.getField("v")).as("vs"))
+    series
+      .select(col(keyCol), posexplode(
+        transform(sequence(lit(1), size(col("vs"))), t =>
+          struct(
+            element_at(col("ds"), t).as("d"),
+            element_at(col("vs"), t).as("v"),
+            round(reduce(
+              slice(col("vs"), lit(2), t - 1),
+              element_at(col("vs"), lit(1)),
+              (a, x) => lit(alpha) * x + lit(oneMinusAlpha) * a)
+              .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+              .cast("double").as("e")))))
+      .select(col(keyCol), col("col.d").as(dayCol),
+        col("col.v").as(valCol), col("col.e").as("ewma"))
+      .orderBy(keyCol, dayCol)
+  }
 }

@@ -69,4 +69,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
     assert(out.size == 3, "no empty cells emitted")
   }
+
+  test("ewmaSmooth replays the recursion per key in date order") {
+    import spark.implicits._
+    // rows deliberately unordered; k1: e=[10, .3*20+.7*10=13,
+    // .3*30+.7*13=18.1]; k2 independent single point
+    val daily = Seq(
+      ("k1", java.sql.Date.valueOf("2024-01-03"), 30.0),
+      ("k1", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("k2", java.sql.Date.valueOf("2024-01-01"), 5.0),
+      ("k1", java.sql.Date.valueOf("2024-01-02"), 20.0))
+      .toDF("k", "d", "v")
+    val out = Analytics.ewmaSmooth(daily, "k", "d", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(("k1", "2024-01-01")) == ((10.0, 10.0)))
+    assert(out(("k1", "2024-01-02")) == ((20.0, 13.0)))
+    assert(math.abs(out(("k1", "2024-01-03"))._2 - 18.1) < 1e-12)
+    assert(out(("k2", "2024-01-01")) == ((5.0, 5.0)))
+  }
+
+  test("ewmaSmooth rejects weights that do not sum to one") {
+    import spark.implicits._
+    val daily = Seq(("k", java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("k", "d", "v")
+    val ex = intercept[IllegalArgumentException](
+      Analytics.ewmaSmooth(daily, "k", "d", "v", alpha = 0.3,
+        oneMinusAlpha = 0.5))
+    assert(ex.getMessage.contains("must be 1"))
+  }
 }
