@@ -204,6 +204,10 @@ object SparkEntry {
     // both engines (no pow(), no FP reassociation)
     "q_ewma" -> ((s, d) =>
       operators.Analytics.dailySalesEwma(sources.Entities.sales(s, d))),
+    // EWMA-forecast anomaly flags: per-mode daily units z-scored
+    // against the one-step forecast residual deviation, |r| > 3σ
+    "q_anomaly" -> ((s, d) =>
+      operators.Analytics.dailySalesAnomaly(sources.Entities.sales(s, d))),
     // streaming CDC apply: three update waves foreachBatch-MERGEd into
     // a stored dimension; stream-order semantics (last wave wins)
     "st_upsert" -> ((s, d) =>
@@ -580,6 +584,46 @@ object SparkEntry {
         |                (a, x) -> 0.3 * x + 0.7 * a)
         |              AS DECIMAL(20,12)), 9) AS DOUBLE) AS ewma
         |FROM expanded
+        |ORDER BY payment_mode, sale_date""".stripMargin),
+    // anomaly twin: the EWMA chain, lag-1 forecast, decimal-summed Σr²,
+    // IEEE-exact sqrt, guarded z (NULL when σ is 0 or undersampled)
+    "q_anomaly" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |series AS (
+        |  SELECT payment_mode,
+        |         list(sale_date ORDER BY sale_date) AS ds,
+        |         list(daily_total ORDER BY sale_date) AS vs
+        |  FROM daily GROUP BY 1),
+        |expanded AS (
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
+        |  FROM series),
+        |ew AS (
+        |  SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
+        |         CAST(ROUND(CAST(list_reduce(vs[1:t],
+        |                  (a, x) -> 0.3 * x + 0.7 * a)
+        |                AS DECIMAL(20,12)), 9) AS DOUBLE) AS ewma
+        |  FROM expanded),
+        |r AS (
+        |  SELECT *, daily_total - forecast AS resid
+        |  FROM (SELECT payment_mode, sale_date, daily_total, ewma,
+        |               lag(ewma) OVER (PARTITION BY payment_mode
+        |                 ORDER BY sale_date) AS forecast
+        |        FROM ew) f),
+        |st AS (
+        |  SELECT payment_mode,
+        |         sqrt(CAST(SUM(CAST(resid * resid AS DECIMAL(38,12)))
+        |                AS DOUBLE) / (count(*) - 1)) AS sigma
+        |  FROM r WHERE resid IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2)
+        |SELECT r.payment_mode, r.sale_date, r.daily_total, r.forecast,
+        |       CASE WHEN st.sigma > 0
+        |            THEN CAST(ROUND(CAST(r.resid / st.sigma
+        |                   AS DECIMAL(20,12)), 9) AS DOUBLE) END AS z,
+        |       coalesce(abs(r.resid) > 3 * st.sigma, false) AS is_anomaly
+        |FROM r LEFT JOIN st USING (payment_mode)
         |ORDER BY payment_mode, sale_date""".stripMargin),
     // cohort twin: week-of-first-event cohorts; week grain is
     // ns/µs-truncation safe (see Analytics.cohortRetention)

@@ -131,10 +131,61 @@ object Analytics {
     * representable as doubles, then the fold).
     */
   def dailySalesEwma(sales: DataFrame): DataFrame =
-    ewmaSmooth(
-      sales.groupBy(col("payment_mode"), col("sale_date"))
-        .agg(sum(col("quantity")).cast("double").as("daily_total")),
+    ewmaSmooth(dailyUnits(sales),
       "payment_mode", "sale_date", "daily_total")
+
+  /** [[ewmaAnomaly]] over the same per-mode daily units series. */
+  def dailySalesAnomaly(sales: DataFrame): DataFrame =
+    ewmaAnomaly(dailyUnits(sales),
+      "payment_mode", "sale_date", "daily_total")
+
+  private def dailyUnits(sales: DataFrame): DataFrame =
+    sales.groupBy(col("payment_mode"), col("sale_date"))
+      .agg(sum(col("quantity")).cast("double").as("daily_total"))
+
+  /** EWMA-forecast anomaly detection over a per-key daily series: each
+    * day's residual against the PREVIOUS day's EWMA (the one-step
+    * forecast) is z-scored against the key's residual deviation; days
+    * with |residual| > 3σ are flagged — the volume-drift alarm a
+    * per-source ingest pipeline runs on its daily counts.
+    *
+    * Determinism: residuals subtract two already-bit-identical doubles;
+    * Σr² crosses an order-free DECIMAL(38,12) accumulator; sqrt is
+    * IEEE-exact (unlike pow — fine to use); the z division re-rounds
+    * decimal-9. Keys with fewer than 2 residuals or zero deviation get
+    * NULL z and a false flag (guarded — a 0/0 or x/0 would otherwise
+    * turn into engine-specific inf/NaN casts).
+    *
+    * Shape: [[ewmaSmooth]]'s fold, one lag window and one key-grain
+    * aggregation on the (keys × days)-sized series frame — nothing at
+    * corpus grain beyond the daily pre-aggregation.
+    */
+  def ewmaAnomaly(daily: DataFrame, keyCol: String, dayCol: String,
+                  valCol: String, alpha: Double = 0.3,
+                  oneMinusAlpha: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Acc = org.apache.spark.sql.types.DecimalType(38, 12)
+    val ew = ewmaSmooth(daily, keyCol, dayCol, valCol, alpha, oneMinusAlpha)
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+    val r = ew
+      .withColumn("forecast", lag("ewma", 1).over(w))
+      .withColumn("resid", col(valCol) - col("forecast"))
+    val stats = r.filter(col("resid").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum((col("resid") * col("resid")).cast(Acc)).cast("double")
+        .as("ss"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col(keyCol), sqrt(col("ss") / (col("n") - 1)).as("sigma"))
+    r.join(stats, Seq(keyCol), "left")
+      .select(col(keyCol), col(dayCol), col(valCol), col("forecast"),
+        when(col("sigma") > 0,
+          round((col("resid") / col("sigma"))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+            .cast("double")).as("z"),
+        coalesce(abs(col("resid")) > lit(3) * col("sigma"), lit(false))
+          .as("is_anomaly"))
+      .orderBy(keyCol, dayCol)
+  }
 
   def ewmaSmooth(daily: DataFrame, keyCol: String, dayCol: String,
                  valCol: String, alpha: Double = 0.3,

@@ -91,6 +91,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("k2", "2024-01-01")) == ((5.0, 5.0)))
   }
 
+  test("ewmaAnomaly flags a spike against the forecast residual band") {
+    import spark.implicits._
+    // 12 flat days of 10 then a spike to 100: every earlier residual is
+    // 0, so sigma = sqrt(90^2 / 11) ≈ 27.14 and |90| > 3σ ≈ 81.4 flags
+    // exactly the spike; the flat run and the first (NULL-forecast) day
+    // stay unflagged
+    val daily = ((1 to 12).map(i =>
+      ("k", java.sql.Date.valueOf(f"2024-01-$i%02d"), 10.0)) :+
+      (("k", java.sql.Date.valueOf("2024-01-13"), 100.0)))
+      .toDF("k", "d", "v")
+    val out = Analytics.ewmaAnomaly(daily, "k", "d", "v").collect()
+      .map(r => r.getDate(1).toString ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))))
+      .toMap
+    assert(out("2024-01-13")._2, "spike must be flagged")
+    assert(out.filter(_._2._2).keySet == Set("2024-01-13"),
+      "only the spike is flagged")
+    assert(out("2024-01-01")._1.isEmpty, "first day has no forecast")
+    val z = out("2024-01-13")._1.get
+    assert(math.abs(z - 90.0 / math.sqrt(8100.0 / 11)) < 1e-9, s"z=$z")
+  }
+
+  test("ewmaAnomaly: constant series has zero deviation, nothing flagged") {
+    import spark.implicits._
+    val daily = (1 to 5).map(i =>
+      ("k", java.sql.Date.valueOf(f"2024-01-$i%02d"), 7.0))
+      .toDF("k", "d", "v")
+    val out = Analytics.ewmaAnomaly(daily, "k", "d", "v").collect()
+    assert(out.forall(!_.getBoolean(5)), "no flags on a constant series")
+    assert(out.forall(r => r.get(4) == null), "z is NULL when sigma is 0")
+  }
+
   test("ewmaSmooth rejects weights that do not sum to one") {
     import spark.implicits._
     val daily = Seq(("k", java.sql.Date.valueOf("2024-01-01"), 1.0))
