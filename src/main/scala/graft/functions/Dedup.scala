@@ -754,6 +754,58 @@ object Dedup {
     * closure is the expensive iterative step; the assignments below are
     * one window over it).
     */
+  /** Incremental duplicate-cluster maintenance — the cluster-level
+    * counterpart of [[incrementalExact]]/the band-index probe: a stored
+    * component labeling (the corpus's dedup state) is updated with a new
+    * ingest wave's pair edges WITHOUT re-running connected components
+    * over the historical edge set. Wave-edge endpoints collapse to
+    * their stored labels, components are merged on the LABEL graph
+    * (one node per touched component or new doc — index-sized, never
+    * corpus-sized), and only rows of merged components are relabeled.
+    *
+    * EXACT by construction, not approximately: stored labels are the
+    * min-doc of their component, the label-graph closure takes the min
+    * over merged components, and min is associative — so the result
+    * equals a full [[connectedComponents]] recompute over
+    * old ∪ wave edges (which is precisely what the DuckDB twin does).
+    * A wave doc smaller than an old cluster's keeper becomes the new
+    * keeper, exactly as a full recompute would pick it.
+    *
+    * @param stored   (v, label) min-doc labeling of the current corpus
+    *                 components ([[connectedComponents]] output)
+    * @param waveEdges (doc_a, doc_b) new pairs — wave-internal and
+    *                 wave-vs-corpus (from the stored band-index probe)
+    * @param universe (doc_id) every document the output must label
+    *                 (stored ∪ wave; unmatched docs label themselves)
+    * @return (v, label) over the universe
+    */
+  def incrementalClusters(stored: DataFrame, waveEdges: DataFrame,
+                          universe: DataFrame): DataFrame = {
+    val lbl = stored.select(col("v").cast("long").as("doc_id"),
+      col("label").cast("long").as("lab"))
+    val labelEdges = waveEdges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .join(lbl.select(col("doc_id").as("doc_a"), col("lab").as("la")),
+        Seq("doc_a"), "left")
+      .join(lbl.select(col("doc_id").as("doc_b"), col("lab").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+    val merged = connectedComponents(labelEdges)
+    val remap = merged.select(col("v").as("lab"), col("label").as("nl"))
+    val restitched = lbl.join(remap, Seq("lab"), "left")
+      .select(col("doc_id").as("v"),
+        coalesce(col("nl"), col("lab")).as("label"))
+    val newDocs = universe.select(col("doc_id").cast("long"))
+      .join(lbl.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newLabeled = newDocs
+      .join(merged.select(col("v").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("v"),
+        coalesce(col("label"), col("doc_id")).as("label"))
+    restitched.unionByName(newLabeled)
+  }
+
   def clustersOf(labels: DataFrame): DataFrame = {
     // sizes via a window, not a broadcast join: the cluster-count frame
     // grows with the corpus (it is NOT a dim table at 100 TB)

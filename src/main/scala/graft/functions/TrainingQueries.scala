@@ -789,6 +789,22 @@ object TrainingQueries {
     "dd_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4)
         .orderBy("doc_a", "doc_b")),
+    // incremental CLUSTER maintenance: yesterday's corpus (doc_id % 5
+    // != 0 endpoints) holds a stored min-doc component labeling; the
+    // wave's pairs (any % 5 == 0 endpoint) merge in on the LABEL graph
+    // — index-sized CC, no historical-edge recompute. Exact: output
+    // equals the full closure over ALL pairs (the oracle)
+    "dd_incremental_cluster" -> ((s, d) => {
+      val pairs = lshPairs(s, d)
+      val old = pairs.filter(
+        col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)
+      val wave = pairs.filter(
+        col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      val stored = Dedup.connectedComponents(old)
+      Dedup.clustersOf(Dedup.incrementalClusters(
+          stored, wave, Tables.documents(s, d).select(col("doc_id"))))
+        .orderBy("doc_id")
+    }),
     // incremental near-dup: 80% of the corpus is the stored band index,
     // the doc_id % 5 == 0 slice arrives as the new ingest wave. The raw
     // wave has no internal near-dups at sf0.01 (batch_dup would be a
@@ -1540,6 +1556,27 @@ object TrainingQueries {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       (v = cluster_id) AS is_keeper
         |FROM comp ORDER BY doc_id""".stripMargin),
+    // incremental-cluster twin: the FULL closure over all pairs — the
+    // equivalence contract (incremental merge ≡ full recompute) IS the
+    // oracle; singletons labeled themselves via the documents left join
+    "dd_incremental_cluster" -> ("WITH RECURSIVE " +
+      minhashCtesFor("documents") +
+      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |            UNION ALL SELECT doc_b, doc_a FROM prs)
+        |, reach(v, r) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |, comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        |, lab AS (
+        |    SELECT d.doc_id AS v,
+        |           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT v AS doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       (v = cluster_id) AS is_keeper
+        |FROM lab ORDER BY doc_id""".stripMargin),
     // winnowing twin: positions 1..len-k+1, trailing-window min, full
     // windows only (p >= w) — the same contract the engine documents
     "ts_winnow" ->

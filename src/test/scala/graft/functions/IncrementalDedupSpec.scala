@@ -151,4 +151,54 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // can only lower the count), and at least k (one fp sets k bits)
     assert(setBits >= 4 && setBits <= 8, s"unexpected bit count $setBits")
   }
+
+  private def incLabels(stored: Seq[(Long, Long)],
+                        wave: Seq[(Long, Long)],
+                        universe: Seq[Long]): Map[Long, Long] =
+    Dedup.incrementalClusters(
+        stored.toDF("v", "label"), wave.toDF("doc_a", "doc_b"),
+        universe.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incrementalClusters merges stored components through the wave") {
+    // stored: {5,7}→5 and {10,11}→10; wave doc 2 links to 7 and edge
+    // 11–7 bridges both old clusters → everything lands on min doc 2;
+    // untouched docs 9 and 20 stay singletons
+    val out = incLabels(
+      stored = Seq((5L, 5L), (7L, 5L), (10L, 10L), (11L, 10L)),
+      wave = Seq((2L, 7L), (11L, 7L)),
+      universe = Seq(2L, 5L, 7L, 9L, 10L, 11L, 20L))
+    assert(Seq(2L, 5L, 7L, 10L, 11L).forall(out(_) == 2L), s"$out")
+    assert(out(9L) == 9L && out(20L) == 20L)
+  }
+
+  test("incrementalClusters equals a full recompute on a split edge set") {
+    // path 1-2-3-4-5-6 plus clique {8,9}; edges touching docs 2 and 5
+    // arrive as the wave, the rest are yesterday's corpus
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L))
+    val isWave = (e: (Long, Long)) =>
+      Set(2L, 5L).exists(d => e._1 == d || e._2 == d)
+    val old = all.filterNot(isWave)
+    val wave = all.filter(isWave)
+    val universe = (1L to 9L).toSeq
+    val stored = Dedup.connectedComponents(
+        old.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inc = incLabels(stored, wave, universe)
+    val full = Dedup.connectedComponents(all.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    universe.foreach { d =>
+      assert(inc(d) == full.getOrElse(d, d),
+        s"doc $d: incremental ${inc(d)} vs full ${full.getOrElse(d, d)}")
+    }
+  }
+
+  test("incrementalClusters: empty wave is the identity") {
+    val out = incLabels(
+      stored = Seq((5L, 5L), (7L, 5L)),
+      wave = Seq.empty,
+      universe = Seq(5L, 7L, 8L))
+    assert(out == Map(5L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
 }
