@@ -169,6 +169,14 @@ object CoverageQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")),
 
+    // population-stability drift (PSI) between the stored corpus and
+    // the ingest wave (doc_id % 5 == 0): fixed 50-char length bins —
+    // deterministic edges, never data-dependent quantiles — Laplace
+    // smoothing, decimal-rounded ln terms (ln is libm-dependent)
+    "raptor_psi" -> ((s, d) =>
+      graft.quality.Drift.psi(Tables.documents(s, d),
+        col("n_chars"), col("doc_id") % 5 === 0, binWidth = 50)),
+
     // compareTyped: the NULL≠'' hardening mode — native-type null-safe
     // compare, no string normalization. The fixture injects the exact
     // diff class the fingerprint mode CANNOT see (NULL on one side,
@@ -560,6 +568,38 @@ object CoverageQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(colSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+    // PSI twin: same fixed bins, same Laplace smoothing, ln decimal-
+    // rounded to 9 before the multiply, order-free decimal total
+    "raptor_psi" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 19) AS bucket,
+        |         doc_id % 5 = 0 AS w
+        |  FROM documents),
+        |c AS (SELECT bucket,
+        |        CAST(SUM(CASE WHEN w THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |        CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS n_wave
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |             CAST(SUM(n_wave) AS BIGINT) AS t_wave FROM c),
+        |pq AS (SELECT bucket, n_ref, n_wave,
+        |        CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 20 AS DOUBLE) AS p,
+        |        CAST(n_wave + 1 AS DOUBLE) / CAST(t_wave + 20 AS DOUBLE) AS q
+        |      FROM c CROSS JOIN t),
+        |terms AS (
+        |  SELECT *,
+        |         CAST(ROUND(CAST((p - q) *
+        |             CAST(ROUND(CAST(ln(p / q) AS DECIMAL(20,12)), 9)
+        |               AS DOUBLE)
+        |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS term
+        |  FROM pq),
+        |tot AS (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+        |          AS psi FROM terms)
+        |SELECT bucket, n_ref, n_wave,
+        |       CAST(ROUND(CAST(p AS DECIMAL(20,12)), 9) AS DOUBLE) AS p,
+        |       CAST(ROUND(CAST(q AS DECIMAL(20,12)), 9) AS DOUBLE) AS q,
+        |       term, psi
+        |FROM terms CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
     // Native-type diff — NO string normalization anywhere: IS DISTINCT
     // FROM on the native columns, values rendered to VARCHAR only for
     // display. NULL vs '' must survive as a real mismatch row.

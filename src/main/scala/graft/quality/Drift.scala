@@ -1,0 +1,73 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift check between two document populations — the
+  * Population Stability Index, the standard ML-ops alarm for "does the
+  * new ingest wave look like the corpus the filters were tuned on?"
+  * (a lang-mix or length-profile shift silently re-tunes every
+  * downstream quality threshold). Sits next to Raptor's row-level
+  * reconciliation: Raptor answers "are these the same rows", PSI
+  * answers "is this the same DISTRIBUTION".
+  *
+  *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+  *
+  * with Laplace smoothing ((n_i + 1) / (N + B), B the bin count) so
+  * empty bins never divide by zero. Conventional reading: < 0.1 stable,
+  * 0.1–0.25 moderate shift, > 0.25 population change.
+  *
+  * Determinism discipline: proportions are exact integer→double
+  * divisions; ln() is NOT correctly-rounded IEEE (libm-dependent), so
+  * each ln output is decimal-rounded to 9 places before use — the same
+  * absorption the DSIR/unigram scorers use — and each bin term
+  * re-rounds after the multiply; the total crosses an order-free
+  * DECIMAL sum. One corpus-grain aggregation at bin grain (counts for
+  * both sides in a single pass), then bin-sized frames only.
+  */
+object Drift {
+
+  private val Acc = DecimalType(28, 12)
+  private def round9(c: Column): Column =
+    round(c.cast(DecimalType(20, 12)), 9).cast("double")
+
+  /** @param docs     input frame
+    * @param value    numeric column to histogram
+    * @param isWave   predicate splitting the frame: false side is the
+    *                 reference population p, true side the wave q
+    * @param binWidth fixed-width bin size (deterministic edges — no
+    *                 data-dependent quantile edges, so two runs and two
+    *                 engines bin identically)
+    * @param nBins    cap: values beyond binWidth·nBins land in the top
+    *                 bin; also the Laplace B
+    * @return one row per OBSERVED bin (bucket, n_ref, n_wave, p, q,
+    *         term) plus the repeated decimal-summed `psi` total,
+    *         ordered by bucket
+    */
+  def psi(docs: DataFrame, value: Column, isWave: Column,
+          binWidth: Int, nBins: Int = 20): DataFrame = {
+    require(binWidth > 0 && nBins > 1, s"psi: bad bins $binWidth/$nBins")
+    val binned = docs.select(
+      least(floor(value / binWidth), lit(nBins - 1)).cast("long").as("bucket"),
+      isWave.as("w"))
+    val counts = binned.groupBy("bucket")
+      .agg(sum(when(col("w"), 0L).otherwise(1L)).as("n_ref"),
+        sum(when(col("w"), 1L).otherwise(0L)).as("n_wave"))
+    val totals = counts.agg(sum("n_ref").as("t_ref"),
+      sum("n_wave").as("t_wave"))
+    val terms = graft.core.Scalars.crossBroadcast(counts, totals)
+      .withColumn("p", (col("n_ref") + 1).cast("double") /
+        (col("t_ref") + nBins).cast("double"))
+      .withColumn("q", (col("n_wave") + 1).cast("double") /
+        (col("t_wave") + nBins).cast("double"))
+      .withColumn("term",
+        round9((col("p") - col("q")) * round9(log(col("p") / col("q")))))
+    val total = terms.agg(sum(col("term").cast(Acc)).cast("double").as("psi"))
+    graft.core.Scalars.crossBroadcast(terms, total)
+      .select(col("bucket"), col("n_ref"), col("n_wave"),
+        round9(col("p")).as("p"), round9(col("q")).as("q"),
+        col("term"), col("psi"))
+      .orderBy("bucket")
+  }
+}
