@@ -258,6 +258,22 @@ object SparkEntry {
       core.Scratch.materializeAndDelete(agg, root)
     }),
 
+    // JSON-lines interchange round trip: schema re-applied on read so
+    // dates/integrals survive exactly; same invisibility contract (and
+    // oracle) as the ORC twin — the layout must not change the answer
+    "src_json_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_json")
+      val orders = sources.Tables.orders(s, d)
+      sources.Ingest.writeJsonLines(orders, root.toString)
+      val agg = sources.Ingest.readJsonLines(s, root.toString, orders.schema)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          core.Money.round2(core.Money.moneySum(col("o_totalprice")))
+            .as("total_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+      core.Scratch.materializeAndDelete(agg, root)
+    }),
+
     // ── correlated subqueries through the SQL front door (Catalyst
     //    decorrelates to a join; identical SQL runs on both engines) ───
     "q_correlated_subquery" -> ((s, d) => {
@@ -514,6 +530,13 @@ object SparkEntry {
     // the ORC round-trip must be invisible: oracle aggregates the
     // parquet original
     "src_orc_roundtrip" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         |       ${core.Money.Sql.round2(
+                    core.Money.Sql.moneySum("o_totalprice"))} AS total_price
+         |FROM orders
+         |GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "src_json_roundtrip" ->
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
          |       ${core.Money.Sql.round2(
                     core.Money.Sql.moneySum("o_totalprice"))} AS total_price

@@ -806,6 +806,33 @@ object Dedup {
     restitched.unionByName(newLabeled)
   }
 
+  /** Mergeable cluster-level MinHash signatures — the sketch-algebra
+    * property that makes MinHash a 100 TB citizen: each component of a
+    * doc signature is a MIN over the doc's hashed shingles, and min is
+    * associative/commutative, so the elementwise min across a cluster's
+    * doc signatures IS the signature of the union of their shingle sets
+    * — computed WITHOUT re-shingling a single document. This is how
+    * cluster-vs-cluster (or corpus-vs-corpus) near-dup comparison runs
+    * at scale: merge index-sized signature rows, never raw text.
+    *
+    * One doc-keyed join (labels are co-grained with signatures) and one
+    * cluster-grain aggregation of k tiny string mins.
+    *
+    * @param sigs   [[minhashSignatures]] output (doc_id, mh_0..mh_{k-1})
+    * @param labels (v, label) component labeling over the same docs
+    * @return (cluster_id, n_docs, mh_0..mh_{k-1}) ordered by cluster
+    */
+  def clusterSignatures(sigs: DataFrame, labels: DataFrame,
+                        k: Int = 8): DataFrame = {
+    val l = labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      (0 until k).map(i => min(col(s"mh_$i")).as(s"mh_$i"))
+    sigs.join(l, "doc_id")
+      .groupBy("cluster_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("cluster_id")
+  }
+
   def clustersOf(labels: DataFrame): DataFrame = {
     // sizes via a window, not a broadcast join: the cluster-count frame
     // grows with the corpus (it is NOT a dim table at 100 TB)

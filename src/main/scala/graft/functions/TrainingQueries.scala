@@ -789,6 +789,19 @@ object TrainingQueries {
     "dd_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4)
         .orderBy("doc_a", "doc_b")),
+    // cluster-level MinHash signatures: elementwise min across each
+    // near-dup cluster's doc signatures = the signature of the union
+    // of their shingle sets (min is associative) — cluster-vs-cluster
+    // comparison without re-shingling; singletons keep their own sig
+    "dd_cluster_sigs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lab = docs.select(col("doc_id"))
+        .join(ccLabels(s, d).select(col("v").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id").as("v"),
+          coalesce(col("label"), col("doc_id")).as("label"))
+      Dedup.clusterSignatures(Dedup.minhashSignatures(docs), lab)
+    }),
     // incremental CLUSTER maintenance: yesterday's corpus (doc_id % 5
     // != 0 endpoints) holds a stored min-doc component labeling; the
     // wave's pairs (any % 5 == 0 endpoint) merge in on the LABEL graph
@@ -1556,6 +1569,26 @@ object TrainingQueries {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       (v = cluster_id) AS is_keeper
         |FROM comp ORDER BY doc_id""".stripMargin),
+    // cluster-signature twin: closure labels + per-cluster elementwise
+    // min over the SAME sigs CTE the pair chain derives from
+    "dd_cluster_sigs" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
+      s""", prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+         |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |            UNION ALL SELECT doc_b, doc_a FROM prs)
+         |, reach(v, r) AS (
+         |    SELECT DISTINCT src, src FROM edges
+         |    UNION
+         |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |, comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+         |, lab AS (
+         |    SELECT d.doc_id AS v,
+         |           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+         |SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       ${(0 until 8).map(i => s"min(s.mh_$i) AS mh_$i")
+                   .mkString(",\n       ")}
+         |FROM lab l JOIN sigs s ON l.v = s.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // incremental-cluster twin: the FULL closure over all pairs — the
     // equivalence contract (incremental merge ≡ full recompute) IS the
     // oracle; singletons labeled themselves via the documents left join

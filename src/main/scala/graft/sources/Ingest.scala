@@ -44,6 +44,21 @@ object Ingest {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JSON-lines interchange sink — the lowest-common-denominator
+    * handoff format (every downstream tool reads it; the reference's
+    * REST surfaces speak it natively). Schema-less on disk, so the
+    * matching scan re-applies the ORIGINAL schema: dates and integral
+    * types round-trip exactly instead of degrading to strings/longs
+    * under inference, and streaming readers get the pinned schema they
+    * require anyway.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S5: a JSON array/lines payload already on the driver → DataFrame. */
   def readJsonPayload(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -163,6 +163,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSignatures: elementwise min equals the merged-set signature") {
+    // the algebra under test: min over a cluster's doc signatures = the
+    // signature of the UNION of their shingle sets (min associative)
+    val sigs = Dedup.minhashSignatures(docs)
+    val byDoc = sigs.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
+    // force {1,3} into one cluster labeled 1; 2 and 4 singletons
+    val labels = Seq((1L, 1L), (3L, 1L), (2L, 2L), (4L, 4L))
+      .toDF("v", "label")
+    val out = Dedup.clusterSignatures(sigs, labels).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), (2 to 9).map(i => r.getString(i)))))
+      .toMap
+    assert(out(1L)._1 == 2L)
+    val expected = byDoc(1L).zip(byDoc(3L)).map(p => Seq(p._1, p._2).min)
+    assert(out(1L)._2 == expected, "pairwise elementwise min")
+    assert(out(2L) == ((1L, byDoc(2L))), "singleton keeps its own sig")
+    assert(out(4L) == ((1L, byDoc(4L))))
+  }
+
   test("duplicateSpans: disjoint shared runs stay separate islands") {
     // B lifts two NON-adjacent 5-token runs of A (positions 1-5 and
     // 11-15); the gap keeps them distinct spans in both docs
