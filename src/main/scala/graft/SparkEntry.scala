@@ -191,6 +191,12 @@ object SparkEntry {
     "q_sliding_window" -> ((s, d) =>
       streaming.EventsStream.slidingAggBatch(sources.Tables.events(s, d))
         .orderBy("window_start", "event_type")),
+    // the same overlapping windows under readStream + watermark: the
+    // state store holds one row per open (window, type); streaming
+    // hash-equals batch (and shares its oracle) on a complete source
+    "st_sliding" -> ((s, d) =>
+      streaming.EventsStream.slidingAggStreaming(s, d, "graft_sliding")
+        .orderBy("window_start", "event_type")),
     // ordered funnel: users reaching view → click → purchase, each
     // stage at-or-after the first reach of the previous one
     "q_funnel" -> ((s, d) =>
@@ -480,10 +486,15 @@ object SparkEntry {
         .orderBy("r_name")
     }))
 
-  def oracleSql: Map[String, String] =
-    operators.CoverageQueries.oracles ++
+  def oracleSql: Map[String, String] = {
+    val base = operators.CoverageQueries.oracles ++
       functions.TrainingQueries.oracles ++
       sqllab.SqlLab.oracles ++ baseOracles
+    // the streaming sliding twin must equal the batch form bit-for-bit
+    // (fully-available source ⇒ the watermark drops nothing), so it
+    // shares q_sliding_window's oracle text verbatim
+    base + ("st_sliding" -> base("q_sliding_window"))
+  }
 
   /** Runs verbatim on Spark SQL and DuckDB: orders more than 2x their
     * customer's average, plus a NOT-EXISTS guard — correlated scalar and

@@ -46,6 +46,33 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming form of [[slidingAggBatch]]: the SAME overlapping-window
+    * groupBy under `readStream` with a watermark — the state store holds
+    * one row per open (window, type) and the generator's overlap
+    * fan-out happens before the stateful exchange, exactly as in batch.
+    * Complete-mode memory sink, drained synchronously; on a fully
+    * available source the watermark drops nothing, so streaming must
+    * hash-equal the batch twin (and its DuckDB oracle).
+    */
+  def slidingAggStreaming(spark: SparkSession, sfDir: String,
+                          queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = graft.sources.Tables.microTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val agg = slidingAggBatch(
+      events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming version: file-source stream over the same parquet, 10-min
     * watermark, complete-mode memory sink, drained synchronously.
     * Returns the result as a batch DataFrame (for verification; a real
