@@ -601,6 +601,13 @@ object TrainingQueries {
       Multimodal.extractFeatures(
         Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id")),
+    // average-hash perceptual fingerprints over the decoded images —
+    // the image-dedup primitive; the oracle re-derives every sampled
+    // byte from the BMP generator's closed form, so the whole decode →
+    // NN-sample → threshold → pack chain is falsifiable bit-for-bit
+    "mm_phash" -> ((s, d) =>
+      Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
+        .toDF().orderBy("asset_id")),
     // composed curation pipeline (quality → dedup → near-dup → split)
     "ts_curation" -> ((s, d) =>
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
@@ -1902,6 +1909,46 @@ object TrainingQueries {
     // + per frame 12 bytes of descriptors + the uncompressed-LZW stream
     // of 2·W·H+1 byte-aligned codes + its sub-block prefixes). A decode
     // bug cannot agree with this by accident.
+    // phash twin: every sampled byte re-derived from the BMP closed
+    // form — bottom-up rows, 4-byte row alignment, ((seed+i)*31)&255;
+    // integer NN lattice, integer mean, bits packed into two 32-bit
+    // BIGINT halves (row-major, idx = gy*8+gx)
+    "mm_phash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS w,
+        |         CAST(1 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (
+        |  SELECT i.doc_id, i.w, i.h, gxs.gx, gys.gy,
+        |         (gxs.gx * i.w) // 8 AS sx, (gys.gy * i.h) // 8 AS sy,
+        |         ((3 * i.w + 3) // 4) * 4 AS rowsize
+        |  FROM imgs i
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gys),
+        |grays AS (
+        |  SELECT doc_id, gy * 8 + gx AS idx,
+        |         (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 0)) * 31) & 255)
+        |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 1)) * 31) & 255)
+        |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 2)) * 31) & 255)
+        |           AS gsum
+        |  FROM cells),
+        |m AS (SELECT doc_id, CAST(SUM(gsum) // 64 AS BIGINT) AS mean_gray
+        |      FROM grays GROUP BY 1),
+        |packed AS (
+        |  SELECT g.doc_id,
+        |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx >= 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(g.idx - 32 AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS hash_hi,
+        |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx < 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(g.idx AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM grays g JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT i.doc_id AS asset_id, CAST(i.w AS INT) AS width,
+        |       CAST(i.h AS INT) AS height, m.mean_gray,
+        |       p.hash_hi, p.hash_lo
+        |FROM imgs i JOIN m USING (doc_id) JOIN packed p USING (doc_id)
+        |ORDER BY asset_id""".stripMargin,
     "mm_features" ->
       """WITH a AS (
         |  SELECT doc_id, text,

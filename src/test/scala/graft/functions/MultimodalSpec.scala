@@ -119,4 +119,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("imagePHash: identical payloads hash equal, different seeds differ") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", Multimodal.BmpCodec.encode(8, 5, 42L), "a"),
+      Multimodal.Asset(2L, "image", Multimodal.BmpCodec.encode(8, 5, 42L), "b"),
+      Multimodal.Asset(3L, "image", Multimodal.BmpCodec.encode(8, 5, 43L), "c"),
+      Multimodal.Asset(4L, "audio", Multimodal.WavCodec.encode(16, 1L), "d"))
+      .toDS()
+    val out = Multimodal.imagePHash(assets).collect()
+      .map(h => h.asset_id -> ((h.width, h.height, h.hash_hi, h.hash_lo)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "audio assets are not hashed")
+    assert(out(1L) == out(2L), "same payload, same fingerprint")
+    assert(out(1L) != out(3L), "different pixels, different fingerprint")
+    assert(out(1L)._1 == 8 && out(1L)._2 == 5, "decoded dims carried")
+  }
+
+  test("imagePHash rejects grids that overflow the 64-bit fingerprint") {
+    import spark.implicits._
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Multimodal.BmpCodec.encode(2, 2, 1L), "a")).toDS()
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.imagePHash(assets, grid = 9))
+    assert(ex.getMessage.contains("grid"))
+  }
 }
