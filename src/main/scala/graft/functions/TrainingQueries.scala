@@ -52,6 +52,48 @@ object TrainingQueries {
     * (doc_id, text) source; ends with `lshp(doc_a, doc_b, est_jaccard)`.
     * Mirrors [[Dedup.minhashSignatures]]/[[Dedup.minhashLsh]] exactly.
     */
+  // average-hash twin CTEs: re-derive every NN-sampled byte from the
+  // BMP generator's closed form (bottom-up rows, 4-byte alignment,
+  // ((seed+i)*31)&255); ends in ph(asset_id, width, height, mean_gray,
+  // hash_hi, hash_lo) — shared by mm_phash and mm_phash_pairs
+  private val phashCtes: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS w,
+      |         CAST(1 + doc_id % 5 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cells AS (
+      |  SELECT i.doc_id, i.w, i.h, gxs.gx, gys.gy,
+      |         (gxs.gx * i.w) // 8 AS sx, (gys.gy * i.h) // 8 AS sy,
+      |         ((3 * i.w + 3) // 4) * 4 AS rowsize
+      |  FROM imgs i
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gxs
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gys),
+      |grays AS (
+      |  SELECT doc_id, gy * 8 + gx AS idx,
+      |         (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 0)) * 31) & 255)
+      |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 1)) * 31) & 255)
+      |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 2)) * 31) & 255)
+      |           AS gsum
+      |  FROM cells),
+      |m AS (SELECT doc_id, CAST(SUM(gsum) // 64 AS BIGINT) AS mean_gray
+      |      FROM grays GROUP BY 1),
+      |packed AS (
+      |  SELECT g.doc_id,
+      |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx >= 32
+      |                  THEN CAST(1 AS BIGINT) << CAST(g.idx - 32 AS INT)
+      |                  ELSE 0 END) AS BIGINT) AS hash_hi,
+      |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx < 32
+      |                  THEN CAST(1 AS BIGINT) << CAST(g.idx AS INT)
+      |                  ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM grays g JOIN m USING (doc_id)
+      |  GROUP BY 1),
+      |ph AS (
+      |  SELECT i.doc_id AS asset_id, CAST(i.w AS INT) AS width,
+      |         CAST(i.h AS INT) AS height, m.mean_gray,
+      |         p.hash_hi, p.hash_lo
+      |  FROM imgs i JOIN m USING (doc_id) JOIN packed p USING (doc_id))
+      |""".stripMargin
+
   private def minhashCtesFor(src: String): String = {
     val mins = (0 until 8)
       .map(i => s"min(substr(md5('${i / 4}|' || shingle), ${1 + 8 * (i % 4)}, 8)) AS mh_$i")
@@ -608,6 +650,19 @@ object TrainingQueries {
     "mm_phash" -> ((s, d) =>
       Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id")),
+    // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
+    // corpus has no natural re-crawls, so every 30th image is injected
+    // as a verbatim copy on both engines — those pairs MUST surface at
+    // hamming 0, alongside any natural near-collisions
+    "mm_phash_pairs" -> ((s, d) => {
+      val ph = Multimodal
+        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
+        .toDF().select("asset_id", "hash_hi", "hash_lo")
+      val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
+        .select((col("asset_id") + 1000000).as("asset_id"),
+          col("hash_hi"), col("hash_lo")))
+      Multimodal.phashPairs(aug).orderBy("asset_a", "asset_b")
+    }),
     // composed curation pipeline (quality → dedup → near-dup → split)
     "ts_curation" -> ((s, d) =>
       Curation.curate(Tables.documents(s, d)).orderBy("doc_id")),
@@ -1913,42 +1968,26 @@ object TrainingQueries {
     // form — bottom-up rows, 4-byte row alignment, ((seed+i)*31)&255;
     // integer NN lattice, integer mean, bits packed into two 32-bit
     // BIGINT halves (row-major, idx = gy*8+gx)
-    "mm_phash" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS w,
-        |         CAST(1 + doc_id % 5 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |cells AS (
-        |  SELECT i.doc_id, i.w, i.h, gxs.gx, gys.gy,
-        |         (gxs.gx * i.w) // 8 AS sx, (gys.gy * i.h) // 8 AS sy,
-        |         ((3 * i.w + 3) // 4) * 4 AS rowsize
-        |  FROM imgs i
-        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gxs
-        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gys),
-        |grays AS (
-        |  SELECT doc_id, gy * 8 + gx AS idx,
-        |         (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 0)) * 31) & 255)
-        |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 1)) * 31) & 255)
-        |       + (((doc_id + ((h - 1 - sy) * rowsize + 3 * sx + 2)) * 31) & 255)
-        |           AS gsum
-        |  FROM cells),
-        |m AS (SELECT doc_id, CAST(SUM(gsum) // 64 AS BIGINT) AS mean_gray
-        |      FROM grays GROUP BY 1),
-        |packed AS (
-        |  SELECT g.doc_id,
-        |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx >= 32
-        |                  THEN CAST(1 AS BIGINT) << CAST(g.idx - 32 AS INT)
-        |                  ELSE 0 END) AS BIGINT) AS hash_hi,
-        |         CAST(SUM(CASE WHEN g.gsum > m.mean_gray AND g.idx < 32
-        |                  THEN CAST(1 AS BIGINT) << CAST(g.idx AS INT)
-        |                  ELSE 0 END) AS BIGINT) AS hash_lo
-        |  FROM grays g JOIN m USING (doc_id)
-        |  GROUP BY 1)
-        |SELECT i.doc_id AS asset_id, CAST(i.w AS INT) AS width,
-        |       CAST(i.h AS INT) AS height, m.mean_gray,
-        |       p.hash_hi, p.hash_lo
-        |FROM imgs i JOIN m USING (doc_id) JOIN packed p USING (doc_id)
-        |ORDER BY asset_id""".stripMargin,
+    "mm_phash" -> (phashCtes +
+      """SELECT asset_id, width, height, mean_gray, hash_hi, hash_lo
+        |FROM ph ORDER BY asset_id""".stripMargin),
+    // phash-pair twin: brute hamming over ALL hash pairs — the band
+    // join's pigeonhole guarantee (4 16-bit bands, <= 3 differing bits
+    // => >= 1 band untouched) makes the banded Spark plan EXACT, so
+    // the brute twin is the equivalence proof, not an approximation
+    "mm_phash_pairs" -> (phashCtes +
+      """, aug AS (
+        |  SELECT asset_id, hash_hi, hash_lo FROM ph
+        |  UNION ALL
+        |  SELECT asset_id + 1000000, hash_hi, hash_lo FROM ph
+        |  WHERE asset_id % 30 = 0)
+        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
+        |FROM aug a JOIN aug b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY asset_a, asset_b""".stripMargin),
     "mm_features" ->
       """WITH a AS (
         |  SELECT doc_id, text,

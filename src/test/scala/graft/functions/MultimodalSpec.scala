@@ -137,6 +137,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L)._1 == 8 && out(1L)._2 == 5, "decoded dims carried")
   }
 
+  test("phashPairs: banded join equals brute-force hamming, exactly") {
+    import spark.implicits._
+    // 40 tiny images over varied dims/seeds — enough natural near-
+    // collisions to make the equivalence non-vacuous
+    val assets = (0 until 40).map(i => Multimodal.Asset(i.toLong, "image",
+      Multimodal.BmpCodec.encode(1 + i % 8, 1 + i % 5, i.toLong), "s")).toDS()
+    val hashes = Multimodal.imagePHash(assets).toDF()
+      .select("asset_id", "hash_hi", "hash_lo")
+    val banded = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, hia, loa) <- hs; (ib, hib, lob) <- hs if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(brute.nonEmpty, "fixture must exercise real pairs")
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
   test("imagePHash rejects grids that overflow the 64-bit fingerprint") {
     import spark.implicits._
     val assets = Seq(Multimodal.Asset(1L, "image",
