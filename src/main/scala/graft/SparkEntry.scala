@@ -320,6 +320,28 @@ object SparkEntry {
 
     // ── window frames: lag/lead, running sums, rank family (the
     //    reference only ever uses bare row_number — SURVEY §2.6) ───────
+    // the distribution-rank window family (§2.6 width): ntile buckets,
+    // percent_rank, cume_dist over a tie-broken total order — the
+    // divisions are exact small-integer→double, bit-stable both engines
+    "q_rank_family" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      sources.Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .filter(col("o_orderkey") % 50 === 0)
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    // explicit GROUPING SETS with grouping() indicators — the general
+    // form cube/rollup specialize; same SQL text runs on both engines
+    "q_grouping_sets" -> ((s, d) => {
+      sources.Entities.sales(s, d).createOrReplaceTempView("sales_gs")
+      s.sql(groupingSetsSql("sales_gs"))
+    }),
     "q_window_frames" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val o = sources.Tables.orders(s, d)
@@ -495,6 +517,20 @@ object SparkEntry {
     // shares q_sliding_window's oracle text verbatim
     base + ("st_sliding" -> base("q_sliding_window"))
   }
+
+  /** GROUPING SETS text shared verbatim by the Spark entry and the
+    * DuckDB twin (only the table name differs — Spark reads the temp
+    * view, DuckDB the entity CTE).
+    */
+  private def groupingSetsSql(table: String): String =
+    s"""SELECT coalesce(payment_mode, 'ALL') AS pm,
+       |       coalesce(order_status, 'ALL') AS st,
+       |       CAST(grouping(payment_mode) AS INT) AS g_pm,
+       |       CAST(grouping(order_status) AS INT) AS g_st,
+       |       count(*) AS n
+       |FROM $table
+       |GROUP BY GROUPING SETS ((payment_mode), (order_status), ())
+       |ORDER BY g_pm, g_st, pm, st""".stripMargin
 
   /** Runs verbatim on Spark SQL and DuckDB: orders more than 2x their
     * customer's average, plus a NOT-EXISTS guard — correlated scalar and
@@ -754,6 +790,20 @@ object SparkEntry {
         |FROM clicks c
         |ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q_rank_family" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(ntile(4) OVER w AS INT) AS quartile,
+        |         percent_rank() OVER w AS pct_rank,
+        |         cume_dist() OVER w AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      (graft.sources.OracleCtes.withEntities("sales") +
+        groupingSetsSql("sales")),
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice,
         |       lag(o_totalprice, 1) OVER w AS prev_price,
