@@ -664,6 +664,13 @@ object TrainingQueries {
     "mm_phash" -> ((s, d) =>
       Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id")),
+    // audio energy fingerprints over the decoded PCM — the WAV member
+    // of the perceptual family; the oracle re-derives every sample
+    // from the generator's closed form, falsifying the decode path
+    "mm_audioprint" -> ((s, d) =>
+      Multimodal.audioFingerprint(
+        Multimodal.assets(Tables.documents(s, d)))
+        .toDF().orderBy("asset_id")),
     // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
     // corpus has no natural re-crawls, so every 30th image is injected
     // as a verbatim copy on both engines — those pairs MUST surface at
@@ -1999,6 +2006,36 @@ object TrainingQueries {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY asset_a, asset_b""".stripMargin),
+    // audioprint twin: every PCM sample re-derived from the WAV closed
+    // form ((seed*31 + i*7) % 65536 - 32768); 16-frame |sample| sums,
+    // integer-mean threshold, bits packed by window index
+    "mm_audioprint" ->
+      """WITH auds AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 240 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, nf, nf // 16 AS nw FROM auds),
+        |wins AS (SELECT doc_id, nf, nw, unnest(range(0, nw)) AS wi FROM w),
+        |frames AS (SELECT doc_id, nf, nw, wi,
+        |                  unnest(range(0, 16)) AS fi FROM wins),
+        |en AS (
+        |  SELECT doc_id, wi, any_value(nf) AS nf, any_value(nw) AS nw,
+        |         SUM(abs(((doc_id * 31 + (wi * 16 + fi) * 7) % 65536)
+        |                 - 32768)) AS esum
+        |  FROM frames GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, any_value(nf) AS nf, any_value(nw) AS nw,
+        |         CAST(SUM(esum) // any_value(nw) AS BIGINT) AS mean_energy
+        |  FROM en GROUP BY doc_id),
+        |fp AS (
+        |  SELECT e.doc_id,
+        |         CAST(SUM(CASE WHEN e.esum > m.mean_energy
+        |                  THEN CAST(1 AS BIGINT) << CAST(e.wi AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS fingerprint
+        |  FROM en e JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT m.doc_id AS asset_id, CAST(m.nf AS INT) AS n_frames,
+        |       CAST(m.nw AS INT) AS n_windows, m.mean_energy,
+        |       fp.fingerprint
+        |FROM m JOIN fp USING (doc_id) ORDER BY asset_id""".stripMargin,
     "mm_features" ->
       """WITH a AS (
         |  SELECT doc_id, text,

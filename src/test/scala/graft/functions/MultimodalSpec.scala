@@ -158,6 +158,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("audioFingerprint: identical payloads equal, seeds differ, audio only") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", Multimodal.WavCodec.encode(64, 42L), "a"),
+      Multimodal.Asset(2L, "audio", Multimodal.WavCodec.encode(64, 42L), "b"),
+      Multimodal.Asset(3L, "audio", Multimodal.WavCodec.encode(64, 43L), "c"),
+      Multimodal.Asset(4L, "image", Multimodal.BmpCodec.encode(2, 2, 1L), "d"))
+      .toDS()
+    val out = Multimodal.audioFingerprint(assets).collect()
+      .map(p => p.asset_id ->
+        ((p.n_frames, p.n_windows, p.mean_energy, p.fingerprint)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "image assets are not fingerprinted")
+    assert(out(1L) == out(2L), "same payload, same fingerprint")
+    assert(out(1L) != out(3L), "different samples, different fingerprint")
+    assert(out(1L)._1 == 64 && out(1L)._2 == 4, "64 frames = 4 windows")
+  }
+
   test("imagePHash rejects grids that overflow the 64-bit fingerprint") {
     import spark.implicits._
     val assets = Seq(Multimodal.Asset(1L, "image",
