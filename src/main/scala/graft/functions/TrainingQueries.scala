@@ -671,6 +671,13 @@ object TrainingQueries {
       Multimodal.audioFingerprint(
         Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id")),
+    // per-frame video energies through the real GIF decode chain —
+    // container parse, LZW, palette lookup all falsified by the
+    // closed-form oracle; keyframe pick / temporal near-dup primitive
+    "mm_videoprint" -> ((s, d) =>
+      Multimodal.videoFrameEnergies(
+        Multimodal.assets(Tables.documents(s, d)))
+        .toDF().orderBy("asset_id", "frame_idx")),
     // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
     // corpus has no natural re-crawls, so every 30th image is injected
     // as a verbatim copy on both engines — those pairs MUST surface at
@@ -2006,6 +2013,30 @@ object TrainingQueries {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY asset_a, asset_b""".stripMargin),
+    // videoprint twin: every decoded pixel re-derived from the GIF
+    // closed form (palette gray 2*idx, idx = (seed*31 + f*7 + i) % 128)
+    "mm_videoprint" ->
+      """WITH vids AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS w,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS h,
+        |         CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+        |       FROM vids),
+        |px AS (SELECT doc_id, nf, f, unnest(range(0, w * h)) AS i
+        |       FROM fr),
+        |en AS (
+        |  SELECT doc_id, f, any_value(nf) AS nf,
+        |         CAST(SUM(2 * ((doc_id * 31 + f * 7 + i) % 128))
+        |           AS BIGINT) AS fe
+        |  FROM px GROUP BY doc_id, f),
+        |m AS (SELECT doc_id, CAST(SUM(fe) // any_value(nf) AS BIGINT)
+        |        AS mean FROM en GROUP BY 1)
+        |SELECT e.doc_id AS asset_id, CAST(e.nf AS INT) AS n_frames,
+        |       CAST(e.f AS INT) AS frame_idx, e.fe AS frame_energy,
+        |       e.fe > m.mean AS above_mean
+        |FROM en e JOIN m USING (doc_id)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     // audioprint twin: every PCM sample re-derived from the WAV closed
     // form ((seed*31 + i*7) % 65536 - 32768); 16-frame |sample| sums,
     // integer-mean threshold, bits packed by window index

@@ -176,6 +176,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L)._1 == 64 && out(1L)._2 == 4, "64 frames = 4 windows")
   }
 
+  test("videoFrameEnergies: per-frame sums through the real GIF decode") {
+    import spark.implicits._
+    // 2x2, 3 frames, seed 10: frame f pixel i gray = 2*((10*31+f*7+i)%128)
+    val assets = Seq(Multimodal.Asset(1L, "video",
+      Multimodal.GifCodec.encode(2, 2, 3, 10L), "a")).toDS()
+    val out = Multimodal.videoFrameEnergies(assets).collect()
+      .map(v => v.frame_idx -> ((v.n_frames, v.frame_energy, v.above_mean)))
+      .toMap
+    def fe(f: Int): Long =
+      (0 until 4).map(i => 2L * ((10L * 31 + f * 7 + i) % 128)).sum
+    val mean = (0 until 3).map(fe).sum / 3
+    assert(out.keySet == Set(0, 1, 2))
+    (0 until 3).foreach { f =>
+      assert(out(f) == ((3, fe(f), fe(f) > mean)), s"frame $f: ${out(f)}")
+    }
+  }
+
   test("imagePHash rejects grids that overflow the 64-bit fingerprint") {
     import spark.implicits._
     val assets = Seq(Multimodal.Asset(1L, "image",
