@@ -678,6 +678,22 @@ object TrainingQueries {
       Multimodal.videoFrameEnergies(
         Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id", "frame_idx")),
+    // keyframe selection: the argmax-energy frame per clip (ties → the
+    // EARLIEST frame) — the frame a caption/embedding model would get;
+    // rank-1 rides WindowGroupLimit like every top-1 in the engine
+    "mm_keyframes" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("asset_id")
+        .orderBy(desc("frame_energy"), asc("frame_idx"))
+      Multimodal.videoFrameEnergies(
+          Multimodal.assets(Tables.documents(s, d)))
+        .toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+          col("frame_energy"))
+        .orderBy("asset_id")
+    }),
     // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
     // corpus has no natural re-crawls, so every 30th image is injected
     // as a verbatim copy on both engines — those pairs MUST surface at
@@ -2037,6 +2053,31 @@ object TrainingQueries {
         |       e.fe > m.mean AS above_mean
         |FROM en e JOIN m USING (doc_id)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // keyframe twin: same closed-form energies, argmax per clip with
+    // the earliest-frame tie-break
+    "mm_keyframes" ->
+      """WITH vids AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS w,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS h,
+        |         CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+        |       FROM vids),
+        |px AS (SELECT doc_id, nf, f, unnest(range(0, w * h)) AS i
+        |       FROM fr),
+        |en AS (
+        |  SELECT doc_id, f, any_value(nf) AS nf,
+        |         CAST(SUM(2 * ((doc_id * 31 + f * 7 + i) % 128))
+        |           AS BIGINT) AS fe
+        |  FROM px GROUP BY doc_id, f),
+        |r AS (
+        |  SELECT doc_id, nf, f, fe,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY fe DESC, f ASC) AS rn
+        |  FROM en)
+        |SELECT doc_id AS asset_id, CAST(nf AS INT) AS n_frames,
+        |       CAST(f AS INT) AS frame_idx, fe AS frame_energy
+        |FROM r WHERE rn = 1 ORDER BY asset_id""".stripMargin,
     // audioprint twin: every PCM sample re-derived from the WAV closed
     // form ((seed*31 + i*7) % 65536 - 32768); 16-frame |sample| sums,
     // integer-mean threshold, bits packed by window index
