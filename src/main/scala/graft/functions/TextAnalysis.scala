@@ -873,4 +873,72 @@ object TextAnalysis {
       size(regexp_extract_all(afterPhone, lit(IpRe), lit(0))).as("n_ips"),
       md5(redacted.cast("binary")).as("redacted_md5"))
   }
+
+  /** Subword tokenization — the APPLY stage of a learned subword vocab
+    * (the BPE/WordPiece family every LLM tokenizer lives in), with the
+    * vocab learned from the corpus itself: the `vocabSize` most frequent
+    * character trigrams (occurrence-weighted, ties broken
+    * lexicographically). Encoding is greedy left-to-right longest-match:
+    * at each position, consume a vocab trigram if one matches, else a
+    * single character — one token either way. `ts_bpe_pairs` measures
+    * which merges WOULD be learned; this operator closes the loop by
+    * running a learned table over the corpus and reporting the
+    * compression it buys (tokens_per_word ≤ 1 would mean every word is
+    * one token; 1.0×word-length means no trigram ever hit).
+    *
+    * Shape, per the 100 TB posture: one tokenize pass over the corpus to
+    * word counts; the vocab is a bounded `vocabSize`-row collect (the
+    * centroid/codebook contract); the O(len) encode fold runs once per
+    * DISTINCT word (word-grain, not corpus-grain — the same word is
+    * never re-encoded), and docs get their token counts back via a
+    * word-grain join of exact integer counts. The fold is a single
+    * codegen'd `aggregate` over `sequence(1, len)` carrying (pos, ntok):
+    * steps where i has been consumed by an earlier trigram pass through
+    * untouched.
+    *
+    * @return (doc_id, n_words, n_tokens, tokens_per_word) per document
+    */
+  def subwordEncode(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    require(vocabSize >= 1, s"subwordEncode: bad vocabSize $vocabSize")
+    val docWords = docs.select(col("doc_id"),
+      explode(split(normalized(col("text")), " ")).as("word"))
+    val dwc = docWords.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("n_occ"))
+    val wc = dwc.groupBy("word").agg(sum("n_occ").as("cnt"))
+    // learn: occurrence-weighted trigram frequencies over distinct words
+    val vocabRows = wc.filter(length(col("word")) >= 3)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 2),
+        i => col("word").substr(i, lit(3)))).as("gram"), col("cnt"))
+      .groupBy("gram").agg(sum("cnt").as("c"))
+      .orderBy(desc("c"), asc("gram"))
+      .limit(vocabSize)
+      .select("gram")
+      .collect()                       // bounded by vocabSize, by contract
+      .map(_.getString(0)).toSeq
+    val vocab = typedLit(vocabRows)
+    // encode each DISTINCT word once: greedy trigram-or-char fold
+    val len = length(col("word"))
+    val enc = wc.select(col("word"), aggregate(
+      sequence(lit(1), len),
+      struct(lit(1).as("pos"), lit(0).as("ntok")),
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        val ntok = acc.getField("ntok")
+        val hit = (pos + 2 <= len) &&
+          array_contains(vocab, col("word").substr(pos, lit(3)))
+        when(i =!= pos, acc).otherwise(
+          when(hit, struct((pos + 3).as("pos"), (ntok + 1).as("ntok")))
+            .otherwise(struct((pos + 1).as("pos"), (ntok + 1).as("ntok"))))
+      },
+      acc => acc.getField("ntok")).as("word_toks"))
+    dwc.join(enc, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("word_toks")).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        round((col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+          .cast("double"))
+      .orderBy("doc_id")
+  }
 }

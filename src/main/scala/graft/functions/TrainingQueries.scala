@@ -473,6 +473,11 @@ object TrainingQueries {
     // one BPE count→merge statistics pass over the word-frequency table
     "ts_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), topK = 50)),
+    // the APPLY stage: corpus-learned trigram vocab run greedily over
+    // every distinct word (TextAnalysis.subwordEncode scaladoc); the
+    // oracle replays the same greedy scan as a recursive CTE
+    "ts_subword_encode" -> ((s, d) =>
+      TextAnalysis.subwordEncode(Tables.documents(s, d), vocabSize = 64)),
     // RAG ingestion chunking: 16-token windows advancing by 12 (the
     // documents table's texts are short; production would run 512/384)
     "ts_rag_chunks" -> ((s, d) =>
@@ -1210,6 +1215,42 @@ object TrainingQueries {
          |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
          |FROM pairs GROUP BY 1
          |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    // subword-apply twin: identical vocab learning (occurrence-weighted
+    // trigrams, ties lexicographic), then the greedy trigram-or-char
+    // scan replayed as a recursive CTE over distinct words — one state
+    // row per consumed token, terminal state at pos > len(word)
+    "ts_subword_encode" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+         |      FROM documents),
+         |dwc AS (SELECT doc_id, word, count(*) AS n_occ FROM w GROUP BY 1, 2),
+         |wc AS (SELECT word, SUM(n_occ) AS cnt FROM dwc GROUP BY 1),
+         |grams AS (
+         |  SELECT substr(word, CAST(i AS INT), 3) AS gram, cnt
+         |  FROM (SELECT word, cnt, unnest(range(1, length(word) - 1)) AS i
+         |        FROM wc WHERE length(word) >= 3) t),
+         |vocab AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, SUM(cnt) AS c FROM grams GROUP BY 1
+         |    ORDER BY c DESC, gram ASC LIMIT 64)),
+         |st AS (
+         |  SELECT word, 1 AS pos, 0 AS ntok FROM wc
+         |  UNION ALL
+         |  SELECT word,
+         |         CASE WHEN pos + 2 <= length(word)
+         |                   AND substr(word, pos, 3) IN (SELECT gram FROM vocab)
+         |              THEN pos + 3 ELSE pos + 1 END,
+         |         ntok + 1
+         |  FROM st WHERE pos <= length(word)),
+         |enc AS (SELECT word, ntok FROM st WHERE pos > length(word))
+         |SELECT doc_id,
+         |       CAST(SUM(n_occ) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_occ * ntok) AS BIGINT) AS n_tokens,
+         |       CAST(ROUND(CAST(CAST(SUM(n_occ * ntok) AS DOUBLE)
+         |           / CAST(SUM(n_occ) AS DOUBLE) AS DECIMAL(20,12)), 9)
+         |         AS DOUBLE) AS tokens_per_word
+         |FROM dwc JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // chunk twin: same ceil-based last-start, same inclusive spans,
     // same slice fingerprint
     "ts_rag_chunks" ->

@@ -450,9 +450,112 @@ object CoverageQueries {
           count(lit(1)).as("n"),
           Money.ratio2(Money.moneySum(col("o_totalprice")), count(lit(1)))
             .as("avg_price"))
-        .orderBy("o_orderpriority")))
+        .orderBy("o_orderpriority")),
+
+    // Bucketed co-located join (the shuffle-once layout, Bucketing
+    // scaladoc): orders and lineitem are staged as 8-bucket tables on
+    // the order key, then joined and aggregated AT the bucket key with
+    // zero Exchange under the join or the per-order aggregate
+    // (BucketingSpec pins the plan); only the final tiny regroup to
+    // (priority, n_items) shuffles. Hash-compared against DuckDB's
+    // plain join — bucketing must be invisible to the answer. The
+    // staging write is part of the operator (it IS the layout cost a
+    // 100 TB pipeline pays once), so the entry stays out of the warm
+    // bench like the other ETL replays.
+    "q_bucketed_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_bucket")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("gross"))
+      val out = Bucketing.withColocated(s, o, "o_orderkey",
+        li, "l_orderkey", nBuckets = 8, dir = root) { (bo, bl) =>
+        val perOrder = bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            Money.moneySum(col("gross")).as("rev_dec"))
+        perOrder.groupBy("o_orderpriority", "n_items")
+          .agg(count(lit(1)).as("n_orders"),
+            Money.round2(sum(col("rev_dec"))).as("sum_revenue"))
+          .orderBy("o_orderpriority", "n_items")
+      }
+      graft.core.Scratch.materializeAndDelete(out, root)
+    }),
+
+    // k-anonymity risk profile over quasi-identifiers (segment, nation,
+    // coarse balance band): the PII-risk gate a training-data release
+    // runs before shipping attribute columns — any QI combination
+    // matching fewer than k individuals re-identifies them. One
+    // aggregation at QI grain; k_anon (the table's overall k) rides
+    // along via a 1-row broadcast. Exact small-group arithmetic — no
+    // estimation, so the oracle is a plain SQL twin.
+    "q_kanon" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal").cast("double") / 2000).cast("long")
+            .as("bal_band"))
+        .agg(count(lit(1)).as("n_rows"))
+      val k = g.agg(min("n_rows").as("k_anon"))
+      graft.core.Scalars.crossBroadcast(g.filter(col("n_rows") < 5), k)
+        .select(col("c_mktsegment"), col("c_nationkey"), col("bal_band"),
+          col("n_rows"), col("k_anon"))
+        .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+    }),
+
+    // Two-sample KS drift between the stored corpus and the ingest wave
+    // (doc_id % 5 == 0) on document length — PSI's no-knob complement
+    // (Drift.ks scaladoc: one corpus pass, distinct-value-grain tail).
+    "q_ks_drift" -> ((s, d) =>
+      graft.quality.Drift.ks(Tables.documents(s, d),
+        col("n_chars"), col("doc_id") % 5 === 0)))
 
   def oracles: Map[String, String] = Map(
+    // plain (layout-blind) join — bucketing must not change the answer
+    "q_bucketed_join" ->
+      """WITH per_order AS (
+        |  SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+        |         SUM(CAST((l_extendedprice * (1 - l_discount))
+        |           AS DECIMAL(38,6))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, n_items, count(*) AS n_orders,
+        |       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS sum_revenue
+        |FROM per_order GROUP BY 1, 2
+        |ORDER BY o_orderpriority, n_items""".stripMargin,
+    "q_kanon" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT)
+        |           AS bal_band,
+        |         count(*) AS n_rows
+        |  FROM customer GROUP BY 1, 2, 3),
+        |k AS (SELECT min(n_rows) AS k_anon FROM g)
+        |SELECT c_mktsegment, c_nationkey, bal_band, n_rows, k_anon
+        |FROM g CROSS JOIN k WHERE n_rows < 5
+        |ORDER BY c_mktsegment, c_nationkey, bal_band""".stripMargin,
+    "q_ks_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, (doc_id % 5 = 0) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT v, SUM(CASE WHEN w THEN 0 ELSE 1 END) AS na,
+        |         SUM(CASE WHEN w THEN 1 ELSE 0 END) AS nb
+        |  FROM t GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |         CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |         CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+        |  FROM c),
+        |tot AS (SELECT MAX(ca) AS t_ref, MAX(cb) AS t_wave FROM cum),
+        |diff AS (
+        |  SELECT v, ABS(CAST(ca AS DOUBLE) / CAST(t_ref AS DOUBLE)
+        |            - CAST(cb AS DOUBLE) / CAST(t_wave AS DOUBLE)) AS d
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(d) AS d_max FROM diff)
+        |SELECT MAX(t_ref) AS n_ref, MAX(t_wave) AS n_wave,
+        |       CAST(ROUND(CAST(MAX(d_max) AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |         AS ks_d,
+        |       MIN(v) AS at_value
+        |FROM diff CROSS JOIN tot CROSS JOIN mx WHERE d = d_max""".stripMargin,
     // the bit-interleave SQL is GENERATED from the same lattice as the
     // Spark expression (ZOrder.zvalueSql) — the two sides cannot drift
     "q_zorder" -> {

@@ -70,4 +70,51 @@ object Drift {
         col("term"), col("psi"))
       .orderBy("bucket")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the reference
+    * population (isWave false) and the ingest wave (isWave true):
+    *
+    *   D = max over v of |ECDF_ref(v) − ECDF_wave(v)|
+    *
+    * PSI's complement: PSI reads binned density shift (and needs a bin
+    * width), KS reads the worst-case CDF gap at native value grain with
+    * no tuning knob. The corpus is touched ONCE to count (value, side)
+    * pairs; everything after runs at distinct-value grain, so the
+    * global cumulative window is bounded by value cardinality, not
+    * corpus size. For an unbounded-cardinality value (raw doubles),
+    * bin first — same rule psi enforces via binWidth.
+    *
+    * Determinism: cumulative counts are exact long sums; each ECDF is
+    * one long→double division (IEEE-exact, bit-identical cross-engine);
+    * |diff| and max are exact. `at_value` is the smallest value
+    * attaining D, found by exact bit-equality against the computed D —
+    * safe because both engines derive the doubles through the identical
+    * operation sequence. Output `ks_d` re-rounds through decimal like
+    * every libm-adjacent emission.
+    *
+    * @return one row: n_ref, n_wave, ks_d, at_value
+    */
+  def ks(docs: DataFrame, value: Column, isWave: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(value.cast("long").as("v"), isWave.as("w"))
+      .groupBy("v")
+      .agg(sum(when(col("w"), 0L).otherwise(1L)).as("na"),
+        sum(when(col("w"), 1L).otherwise(0L)).as("nb"))
+    // distinct-value grain: the single-partition window is bounded by
+    // |values|, not |docs| (see scaladoc)
+    val cum = counts
+      .withColumn("ca", sum("na").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum("nb").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = cum.agg(max("ca").as("t_ref"), max("cb").as("t_wave"))
+    val diffs = graft.core.Scalars.crossBroadcast(cum, totals)
+      .withColumn("d", abs(col("ca").cast("double") / col("t_ref").cast("double")
+        - col("cb").cast("double") / col("t_wave").cast("double")))
+    val dMax = diffs.agg(max("d").as("d_max"))
+    graft.core.Scalars.crossBroadcast(diffs, dMax)
+      .filter(col("d") === col("d_max"))
+      .agg(max("t_ref").as("n_ref"), max("t_wave").as("n_wave"),
+        round9(max("d_max")).as("ks_d"), min("v").as("at_value"))
+  }
 }

@@ -625,4 +625,30 @@ class FunctionsSpec extends AnyFunSuite {
       "cross-source copy counts in both sources")
     assert(b.getAs[Double]("dup_share") == 0.5)
   }
+
+  test("subwordEncode: greedy trigram-or-char scan, hand-traced") {
+    // corpus trigram counts (occurrence-weighted): "abc" appears twice
+    // inside abcabc + once in abc + once in aabc = 4, every other gram
+    // ≤ 1 → vocabSize=1 learns exactly ["abc"]
+    val docs = Seq(
+      (1L, "abcabc abc xy"),   // abc×2 | abc | char,char → 2+1+2 tokens
+      (2L, "aabc"),            // char at pos1, then "abc" at pos2 → 2
+      (3L, "zz")               // no trigram possible → 2 chars
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.subwordEncode(docs, vocabSize = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out(1L) == (3L, 5L), out.toString)
+    assert(out(2L) == (1L, 2L), "mid-word trigram match must consume 3 chars")
+    assert(out(3L) == (1L, 2L), out.toString)
+  }
+
+  test("subwordEncode: empty vocab hit degenerates to char count") {
+    // vocab learns the single most frequent trigram of a corpus that has
+    // none ≥3 chars → vocab empty → every word encodes char-by-char
+    val docs = Seq((1L, "ab cd e")).toDF("doc_id", "text")
+    val r = TextAnalysis.subwordEncode(docs, vocabSize = 4).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L, r.toString)
+    assert(r.getAs[Long]("n_words") == 3L, r.toString)
+  }
 }

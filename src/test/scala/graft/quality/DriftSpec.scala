@@ -49,4 +49,24 @@ class DriftSpec extends AnyFunSuite {
       Drift.psi(df, col("v"), col("w"), binWidth = 0))
     assert(ex.getMessage.contains("bad bins"))
   }
+
+  test("KS statistic: hand-computed D and leftmost argmax") {
+    // ref {1,1,2,3}: ECDF .5 .75 1 1 | wave {1,3,3,4}: .25 .25 .75 1
+    // gaps .25 .50 .25 0 → D = .5 attained only at v=2
+    val rows = Seq((1L, false), (1L, false), (2L, false), (3L, false),
+      (1L, true), (3L, true), (3L, true), (4L, true))
+    val r = Drift.ks(rows.toDF("v", "w"), col("v"), col("w")).collect().head
+    assert(r.getAs[Long]("n_ref") == 4 && r.getAs[Long]("n_wave") == 4)
+    assert(r.getAs[Double]("ks_d") == 0.5, r.toString)
+    assert(r.getAs[Long]("at_value") == 2L, r.toString)
+  }
+
+  test("KS of identical samples is zero; argmax tie resolves to min v") {
+    val vals = Seq(2L, 5L, 5L, 9L)
+    val rows = vals.map(_ -> false) ++ vals.map(_ -> true)
+    val r = Drift.ks(rows.toDF("v", "w"), col("v"), col("w")).collect().head
+    assert(r.getAs[Double]("ks_d") == 0.0, r.toString)
+    // every value attains D=0; leftmost wins
+    assert(r.getAs[Long]("at_value") == 2L, r.toString)
+  }
 }
