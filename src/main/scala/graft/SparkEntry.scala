@@ -205,6 +205,17 @@ object SparkEntry {
     // weekly cohort retention over first-event cohorts
     "q_cohort" -> ((s, d) =>
       operators.Analytics.cohortRetention(sources.Tables.events(s, d))),
+    // MI(event_type; value band): /64 bands are FP-exact (power-of-two
+    // divisor), so the binning has no cross-engine boundary risk
+    "q_mutual_info" -> ((s, d) =>
+      operators.Analytics.mutualInformation(
+        sources.Tables.events(s, d)
+          .withColumn("value_band",
+            least(floor(col("value") / 64), lit(7)).cast("long")),
+        "event_type", "value_band")),
+    // first-order Markov transitions over per-user event sequences
+    "q_transitions" -> ((s, d) =>
+      operators.Analytics.transitionMatrix(sources.Tables.events(s, d))),
     // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
     // recursion as a per-key prefix fold — bit-identical doubles on
     // both engines (no pow(), no FP reassociation)
@@ -632,6 +643,48 @@ object SparkEntry {
          |FROM c LEFT JOIN c p ON c.stage_idx = p.stage_idx + 1
          |CROSS JOIN (SELECT n_users FROM c WHERE stage_idx = 1) t
          |ORDER BY c.stage_idx""".stripMargin,
+    // MI twin: same contingency cells, same PSI-style ln rounding
+    "q_mutual_info" ->
+      """WITH b AS (
+        |  SELECT event_type AS x,
+        |         least(CAST(floor(value / 64) AS BIGINT), 7) AS y
+        |  FROM events),
+        |cells AS (SELECT x, y, count(*) AS n FROM b GROUP BY 1, 2),
+        |xm AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ym AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |p AS (SELECT x, y, n,
+        |        CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS pxy,
+        |        CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE) AS px,
+        |        CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE) AS py
+        |      FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t),
+        |terms AS (
+        |  SELECT x, y, n,
+        |         CAST(ROUND(CAST(pxy *
+        |             CAST(ROUND(CAST(ln(pxy / (px * py)) AS DECIMAL(20,12)), 9)
+        |               AS DOUBLE)
+        |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS term
+        |  FROM p),
+        |tot AS (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+        |          AS mi FROM terms)
+        |SELECT x, y, n, term, mi FROM terms CROSS JOIN tot
+        |ORDER BY x, y""".stripMargin,
+    // transition twin: lead over the same (ts, event_id) order
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |s AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM s GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |       CAST(ROUND(CAST(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS p
+        |FROM s JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // EWMA twin: the same daily decimal money sums, the same left fold
     // (list_reduce starts its accumulator at the first element exactly
     // as the Spark reduce() is seeded with element 1), α/1−α as the

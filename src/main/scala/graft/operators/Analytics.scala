@@ -214,4 +214,77 @@ object Analytics {
         col("col.v").as(valCol), col("col.e").as("ewma"))
       .orderBy(keyCol, dayCol)
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-relevance screen before training on event attributes
+    * (MI(x;y)=0 means y carries no signal about x; dashboards rank
+    * candidate features by it):
+    *
+    *   MI = Σ_cells p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+    *
+    * Shape: ONE corpus aggregation to the contingency table, then
+    * cell-grain frames only — marginals are grouped off the cells (not
+    * the corpus) and broadcast back; at 100 TB the fact is touched once
+    * and everything downstream is |x|·|y|-sized. Determinism follows
+    * the PSI discipline: exact integer counts, IEEE-exact divisions,
+    * each ln decimal-rounded to 9 places, terms re-rounded, total
+    * decimal-summed.
+    *
+    * @return one row per observed cell (x, y, n, term) with the
+    *         repeated decimal-summed `mi` total, ordered by (x, y)
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val acc = org.apache.spark.sql.types.DecimalType(28, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val xm = cells.groupBy("x").agg(sum("n").as("nx"))
+    val ym = cells.groupBy("y").agg(sum("n").as("ny"))
+    val tot = cells.agg(sum("n").as("nn"))
+    val terms = graft.core.Scalars.crossBroadcast(
+      cells.join(broadcast(xm), "x").join(broadcast(ym), "y"), tot)
+      .withColumn("pxy", col("n").cast("double") / col("nn").cast("double"))
+      .withColumn("px", col("nx").cast("double") / col("nn").cast("double"))
+      .withColumn("py", col("ny").cast("double") / col("nn").cast("double"))
+      .withColumn("term",
+        round9(col("pxy") * round9(log(col("pxy") / (col("px") * col("py"))))))
+    val mi = terms.agg(sum(col("term").cast(acc)).cast("double").as("mi"))
+    graft.core.Scalars.crossBroadcast(terms, mi)
+      .select(col("x"), col("y"), col("n"), col("term"), col("mi"))
+      .orderBy("x", "y")
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current event type). The
+    * behavioral-analytics companion to [[funnel]] — funnel counts a
+    * FIXED path, transitions measure every observed step, feeding
+    * next-action models and drop-off diagnostics.
+    *
+    * Shape: one user-keyed window (lead over (ts, event_id) — the same
+    * single fact shuffle every user-grain operator here pays), then
+    * type-pair-grain frames only. Transition probabilities divide
+    * exact counts; row ends (a user's last event) drop out via the
+    * lead null.
+    *
+    * @return (from_type, to_type, n, p) ordered by (from, to)
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = events
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = steps.groupBy("from_type").agg(sum("n").as("n_from"))
+    steps.join(broadcast(fromTotals), "from_type")
+      .withColumn("p",
+        round((col("n").cast("double") / col("n_from").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+          .cast("double"))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
 }

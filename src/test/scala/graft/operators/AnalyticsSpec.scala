@@ -132,4 +132,48 @@ class AnalyticsSpec extends AnyFunSuite {
         oneMinusAlpha = 0.5))
     assert(ex.getMessage.contains("must be 1"))
   }
+
+  test("mutualInformation: independent features score zero") {
+    // perfectly independent 2×2 table: every cell p(x,y) = p(x)p(y)
+    val rows = for { x <- Seq("a", "b"); y <- Seq(0L, 1L); _ <- 1 to 5 }
+      yield (x, y)
+    val out = Analytics.mutualInformation(rows.toDF("x", "y"), "x", "y")
+    val mi = out.collect().head.getAs[Double]("mi")
+    assert(mi == 0.0, s"independent features must carry zero MI, got $mi")
+  }
+
+  test("mutualInformation: deterministic mapping reaches the entropy") {
+    // y == f(x), two equiprobable values → MI = H(X) = ln 2
+    val rows = Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("b", 1L))
+    val out = Analytics.mutualInformation(rows.toDF("x", "y"), "x", "y")
+    val mi = out.collect().head.getAs[Double]("mi")
+    assert(math.abs(mi - math.log(2)) < 1e-8, s"mi=$mi vs ln2=${math.log(2)}")
+  }
+
+  test("transitionMatrix: counts, probabilities, last-event drop") {
+    // u1: v→c→p ; u2: v→v ; u3 single event (emits no transition)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "v"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "c"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "p"),
+      (4L, ts("2024-01-01 11:00:00"), 2L, "v"),
+      (5L, ts("2024-01-01 11:01:00"), 2L, "v"),
+      (6L, ts("2024-01-01 12:00:00"), 3L, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(out(("v", "c")) == (1L, 0.5) && out(("v", "v")) == (1L, 0.5))
+    assert(out(("c", "p")) == (1L, 1.0))
+    assert(out.size == 3, s"single-event users emit nothing: $out")
+  }
+
+  test("transitionMatrix: equal timestamps order by event_id") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq((2L, t0, 1L, "b"), (1L, t0, 1L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.transitionMatrix(ev).collect()
+    assert(out.length == 1 && out.head.getString(0) == "a" &&
+      out.head.getString(1) == "b", out.mkString(","))
+  }
 }
