@@ -53,8 +53,11 @@ object Bench {
   // q_bucketed_join stages both sides as bucket tables per invocation —
   // the one-time layout write a co-located join amortizes, an ETL replay
   // by the same rule as the merges above.
+  // k6_forget writes the whole orders table month-partitioned and
+  // replays a partition-scoped delete per invocation — same ETL-replay
+  // class as k4_merge_partitioned.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert", "k4_merge_partitioned", "ann_index_append",
+    "st_upsert", "k4_merge_partitioned", "k6_forget", "ann_index_append",
     "src_orc_roundtrip", "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {

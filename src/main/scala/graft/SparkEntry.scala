@@ -216,6 +216,28 @@ object SparkEntry {
     // first-order Markov transitions over per-user event sequences
     "q_transitions" -> ((s, d) =>
       operators.Analytics.transitionMatrix(sources.Tables.events(s, d))),
+    // per-mode OLS trend over the same daily units series q_ewma
+    // smooths: closed form over exact BIGINT/DECIMAL moments
+    "q_regression" -> ((s, d) =>
+      operators.Analytics.dailySalesTrend(sources.Entities.sales(s, d))),
+    // chi-squared independence + Cramér's V over q_mutual_info's
+    // contingency table (same /64 FP-exact banding)
+    "q_chi2" -> ((s, d) =>
+      operators.Analytics.chiSquare(
+        sources.Tables.events(s, d)
+          .withColumn("value_band",
+            least(floor(col("value") / 64), lit(7)).cast("long")),
+        "event_type", "value_band")),
+    // recency-decayed per-user value: 7-day half-life buckets, so every
+    // decay weight is a power of two (exact division — no libm pow)
+    "q_decay" -> ((s, d) =>
+      operators.Analytics.recencyScore(sources.Tables.events(s, d),
+        "user_id", "ts", "value",
+        java.sql.Date.valueOf("2024-02-01"), 7)),
+    // co-purchase association rules over order baskets (support /
+    // confidence / lift, basket-size-capped candidate generation)
+    "q_assoc" -> ((s, d) =>
+      operators.Analytics.basketRules(sources.Tables.lineitem(s, d))),
     // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
     // recursion as a per-key prefix fold — bit-identical doubles on
     // both engines (no pow(), no FP reassociation)
@@ -685,6 +707,130 @@ object SparkEntry {
         |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS p
         |FROM s JOIN ft USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // OLS twin: identical exact moments (BIGINT x, DECIMAL(18,6) y —
+    // products stay exact on both engines), then the same fixed IEEE
+    // double sequence per fit column, decimal-9 rounded
+    "q_regression" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |m AS (
+        |  SELECT payment_mode, count(*) AS n,
+        |         SUM(x) AS sx, SUM(x * x) AS sxx,
+        |         SUM(y) AS sy, SUM(y * x) AS sxy, SUM(y * y) AS syy
+        |  FROM (SELECT payment_mode,
+        |               CAST(date_diff('day', DATE '2000-01-01', sale_date)
+        |                 AS BIGINT) AS x,
+        |               CAST(daily_total AS DECIMAL(18,6)) AS y
+        |        FROM daily)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT payment_mode, n,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+        |         CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE) AS bnum
+        |  FROM m)
+        |SELECT payment_mode, n AS n_days,
+        |       CASE WHEN den > 0 THEN
+        |         CAST(ROUND(CAST(num / den AS DECIMAL(20,12)), 9)
+        |           AS DOUBLE) END AS slope,
+        |       CASE WHEN den > 0 THEN
+        |         CAST(ROUND(CAST(bnum / den AS DECIMAL(20,12)), 9)
+        |           AS DOUBLE) END AS intercept,
+        |       CASE WHEN den > 0 AND deny > 0 THEN
+        |         CAST(ROUND(CAST(num * num / (den * deny)
+        |           AS DECIMAL(20,12)), 9) AS DOUBLE) END AS r2
+        |FROM f ORDER BY payment_mode""".stripMargin),
+    // chi-squared twin: q_mutual_info's contingency cells, expected
+    // counts and terms decimal-9 rounded, decimal-summed chi2,
+    // IEEE-exact sqrt for Cramér's V
+    "q_chi2" ->
+      """WITH b AS (
+        |  SELECT event_type AS x,
+        |         least(CAST(floor(value / 64) AS BIGINT), 7) AS y
+        |  FROM events),
+        |cells AS (SELECT x, y, count(*) AS n FROM b GROUP BY 1, 2),
+        |xm AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ym AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+        |             CAST(COUNT(DISTINCT y) AS BIGINT) AS c FROM cells),
+        |grid AS (SELECT xm.x, xm.nx, ym.y, ym.ny FROM xm CROSS JOIN ym),
+        |g2 AS (SELECT g.x, g.y, COALESCE(c.n, 0) AS n, g.nx, g.ny
+        |       FROM grid g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y),
+        |e AS (SELECT x, y, n, nn, r, c,
+        |        CAST(ROUND(CAST(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+        |          / CAST(nn AS DOUBLE) AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |          AS expected
+        |      FROM g2 CROSS JOIN t),
+        |terms AS (SELECT x, y, n, nn, r, c, expected,
+        |        CAST(ROUND(CAST((CAST(n AS DOUBLE) - expected)
+        |          * (CAST(n AS DOUBLE) - expected) / expected
+        |          AS DECIMAL(20,12)), 9) AS DOUBLE) AS term
+        |      FROM e),
+        |tab AS (SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+        |          AS chi2,
+        |               MAX((r - 1) * (c - 1)) AS dof,
+        |               MAX(nn) AS nnx, MAX(r) AS rx, MAX(c) AS cx
+        |        FROM terms),
+        |v AS (SELECT chi2, dof,
+        |        CAST(ROUND(CAST(sqrt(chi2 / (CAST(nnx AS DOUBLE)
+        |          * CAST(least(rx - 1, cx - 1) AS DOUBLE)))
+        |          AS DECIMAL(20,12)), 9) AS DOUBLE) AS cramers_v
+        |      FROM tab)
+        |SELECT x, y, n, expected, term, chi2, dof, cramers_v
+        |FROM terms CROSS JOIN v ORDER BY x, y""".stripMargin,
+    // decay twin: the same power-of-two weights (1 << bucket — exact
+    // exponent decrement, no libm), decimal-summed, 2-dp render
+    "q_decay" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(greatest(floor(CAST(date_diff('day', CAST(ts AS DATE),
+        |           DATE '2024-02-01') AS DOUBLE) / 7), 0) AS INT) AS b,
+        |         value
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value / CAST(1 << b AS DOUBLE)
+        |         AS DECIMAL(38,12))), 2) AS DOUBLE) AS score
+        |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // basket twin: identical basket-size cap and min-support gate,
+    // orderkey-keyed pair join, exact counts, decimal-9 ratios
+    "q_assoc" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 100),
+        |kept AS (SELECT i.ok, i.pk FROM items i JOIN sized USING (ok)),
+        |nb AS (SELECT count(*) AS n_baskets FROM sized),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+        |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT pk, count(*) AS n_item FROM kept GROUP BY 1)
+        |SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+        |       CAST(ROUND(CAST(CAST(n_pair AS DOUBLE)
+        |         / CAST(n_baskets AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS support,
+        |       CAST(ROUND(CAST(CAST(n_pair AS DOUBLE)
+        |         / CAST(ia.n_item AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS conf_ab,
+        |       CAST(ROUND(CAST(CAST(n_pair AS DOUBLE)
+        |         / CAST(ib.n_item AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS conf_ba,
+        |       CAST(ROUND(CAST(CAST(n_pair AS DOUBLE)
+        |         * CAST(n_baskets AS DOUBLE)
+        |         / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN ic ia ON ia.pk = part_a
+        |JOIN ic ib ON ib.pk = part_b
+        |CROSS JOIN nb
+        |ORDER BY part_a, part_b""".stripMargin,
     // EWMA twin: the same daily decimal money sums, the same left fold
     // (list_reduce starts its accumulator at the first element exactly
     // as the Spark reduce() is seeded with element 1), α/1−α as the

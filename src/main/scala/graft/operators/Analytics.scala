@@ -256,6 +256,228 @@ object Analytics {
       .orderBy("x", "y")
   }
 
+  /** Per-key ordinary-least-squares trend over a daily series — the
+    * "is this metric growing?" fit behind every volume dashboard, and at
+    * pipeline scale the per-source ingest-trend monitor next to
+    * [[ewmaAnomaly]] (EWMA flags spikes; the OLS slope names the drift).
+    *
+    * Closed-form over exact sums: with x the integer day index (epoch
+    * base 2000-01-01 — absolute, so no per-key min join) and y the
+    * daily value as an exact decimal,
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * Every Σ crosses an order-free exact accumulator (BIGINT for the
+    * integer x moments, DECIMAL for the y ones), so partial aggregation
+    * order can't move a bit; the assembled moments are THEN cast to
+    * double and combined in one fixed IEEE sequence, decimal-9 rounded —
+    * the [[mutualInformation]] determinism discipline. Zero-variance
+    * keys (den = 0) emit NULL fit columns rather than an engine-specific
+    * inf/NaN.
+    *
+    * Shape: one corpus aggregation to (key, day) grain, then key-grain
+    * moments — the fact is touched once; nothing downstream exceeds
+    * (keys × days).
+    */
+  def trendFit(daily: DataFrame, keyCol: String, dayCol: String,
+               valCol: String): DataFrame = {
+    // (18,6) keeps y·y at precision 37 ≤ 38: EXACT decimal products on
+    // both engines — a (38,6) accumulator would push products into
+    // Spark's precision-loss scale reduction, a cross-engine cliff
+    val Acc = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val m = daily
+      .select(col(keyCol),
+        datediff(col(dayCol), lit(java.sql.Date.valueOf("2000-01-01")))
+          .cast("long").as("x"),
+        col(valCol).cast(Acc).as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"),
+        sum(col("y") * col("x")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    // exact moments → double, one fixed IEEE sequence per fit column
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    val deny = n * d("syy") - d("sy") * d("sy")
+    m.select(col(keyCol), col("n").as("n_days"),
+        when(den > 0, round9(num / den)).as("slope"),
+        when(den > 0,
+          round9((d("sy") * d("sxx") - d("sx") * d("sxy")) / den))
+          .as("intercept"),
+        when(den > 0 && deny > 0, round9(num * num / (den * deny)))
+          .as("r2"))
+      .orderBy(keyCol)
+  }
+
+  /** [[trendFit]] over the per-payment-mode daily units series (the
+    * same daily frame [[dailySalesEwma]] smooths).
+    */
+  def dailySalesTrend(sales: DataFrame): DataFrame =
+    trendFit(dailyUnits(sales), "payment_mode", "sale_date", "daily_total")
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, with Cramér's V — [[mutualInformation]]'s
+    * significance-flavored twin (MI ranks the signal, χ² says whether
+    * the association clears noise; V normalizes it to [0,1] across
+    * tables of different shape).
+    *
+    *   χ² = Σ_cells (n − e)²/e,  e = nx·ny/nn
+    *   V  = sqrt(χ² / (nn · min(R−1, C−1)))
+    *
+    * Same contingency-table shape as MI: ONE corpus aggregation to
+    * cells, marginals grouped off the cells and broadcast back, exact
+    * integer counts, per-cell terms decimal-9 rounded, decimal-summed
+    * total, IEEE-exact sqrt. Cells with zero expected count cannot occur
+    * (observed cells have nx, ny ≥ n ≥ 1).
+    *
+    * @return one cell-grain row (x, y, n, expected, term) with the
+    *         table-level chi2, dof, and cramers_v repeated, (x, y)-ordered
+    */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val acc = org.apache.spark.sql.types.DecimalType(28, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val xm = cells.groupBy("x").agg(sum("n").as("nx"))
+    val ym = cells.groupBy("y").agg(sum("n").as("ny"))
+    val tot = cells.agg(sum("n").as("nn"),
+      count_distinct(col("x")).as("r"), count_distinct(col("y")).as("c"))
+    // χ² runs over the FULL R×C grid: a zero-observed cell with positive
+    // expected count contributes (0−e)²/e — dropping it (as MI correctly
+    // does, 0·ln0 → 0) would understate association. The grid is the
+    // cross product of the two marginal frames — cell-grain tiny, built
+    // as a constant-key hash join (crossBroadcast), not a nested loop.
+    val grid = graft.core.Scalars.crossBroadcast(xm, ym)
+      .join(broadcast(cells), Seq("x", "y"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val terms = graft.core.Scalars.crossBroadcast(grid, tot)
+      .withColumn("expected", round9(
+        col("nx").cast("double") * col("ny").cast("double")
+          / col("nn").cast("double")))
+      .withColumn("term", round9(
+        (col("n").cast("double") - col("expected"))
+          * (col("n").cast("double") - col("expected")) / col("expected")))
+    val table = terms
+      .groupBy("nn", "r", "c")
+      .agg(sum(col("term").cast(acc)).cast("double").as("chi2"))
+      .select(col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round9(sqrt(col("chi2") / (col("nn").cast("double")
+          * least(col("r") - 1, col("c") - 1).cast("double"))))
+          .as("cramers_v"))
+    graft.core.Scalars.crossBroadcast(
+      terms.select("x", "y", "n", "expected", "term"), table)
+      .orderBy("x", "y")
+  }
+
+  /** Recency-weighted activity score: per key, Σ value · 2^(−⌊age/halfLife⌋)
+    * — the decayed engagement/value metric ranking users (or sources) by
+    * recent activity without a full time-series model.
+    *
+    * The weight is a POWER OF TWO by construction: bucketed integer age
+    * makes the decay factor 2^(−b), and dividing an IEEE double by 2^b
+    * only decrements the exponent — exact on both engines, no libm pow
+    * in sight (a fractional-exponent decay would hang cross-engine
+    * determinism on two pow implementations). Weighted terms then cross
+    * the usual order-free decimal accumulator.
+    *
+    * Shape: one narrow projection + one key-grain aggregation — a single
+    * corpus pass, no windows, no joins.
+    *
+    * @param anchor  "now" for age computation (data-set fixed so runs
+    *                reproduce); rows after the anchor clamp to age 0
+    * @param halfLifeDays bucket width b = ⌊age/halfLife⌋ ≥ 0
+    */
+  def recencyScore(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, anchor: java.sql.Date,
+                   halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays > 0, s"recencyScore: halfLife $halfLifeDays")
+    val Acc = org.apache.spark.sql.types.DecimalType(38, 12)
+    val bucket = greatest(
+      floor(datediff(lit(anchor), col(tsCol).cast("date"))
+        / halfLifeDays), lit(0)).cast("int")
+    df.select(col(keyCol),
+        (col(valCol).cast("double")
+          / call_function("shiftleft", lit(1L), bucket).cast("double"))
+          .as("w"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w").cast(Acc)), 2).cast("double").as("score"))
+      .orderBy(keyCol)
+  }
+
+  /** Market-basket association rules over 2-item sets: for part pairs
+    * co-occurring in the same order, support, directional confidence,
+    * and lift — the co-purchase affinity feeding "bought together"
+    * recommendations (and, on a training corpus, tag/domain
+    * co-occurrence mining; same algebra).
+    *
+    * Candidate generation is the classic scale trap: pairs per basket
+    * grow quadratically in basket size, so baskets above `maxBasket`
+    * items are DROPPED before pairing (the standard cap — a 10k-item
+    * basket is a bot/aggregator, not affinity signal; the analogue of
+    * the dedup stack's `maxDf` stop-shingle caps, and the oracle twin
+    * applies the identical cap so the semantics stay pinned). The pair
+    * self-join is orderkey-keyed — co-partitioned, never all-pairs
+    * across baskets. Rules below `minSupport` occurrences drop.
+    *
+    * Determinism: counts are exact integers; support/confidence/lift
+    * divide them in doubles, decimal-9 rounded. Lift is computed as
+    * n·N/(na·nb) in one sequence (confidence/expected would re-divide a
+    * rounded value).
+    *
+    * @return (part_a, part_b, n_pair, n_a, n_b, support, conf_ab,
+    *         conf_ba, lift), part_a < part_b, ordered
+    */
+  def basketRules(lineitem: DataFrame, minSupport: Int = 2,
+                  maxBasket: Int = 100): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sized = items.groupBy("ok").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBasket)
+    val kept = items.join(sized.select("ok"), Seq("ok"))
+    val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
+    val a = kept.select(col("ok"), col("pk").as("part_a"))
+    val b = kept.select(col("ok"), col("pk").as("part_b"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    val itemCounts = kept.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    graft.core.Scalars.crossBroadcast(
+      pairs
+        .join(broadcast(itemCounts.select(col("pk").as("part_a"),
+          col("n_item").as("n_a"))), Seq("part_a"))
+        .join(broadcast(itemCounts.select(col("pk").as("part_b"),
+          col("n_item").as("n_b"))), Seq("part_b")), nBaskets)
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round9(col("n_pair").cast("double")
+          / col("n_baskets").cast("double")).as("support"),
+        round9(col("n_pair").cast("double") / col("n_a").cast("double"))
+          .as("conf_ab"),
+        round9(col("n_pair").cast("double") / col("n_b").cast("double"))
+          .as("conf_ba"),
+        round9(col("n_pair").cast("double") * col("n_baskets").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next event type | current event type). The
     * behavioral-analytics companion to [[funnel]] — funnel counts a

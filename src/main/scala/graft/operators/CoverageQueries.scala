@@ -506,7 +506,57 @@ object CoverageQueries {
     // (Drift.ks scaladoc: one corpus pass, distinct-value-grain tail).
     "q_ks_drift" -> ((s, d) =>
       graft.quality.Drift.ks(Tables.documents(s, d),
-        col("n_chars"), col("doc_id") % 5 === 0)))
+        col("n_chars"), col("doc_id") % 5 === 0)),
+
+    // l-diversity audit next to q_kanon: a QI group can be k-anonymous
+    // yet still leak its sensitive attribute if every member shares one
+    // value (homogeneity attack — Machanavajjhala et al.). Per
+    // (nation, balance-band) QI group: group size, count of DISTINCT
+    // sensitive values (market segment), flagged below l = 3; the
+    // table-wide minimum rides along as a 1-row broadcast. Exact
+    // small-group arithmetic, one aggregation at QI grain.
+    "q_ldiv" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal").cast("double") / 2000).cast("long")
+            .as("bal_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("c_mktsegment")).as("l_div"))
+      val ml = g.agg(min("l_div").as("min_l"))
+      graft.core.Scalars.crossBroadcast(g.filter(col("l_div") < 3), ml)
+        .select(col("c_nationkey"), col("bal_band"), col("n_rows"),
+          col("l_div"), col("min_l"))
+        .orderBy("c_nationkey", "bal_band")
+    }),
+
+    // Right-to-erasure replay: orders written month-partitioned to a
+    // scratch store, then every order of the deletion-queue customers
+    // (custkey ≡ 0 mod 97) is forgotten via deleteKeysPartitioned —
+    // only partitions containing a hit are rewritten (WriterSpec proves
+    // untouched files byte-identical and emptied partitions cleared);
+    // this row proves the delete SEMANTICS end-to-end through a real
+    // write + read-back. An ETL replay — excluded from Bench's warm set.
+    "k6_forget" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"),
+        date_trunc("month", col("o_orderdate").cast("date")).cast("date")
+          .as("DAY_DT"))
+      val root = java.nio.file.Files.createTempDirectory("graft_forget")
+      val dest = root.resolve("t").toString
+      o.write.mode("overwrite").partitionBy("DAY_DT").parquet(dest)
+      val keys = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("o_custkey"))
+      graft.pipeline.LayerWriter.deleteKeysPartitioned(
+        s, dest, "o_custkey", keys, "DAY_DT")
+      graft.core.Scratch.materializeAndDelete(
+        s.read.parquet(dest)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("price"), col("DAY_DT").cast("date").as("DAY_DT"))
+          .orderBy("o_orderkey"),
+        root)
+    }))
 
   def oracles: Map[String, String] = Map(
     // plain (layout-blind) join — bucketing must not change the answer
@@ -532,6 +582,29 @@ object CoverageQueries {
         |SELECT c_mktsegment, c_nationkey, bal_band, n_rows, k_anon
         |FROM g CROSS JOIN k WHERE n_rows < 5
         |ORDER BY c_mktsegment, c_nationkey, bal_band""".stripMargin,
+    "q_ldiv" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT)
+        |           AS bal_band,
+        |         count(*) AS n_rows,
+        |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2),
+        |m AS (SELECT min(l_div) AS min_l FROM g)
+        |SELECT c_nationkey, bal_band, n_rows, l_div, min_l
+        |FROM g CROSS JOIN m WHERE l_div < 3
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
+    // the store after the forget must equal a plain anti-join of the
+    // original — partition-scoped rewrite is invisible to the answer
+    "k6_forget" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(o_totalprice AS DOUBLE) AS price,
+        |       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |         AS DAY_DT
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_custkey % 97 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_ks_drift" ->
       """WITH t AS (
         |  SELECT CAST(n_chars AS BIGINT) AS v, (doc_id % 5 = 0) AS w

@@ -168,6 +168,59 @@ object LayerWriter {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(dest)
   }
+
+  /** Right-to-erasure (GDPR/CCPA "forget") over a partitioned store:
+    * delete every row whose `keyCol` appears in `keys`, rewriting ONLY
+    * the partitions that contain a hit — the partition-scoped
+    * counterpart of [[mergeIntoPartitioned]], and the operation a
+    * 100 TB corpus runs weekly against its deletion queue.
+    *
+    * Two passes over the pruned slice, none over the full table:
+    * pass 1 finds the touched partition values (a semi join against the
+    * key set — broadcast when small, shuffle otherwise; Spark picks);
+    * pass 2 re-reads ONLY those directories (isin-pruned scan),
+    * anti-joins the keys out, and dynamic-partition-overwrites them.
+    * A partition with no hit is never read twice, never rewritten —
+    * its files stay byte-identical (WriterSpec). An empty key set (or
+    * no hits) is a no-op.
+    *
+    * Same non-atomicity contract as [[mergeIntoPartitioned]]: readers
+    * may observe a touched partition mid-rewrite; the window is the
+    * touched slice, not the table.
+    */
+  def deleteKeysPartitioned(spark: SparkSession, dest: String,
+                            keyCol: String, keys: DataFrame,
+                            partitionCol: String): Unit = {
+    require(keys.columns.sameElements(Array(keyCol)),
+      s"keys frame must be single-column [$keyCol], got " +
+        keys.columns.mkString(","))
+    val stored = spark.read.parquet(dest)
+    val touched = stored.join(keys, Seq(keyCol), "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (touched.nonEmpty) {
+      val slice = spark.read.parquet(dest)
+        .filter(col(partitionCol).isin(touched: _*))
+      val remaining = slice.join(keys, Seq(keyCol), "left_anti")
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // written data — a partition emptied by the delete would silently
+      // keep its old files. Clear those directories explicitly.
+      val kept = remaining.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val emptied = touched.filterNot(kept.contains)
+      remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(dest)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dest,
+          ExternalCatalogUtils.getPartitionPathString(
+            partitionCol, String.valueOf(v))), true)
+      }
+    }
+  }
 }
 
 /** JDBC sink primitives (K1 write side, `utils.py:214-246`): mode map,

@@ -176,4 +176,120 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getString(0) == "a" &&
       out.head.getString(1) == "b", out.mkString(","))
   }
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("trendFit recovers an exact line with r2 = 1") {
+    // y = 2x + 5 with x the day offset from 2000-01-01
+    val daily = Seq(1, 2, 5, 9).map(x =>
+      ("k", d("2000-01-01").toLocalDate.plusDays(x).toString, 2.0 * x + 5))
+      .map { case (k, ds, y) => (k, d(ds), y) }
+      .toDF("k", "day", "v")
+    val r = Analytics.trendFit(daily, "k", "day", "v").collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 5.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("trendFit: constant series has zero slope and NULL r2") {
+    val daily = Seq(1, 2, 3).map(x =>
+      ("k", d("2000-01-01").toLocalDate.plusDays(x).toString, 7.0))
+      .map { case (k, ds, y) => (k, d(ds), y) }
+      .toDF("k", "day", "v")
+    val r = Analytics.trendFit(daily, "k", "day", "v").collect().head
+    assert(r.getAs[Double]("slope") == 0.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+    assert(r.get(r.fieldIndex("r2")) == null, "zero y-variance ⇒ NULL r2")
+  }
+
+  test("trendFit: a single point cannot be fit — NULL columns, no NaN") {
+    val daily = Seq(("k", d("2000-01-05"), 3.0)).toDF("k", "day", "v")
+    val r = Analytics.trendFit(daily, "k", "day", "v").collect().head
+    assert(r.get(r.fieldIndex("slope")) == null)
+    assert(r.get(r.fieldIndex("intercept")) == null)
+    assert(r.get(r.fieldIndex("r2")) == null)
+  }
+
+  test("chiSquare: independence scores zero, perfect association V = 1") {
+    val indep = (for { x <- Seq("a", "b"); y <- Seq(0L, 1L); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r0 = Analytics.chiSquare(indep, "x", "y").collect().head
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Double]("cramers_v") == 0.0)
+    assert(r0.getAs[Long]("dof") == 1L)
+
+    // diagonal 2×2: chi2 = nn·min(R−1,C−1) = 20, V = 1 — and the two
+    // ZERO-observed cells must appear with term (0−5)²/5 = 5, not drop
+    val assoc = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("b", 1L)))
+      .toDF("x", "y")
+    val rows = Analytics.chiSquare(assoc, "x", "y").collect()
+    assert(rows.length == 4, "full R×C grid, zero cells included")
+    val byCell = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("term")))).toMap
+    assert(byCell(("a", 1L)) == ((0L, 5.0)), s"zero cell term: $byCell")
+    val r1 = rows.head
+    assert(r1.getAs[Double]("chi2") == 20.0, r1.toString)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("chiSquare: expected counts come from the marginals") {
+    // 2×2 with skewed marginals: row a 30, row b 10; col 0 20, col 1 20
+    val rows = Seq.fill(15)(("a", 0L)) ++ Seq.fill(15)(("a", 1L)) ++
+      Seq.fill(5)(("b", 0L)) ++ Seq.fill(5)(("b", 1L))
+    val out = Analytics.chiSquare(rows.toDF("x", "y"), "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("expected"))
+      .toMap
+    assert(out(("a", 0L)) == 15.0 && out(("b", 1L)) == 5.0,
+      s"expected = nx·ny/nn: $out")
+  }
+
+  test("recencyScore: power-of-two decay, future rows clamp to weight 1") {
+    val ev = Seq(
+      ("u1", ts("2024-01-30 10:00:00"), 8.0),  // 2 days old, bucket 0
+      ("u1", ts("2024-01-10 10:00:00"), 8.0),  // 22 days old, bucket 3 → /8
+      ("u2", ts("2024-02-05 10:00:00"), 4.0))  // after anchor → bucket 0
+      .toDF("k", "ts", "v")
+    val out = Analytics.recencyScore(ev, "k", "ts", "v",
+      d("2024-02-01"), 7).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("u1") == ((2L, 9.0)), s"8 + 8/8: $out")
+    assert(out("u2") == ((1L, 4.0)), s"future event keeps full weight: $out")
+  }
+
+  test("recencyScore rejects a non-positive half-life") {
+    val ev = Seq(("u", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException](
+      Analytics.recencyScore(ev, "k", "ts", "v", d("2024-02-01"), 0))
+  }
+
+  test("basketRules: support, directional confidence, lift") {
+    // o1{A,B} o2{A,B} o3{A,C} o4{B}; the duplicate (o1,A) row must not
+    // double-count the basket
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketRules(li, minSupport = 2).collect()
+    assert(out.length == 1, s"only (A,B) clears min support: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("n_pair") == 2 && r.getAs[Long]("n_a") == 3 &&
+      r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("support") == 0.5)
+    assert(r.getAs[Double]("conf_ab") == 0.666666667, "2/3 decimal-9")
+    assert(r.getAs[Double]("lift") == 0.888888889, "2·4/(3·3) decimal-9")
+  }
+
+  test("basketRules: oversized baskets drop out of candidate generation") {
+    // o1 is a 3-item basket; with maxBasket = 2 it contributes nothing,
+    // and the pair (10,20) from o2/o3 survives with n_baskets = 2
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketRules(li, minSupport = 2, maxBasket = 2)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_pair") == 2)
+    assert(out.head.getAs[Double]("support") == 1.0,
+      "capped basket must not count in the universe either")
+  }
 }

@@ -85,6 +85,68 @@ class WriterSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteKeysPartitioned rewrites only hit partitions, clears emptied ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget")
+    try {
+      val dest = root.toString + "/t"
+      // p=1 has a hit among survivors, p=2 is emptied entirely, p=3 untouched
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3))
+        .toDF("k", "v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dest)
+      def files(sub: String): Map[String, Seq[Byte]] = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(dest, sub)
+        if (!java.nio.file.Files.exists(dir)) return Map.empty
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => p.toString -> java.nio.file.Files.readAllBytes(p).toSeq)
+          .toMap
+        finally walk.close()
+      }
+      val p3Before = files("p=3")
+      assert(p3Before.nonEmpty)
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(1L, 3L).toDF("k"), "p")
+      assert(files("p=3") == p3Before,
+        "partition with no hit must stay byte-identical")
+      assert(files("p=2").isEmpty,
+        "fully-deleted partition must not keep stale files")
+      val after = spark.read.parquet(dest)
+        .select("k", "v", "p").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(after == Set((2L, "b", 1), (4L, "d", 3)), s"got $after")
+      // a keyset with no hits is a no-op: files untouched everywhere
+      val p1After = files("p=1")
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(99L).toDF("k"), "p")
+      assert(files("p=1") == p1After && files("p=3") == p3Before,
+        "no-hit delete must not rewrite anything")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("deleteKeysPartitioned rejects a malformed keys frame") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_forget2")
+    try {
+      Seq((1L, 1)).toDF("k", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dest.toString + "/t")
+      val ex = intercept[IllegalArgumentException](
+        LayerWriter.deleteKeysPartitioned(spark, dest.toString + "/t", "k",
+          Seq((1L, "x")).toDF("k", "extra"), "p"))
+      assert(ex.getMessage.contains("single-column"))
+    } finally {
+      val walk = java.nio.file.Files.walk(dest)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("CSV drop-dir streaming ingests files as they appear") {
     val drop = java.nio.file.Files.createTempDirectory("graft_drop")
     val schema = StructType(Seq(
