@@ -264,6 +264,12 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseStreaming(s, d,
         s"graft_cpjoin_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+    // state): surviving fingerprint set must equal batch DISTINCT
+    "st_dedup" -> ((s, d) =>
+      streaming.EventsStream.dedupStreamReplay(s, d,
+        s"graft_stdedup_${streamCounter.incrementAndGet()}")
+        .orderBy("fp")),
     // stream-static enrichment: event stream left-joined to a selective
     // static customer dim (stateless — no state store, no watermark);
     // batch join semantics are the oracle
@@ -597,6 +603,12 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // streaming dedup twin: the deterministic invariant is the
+    // surviving fingerprint SET (which duplicate wins is arrival order)
+    "st_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "st_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
         |FROM events e

@@ -843,6 +843,34 @@ object Dedup {
         (col("v") === col("label")).as("is_keeper"))
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, keep every
+    * document and DOWN-WEIGHT each near-dup cluster to unit total mass —
+    * weight 1/|cluster| per member (SoftDeDup, He et al. 2024: hard
+    * dedup discards phrasing diversity the duplicates carry; reweighting
+    * keeps it while removing the over-count bias in the training
+    * objective). Docs outside every cluster weigh 1.0 (their own
+    * singleton). The weights feed the sampler exactly where
+    * [[graft.functions.TextAnalysis]]'s mixture/temperature weights do.
+    *
+    * Shape: one doc_id-keyed left join against the label closure and one
+    * label-partitioned window — the closure is the expensive step and is
+    * shared (memoized) with the cluster/canonical consumers; nothing
+    * here exceeds one corpus-grain exchange on `cluster_id`.
+    */
+  def softWeights(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    docs.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight",
+        round((lit(1.0) / col("cluster_size").cast("double")).cast(d2012), 9)
+          .cast("double"))
+  }
+
   /** Quality-aware canonical selection: the end of the dedup funnel.
     * [[dedupClusters]] keeps the MINIMUM doc_id of each component — fine
     * as a deterministic tie-break, but production pipelines keep the

@@ -364,7 +364,7 @@ object TrainingQueries {
     // the near-dup funnel: LSH signature+pair graph and its transitive
     // closure — read by dd_cluster/dd_canonical (the signature half also
     // serves dd_minhash_lsh through PlanMemo)
-    ("__neardup_closure_fill", Set("dd_cluster", "dd_canonical"),
+    ("__neardup_closure_fill", Set("dd_cluster", "dd_canonical", "dd_reweight"),
       (s, d) => { ccLabels(s, d).count(); () }),
     // the stored band index an incremental wave probes
     ("__band_index_fill", Set("dd_incremental_lsh"),
@@ -676,6 +676,12 @@ object TrainingQueries {
       Multimodal.audioFingerprint(
         Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id")),
+    // VAD-style silence segmentation over the same decoded window
+    // energies: maximal voiced/silent runs → per-utterance segments
+    "mm_segments" -> ((s, d) =>
+      Multimodal.audioSegments(
+        Multimodal.assets(Tables.documents(s, d)))
+        .toDF().orderBy("asset_id", "seg_idx")),
     // per-frame video energies through the real GIF decode chain —
     // container parse, LZW, palette lookup all falsified by the
     // closed-form oracle; keyframe pick / temporal near-dup primitive
@@ -945,6 +951,12 @@ object TrainingQueries {
     // min id — what a production dedup actually keeps
     "dd_canonical" -> ((s, d) =>
       Dedup.canonicalOf(Tables.documents(s, d), ccLabels(s, d))
+        .orderBy("doc_id")),
+    // SoftDeDup: keep every doc, weight each near-dup cluster to unit
+    // total mass (1/|cluster|) — the reweighting alternative to
+    // dropping; shares the memoized closure with cluster/canonical
+    "dd_reweight" -> ((s, d) =>
+      Dedup.softWeights(Tables.documents(s, d), ccLabels(s, d))
         .orderBy("doc_id")),
     // data-mixture sampling: per-source token budgets → deterministic
     // rate-based keep verdicts. Budgets exercise every branch: rate<1
@@ -1713,6 +1725,26 @@ object TrainingQueries {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       (v = cluster_id) AS is_keeper
         |FROM comp ORDER BY doc_id""".stripMargin),
+    // reweight twin: the same closure, every document labeled (left
+    // join → singleton label = own id), weight = decimal-9 1/|cluster|
+    "dd_reweight" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
+      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |            UNION ALL SELECT doc_b, doc_a FROM prs)
+        |, reach(v, r) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |, comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        |, lab AS (
+        |    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       CAST(ROUND(CAST(CAST(1.0 AS DOUBLE)
+        |         / CAST(count(*) OVER (PARTITION BY cluster_id) AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS weight
+        |FROM lab ORDER BY doc_id""".stripMargin),
     // cluster-signature twin: closure labels + per-cluster elementwise
     // min over the SAME sigs CTE the pair chain derives from
     "dd_cluster_sigs" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
@@ -2149,6 +2181,44 @@ object TrainingQueries {
         |       CAST(m.nw AS INT) AS n_windows, m.mean_energy,
         |       fp.fingerprint
         |FROM m JOIN fp USING (doc_id) ORDER BY asset_id""".stripMargin,
+    // segment twin: the same closed-form window energies and integer-
+    // mean threshold; run boundaries via lag-flip + running sum
+    "mm_segments" ->
+      """WITH auds AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 240 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, nf, nf // 16 AS nw FROM auds),
+        |wins AS (SELECT doc_id, nf, nw, unnest(range(0, nw)) AS wi FROM w),
+        |frames AS (SELECT doc_id, nf, nw, wi,
+        |                  unnest(range(0, 16)) AS fi FROM wins),
+        |en AS (
+        |  SELECT doc_id, wi, any_value(nw) AS nw,
+        |         SUM(abs(((doc_id * 31 + (wi * 16 + fi) * 7) % 65536)
+        |                 - 32768)) AS esum
+        |  FROM frames GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(esum) // any_value(nw) AS BIGINT) AS mean_energy
+        |  FROM en GROUP BY doc_id),
+        |v AS (
+        |  SELECT e.doc_id, e.wi, (e.esum > m.mean_energy) AS voiced
+        |  FROM en e JOIN m USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, wi, voiced,
+        |         CASE WHEN lag(voiced) OVER (PARTITION BY doc_id ORDER BY wi)
+        |                IS DISTINCT FROM voiced THEN 1 ELSE 0 END AS brk
+        |  FROM v),
+        |s AS (
+        |  SELECT doc_id, wi, voiced,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY wi
+        |           ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM r)
+        |SELECT doc_id AS asset_id, CAST(seg - 1 AS INT) AS seg_idx,
+        |       any_value(voiced) AS is_voiced,
+        |       CAST(min(wi) AS INT) AS start_window,
+        |       CAST(count(*) AS INT) AS n_windows
+        |FROM s GROUP BY doc_id, seg
+        |ORDER BY asset_id, seg_idx""".stripMargin,
     "mm_features" ->
       """WITH a AS (
         |  SELECT doc_id, text,

@@ -456,4 +456,32 @@ object EventsStream {
         md5(graft.functions.TextAnalysis.normalized(col("text"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** End-to-end [[dedupStream]] replay for the oracle gate: the
+    * documents table streamed through the file source (arrival
+    * timestamps synthesized from doc_id — deterministic), deduped on
+    * the normalized-content fingerprint, emitting the SURVIVING
+    * FINGERPRINT SET. Which member of a duplicate group survives is
+    * arrival-order-dependent (micro-batch internals), so the gate pins
+    * the invariant that IS deterministic: exactly one row per distinct
+    * fingerprint, none lost — hash-equal to batch `SELECT DISTINCT
+    * md5(normalized(text))`.
+    */
+  def dedupStreamReplay(spark: SparkSession, sfDir: String,
+                        queryName: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        (lit(1704067200L) + col("doc_id")).cast("timestamp"))
+    val q = dedupStream(docs).select("fp")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -326,6 +326,21 @@ class DedupSpec extends AnyFunSuite {
       (5L, 5L, 3, 2L, true), (6L, 5L, 3, 2L, false)))
   }
 
+  test("softWeights: cluster mass sums to one, singletons keep weight 1") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    // labels cover docs 1-3 as one component; 4 and 5 are unlabeled
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "label")
+    val out = Dedup.softWeights(corpus, labels).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 3L, 0.333333333)), s"decimal-9 third: $out")
+    assert(out(2L)._3 == 0.333333333 && out(3L)._3 == 0.333333333)
+    assert(out(4L) == ((4L, 1L, 1.0)), "singleton labels itself, weight 1")
+    assert(out(5L) == ((5L, 1L, 1.0)))
+    assert(out.size == 5, "every document keeps a row — nothing dropped")
+  }
+
   test("chunk dedup: within-doc repetition counts occurrences, not docs") {
     // 20 tokens = two aligned chunks, both identical -> n_occurrences 2
     // in ONE doc; n_docs stays 1, so it is NOT a cross-doc duplicate

@@ -176,6 +176,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L)._1 == 64 && out(1L)._2 == 4, "64 frames = 4 windows")
   }
 
+  test("audioSegments: runs partition the windows at the fingerprint flips") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", Multimodal.WavCodec.encode(160, 1L), "a"),
+      Multimodal.Asset(2L, "audio", Multimodal.WavCodec.encode(64, 7L), "b"))
+      .toDS()
+    val prints = Multimodal.audioFingerprint(assets).collect()
+      .map(p => p.asset_id -> p).toMap
+    val segs = Multimodal.audioSegments(assets).collect()
+      .groupBy(_.asset_id).view.mapValues(_.sortBy(_.seg_idx)).toMap
+    segs.foreach { case (id, ss) =>
+      val p = prints(id)
+      // segments tile [0, n_windows) contiguously, no gaps or overlaps
+      assert(ss.head.start_window == 0)
+      assert(ss.map(_.n_windows).sum == p.n_windows)
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.start_window == a.start_window + a.n_windows, "contiguous")
+          assert(a.is_voiced != b.is_voiced, "adjacent runs alternate")
+        case _ =>
+      }
+      // each segment's voiced flag equals its windows' fingerprint bits
+      ss.foreach { s =>
+        (s.start_window until s.start_window + s.n_windows).foreach { w =>
+          assert(((p.fingerprint >> w) & 1L) == (if (s.is_voiced) 1L else 0L),
+            s"asset $id window $w disagrees with the fingerprint bit")
+        }
+      }
+    }
+    assert(segs(1L).length > 1, "fixture must produce a real split")
+  }
+
   test("videoFrameEnergies: per-frame sums through the real GIF decode") {
     import spark.implicits._
     // 2x2, 3 frames, seed 10: frame f pixel i gray = 2*((10*31+f*7+i)%128)
