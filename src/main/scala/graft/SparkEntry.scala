@@ -238,6 +238,13 @@ object SparkEntry {
     // confidence / lift, basket-size-capped candidate generation)
     "q_assoc" -> ((s, d) =>
       operators.Analytics.basketRules(sources.Tables.lineitem(s, d))),
+    // two-proportion z-test over a parity A/B split (goal = purchase)
+    "q_abtest" -> ((s, d) =>
+      operators.Analytics.abTest(sources.Tables.events(s, d),
+        col("user_id") % 2 === 0)),
+    // Holt's linear smoothing (level+trend) over the q_ewma daily series
+    "q_holt" -> ((s, d) =>
+      operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
     // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
     // recursion as a per-key prefix fold — bit-identical doubles on
     // both engines (no pow(), no FP reassociation)
@@ -798,6 +805,77 @@ object SparkEntry {
         |      FROM tab)
         |SELECT x, y, n, expected, term, chi2, dof, cramers_v
         |FROM terms CROSS JOIN v ORDER BY x, y""".stripMargin,
+    // A/B twin: identical parity assignment, exact counts, one fixed
+    // IEEE sequence for rates / pooled SE / z, decimal-9 rounded
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT
+        |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b,
+        |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+        |          AS BIGINT) AS conv_a,
+        |        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN converted ELSE 0 END)
+        |          AS BIGINT) AS conv_b
+        |      FROM u),
+        |f AS (SELECT *,
+        |        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |        (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled
+        |      FROM g),
+        |f2 AS (SELECT *, sqrt(pooled * (1.0 - pooled)
+        |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |         AS se
+        |       FROM f)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CASE WHEN n_a > 0 THEN
+        |    CAST(ROUND(CAST(pa AS DECIMAL(20,12)), 9) AS DOUBLE) END AS p_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    CAST(ROUND(CAST(pb AS DECIMAL(20,12)), 9) AS DOUBLE) END AS p_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(ROUND(CAST(pa - pb AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |    END AS lift,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN
+        |    CAST(ROUND(CAST((pa - pb) / se AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |    END AS z
+        |FROM f2""".stripMargin,
+    // Holt twin: the same array-pair left fold ([level, trend] — see
+    // holtSmooth's scaladoc for why a struct accumulator is unusable in
+    // DuckDB 1.0), identical literals, decimal-9 re-round
+    "q_holt" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |series AS (
+        |  SELECT payment_mode,
+        |         list(sale_date ORDER BY sale_date) AS ds,
+        |         list(daily_total ORDER BY sale_date) AS vs
+        |  FROM daily GROUP BY 1),
+        |expanded AS (
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
+        |  FROM series)
+        |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
+        |       CAST(ROUND(CAST(list_reduce(
+        |           list_transform(vs[1:t], v -> [v, CAST(0.0 AS DOUBLE)]),
+        |           (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+        |                      0.2 * (0.3 * x[1] + 0.7 * (a[1] + a[2]) - a[1])
+        |                        + 0.8 * a[2]])[1]
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS level,
+        |       CAST(ROUND(CAST(list_reduce(
+        |           list_transform(vs[1:t], v -> [v, CAST(0.0 AS DOUBLE)]),
+        |           (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+        |                      0.2 * (0.3 * x[1] + 0.7 * (a[1] + a[2]) - a[1])
+        |                        + 0.8 * a[2]])[2]
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS trend
+        |FROM expanded
+        |ORDER BY payment_mode, sale_date""".stripMargin),
     // decay twin: the same power-of-two weights (1 << bucket — exact
     // exponent decrement, no libm), decimal-summed, 2-dp render
     "q_decay" ->

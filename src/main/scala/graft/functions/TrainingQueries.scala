@@ -682,6 +682,30 @@ object TrainingQueries {
       Multimodal.audioSegments(
         Multimodal.assets(Tables.documents(s, d)))
         .toDF().orderBy("asset_id", "seg_idx")),
+    // image near-dup CLUSTERS: the banded phash pair graph (same
+    // augmented fixture as mm_phash_pairs) closed into components by
+    // the log-round star contraction — pairwise hamming is not
+    // transitive, dedup keeps one image per component; every image
+    // (clustered or not) gets a labeled row, singletons label themselves
+    "mm_phash_cluster" -> ((s, d) => {
+      val ph = Multimodal
+        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
+        .toDF().select("asset_id", "hash_hi", "hash_lo")
+      val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
+        .select((col("asset_id") + 1000000).as("asset_id"),
+          col("hash_hi"), col("hash_lo")))
+      val pairs = Multimodal.phashPairs(aug)
+        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+      val labels = aug.select(col("asset_id"))
+        .join(Dedup.connectedComponents(pairs)
+          .select(col("v").as("asset_id"), col("label")),
+          Seq("asset_id"), "left")
+        .select(col("asset_id").as("v"),
+          coalesce(col("label"), col("asset_id")).as("label"))
+      Dedup.clustersOf(labels)
+        .withColumnRenamed("doc_id", "asset_id")
+        .orderBy("asset_id")
+    }),
     // per-frame video energies through the real GIF decode chain —
     // container parse, LZW, palette lookup all falsified by the
     // closed-form oracle; keyframe pick / temporal near-dup primitive
@@ -2102,6 +2126,35 @@ object TrainingQueries {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY asset_a, asset_b""".stripMargin),
+    // phash-cluster twin: the pair set above closed by the recursive
+    // min-reachable CTE (like dd_cluster), every image labeled via the
+    // left join, singletons label themselves
+    "mm_phash_cluster" -> (phashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, aug AS (
+        |  SELECT asset_id, hash_hi, hash_lo FROM ph
+        |  UNION ALL
+        |  SELECT asset_id + 1000000, hash_hi, hash_lo FROM ph
+        |  WHERE asset_id % 30 = 0),
+        |prs AS (
+        |  SELECT a.asset_id AS pa, b.asset_id AS pb
+        |  FROM aug a JOIN aug b ON a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT pa AS src, pb AS dst FROM prs
+        |          UNION ALL SELECT pb, pa FROM prs),
+        |reach(v, r) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+        |lab AS (
+        |    SELECT a.asset_id, coalesce(c.cluster_id, a.asset_id)
+        |             AS cluster_id
+        |    FROM aug a LEFT JOIN comp c ON a.asset_id = c.v)
+        |SELECT asset_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       (asset_id = cluster_id) AS is_keeper
+        |FROM lab ORDER BY asset_id""".stripMargin),
     // videoprint twin: every decoded pixel re-derived from the GIF
     // closed form (palette gray 2*idx, idx = (seed*31 + f*7 + i) % 128)
     "mm_videoprint" ->

@@ -215,6 +215,118 @@ object Analytics {
       .orderBy(keyCol, dayCol)
   }
 
+  /** Two-proportion z-test over an A/B split — the experiment readout
+    * next to [[funnel]]: users assigned to arms by a deterministic key
+    * predicate, conversion = reaching the goal event at least once,
+    *
+    *   z = (p_a − p_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+    *
+    * Shape: one user-grain aggregation (the same single fact shuffle as
+    * every user-grain operator here), then a 1-row conditional
+    * aggregate. Counts are exact integers; the z pipeline is one fixed
+    * IEEE sequence over their double casts (sqrt is IEEE-exact),
+    * decimal-9 rounded. Degenerate splits (an empty arm, or p̂ ∈ {0,1}
+    * making the standard error 0) emit NULL z, not an inf/NaN.
+    *
+    * @param inA arm-assignment predicate over the user key (must be
+    *            deterministic — the oracle twin repeats it verbatim)
+    */
+  def abTest(events: DataFrame, inA: org.apache.spark.sql.Column,
+             goal: String = "purchase"): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === goal, 1L).otherwise(0L))
+        .as("converted"))
+      .select(inA.as("in_a"), col("converted"))
+    val g = users.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("in_a"), col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("conv_b"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("conv_a") / d("n_a")
+    val pb = d("conv_b") / d("n_b")
+    val pooled = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled)
+      * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))
+    g.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, round9(pa)).as("p_a"),
+      when(col("n_b") > 0, round9(pb)).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round9(pa - pb)).as("lift"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round9((pa - pb) / se)).as("z"))
+  }
+
+  /** Holt's linear (double-exponential) smoothing over a per-key daily
+    * series — [[ewmaSmooth]] plus a trend component, the next step up
+    * for drifting volumes (an EWMA permanently lags a ramp; Holt tracks
+    * it):
+    *
+    *   ℓ₁ = x₁, b₁ = 0
+    *   ℓₜ = α·xₜ + (1−α)(ℓₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(ℓₜ − ℓₜ₋₁) + (1−β)bₜ₋₁
+    *
+    * Same determinism discipline as EWMA: the recursion is a LEFT FOLD
+    * over the date-ordered value array with a TWO-ELEMENT ARRAY
+    * accumulator [level, trend] — fixed-order multiply/add only, both
+    * engines derive bit-identical doubles, outputs decimal-9 rounded.
+    * An array, not a struct, deliberately: DuckDB 1.0's `list_reduce`
+    * mis-evaluates struct accumulators whose field expressions
+    * reference OTHER fields (probed: `{'l': a.l+1, 'b': a.b+a.l}` over
+    * [1,2,3] folds to b=4 where foldl gives 3), while list-element
+    * references fold correctly — the oracle twin must stay on the
+    * array encoding. ℓₜ is deliberately recomputed inside the bₜ
+    * branch (both texts verbatim) rather than let-bound: both engines
+    * execute the identical IEEE sequence. O(days²) per key, bounded by
+    * the TIME dimension — the only corpus-grain work is the daily
+    * pre-aggregation upstream.
+    */
+  def holtSmooth(daily: DataFrame, keyCol: String, dayCol: String,
+                 valCol: String, alpha: Double = 0.3,
+                 oneMinusAlpha: Double = 0.7, beta: Double = 0.2,
+                 oneMinusBeta: Double = 0.8): DataFrame = {
+    require(math.abs(alpha + oneMinusAlpha - 1.0) < 1e-9 &&
+      math.abs(beta + oneMinusBeta - 1.0) < 1e-9,
+      s"holtSmooth: weights must pair to 1 ($alpha/$oneMinusAlpha, " +
+        s"$beta/$oneMinusBeta)")
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val series = daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
+        col(valCol).as("v")))).as("s"))
+      .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
+        transform(col("s"), p => p.getField("v")).as("vs"))
+    def fold(t: org.apache.spark.sql.Column) = reduce(
+      slice(col("vs"), lit(2), t - 1),
+      array(element_at(col("vs"), lit(1)), lit(0.0)),
+      (a, x) => array(
+        lit(alpha) * x + lit(oneMinusAlpha)
+          * (element_at(a, 1) + element_at(a, 2)),
+        lit(beta) * (lit(alpha) * x + lit(oneMinusAlpha)
+          * (element_at(a, 1) + element_at(a, 2)) - element_at(a, 1))
+          + lit(oneMinusBeta) * element_at(a, 2)))
+    series
+      .select(col(keyCol), posexplode(
+        transform(sequence(lit(1), size(col("vs"))), t =>
+          struct(
+            element_at(col("ds"), t).as("d"),
+            element_at(col("vs"), t).as("v"),
+            round9(element_at(fold(t), 1)).as("l"),
+            round9(element_at(fold(t), 2)).as("b")))))
+      .select(col(keyCol), col("col.d").as(dayCol),
+        col("col.v").as(valCol), col("col.l").as("level"),
+        col("col.b").as("trend"))
+      .orderBy(keyCol, dayCol)
+  }
+
+  /** [[holtSmooth]] over the per-mode daily units series. */
+  def dailySalesHolt(sales: DataFrame): DataFrame =
+    holtSmooth(dailyUnits(sales), "payment_mode", "sale_date", "daily_total")
+
   /** Mutual information between two categorical columns — the
     * feature-relevance screen before training on event attributes
     * (MI(x;y)=0 means y carries no signal about x; dashboards rank

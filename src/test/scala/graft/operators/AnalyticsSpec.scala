@@ -263,6 +263,58 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.recencyScore(ev, "k", "ts", "v", d("2024-02-01"), 0))
   }
 
+  test("abTest: rates, pooled-SE z, hand-checked") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // A = even users {2,4,6,8}: 2 and 4 convert; B = odd {1,3,5,7}: 1 does
+    val ev = (1L to 8L).map(u => (u * 10, ts("2024-01-01 10:00:00"), u,
+      "view")) ++ Seq(2L, 4L, 1L).map(u =>
+      (u * 10 + 1, ts("2024-01-01 11:00:00"), u, "purchase"))
+    val r = Analytics.abTest(
+      ev.toDF("event_id", "ts", "user_id", "event_type"),
+      col("user_id") % 2 === 0).collect().head
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("p_a") == 0.5 && r.getAs[Double]("p_b") == 0.25)
+    assert(r.getAs[Double]("lift") == 0.25)
+    // z = 0.25 / sqrt(0.375·0.625·(1/4+1/4)) = 0.730296743…
+    assert(r.getAs[Double]("z") == 0.730296743, s"z=${r.getAs[Double]("z")}")
+
+    // degenerate: empty B arm and zero pooled SE both yield NULL, not NaN
+    val allA = Analytics.abTest(
+      ev.toDF("event_id", "ts", "user_id", "event_type"), lit(true))
+      .collect().head
+    assert(allA.get(allA.fieldIndex("p_b")) == null &&
+      allA.get(allA.fieldIndex("z")) == null)
+    val noConv = Analytics.abTest(
+      ev.filter(_._4 == "view")
+        .toDF("event_id", "ts", "user_id", "event_type"),
+      col("user_id") % 2 === 0).collect().head
+    assert(noConv.get(noConv.fieldIndex("z")) == null,
+      "zero pooled variance must not divide")
+  }
+
+  test("holtSmooth replays the coupled level/trend recursion") {
+    val daily = Seq(
+      ("k", d("2024-01-03"), 30.0),
+      ("k", d("2024-01-01"), 10.0),
+      ("k", d("2024-01-02"), 20.0))
+      .toDF("k", "day", "v")
+    val out = Analytics.holtSmooth(daily, "k", "day", "v").collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("2024-01-01") == ((10.0, 0.0)))
+    // l2 = .3·20+.7·10 = 13, b2 = .2·3 = 0.6
+    assert(out("2024-01-02") == ((13.0, 0.6)))
+    // l3 = .3·30+.7·13.6 = 18.52, b3 = .2·5.52+.8·0.6 = 1.584
+    assert(out("2024-01-03") == ((18.52, 1.584)), out.toString)
+  }
+
+  test("holtSmooth rejects unpaired weights") {
+    val daily = Seq(("k", d("2024-01-01"), 1.0)).toDF("k", "day", "v")
+    intercept[IllegalArgumentException](
+      Analytics.holtSmooth(daily, "k", "day", "v", beta = 0.2,
+        oneMinusBeta = 0.5))
+  }
+
   test("basketRules: support, directional confidence, lift") {
     // o1{A,B} o2{A,B} o3{A,C} o4{B}; the duplicate (o1,A) row must not
     // double-count the basket
