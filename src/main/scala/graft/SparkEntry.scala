@@ -858,22 +858,25 @@ object SparkEntry {
         |         list(sale_date ORDER BY sale_date) AS ds,
         |         list(daily_total ORDER BY sale_date) AS vs
         |  FROM daily GROUP BY 1),
+        |tr AS (
+        |  SELECT payment_mode, ds, vs,
+        |         list_reduce(
+        |           list_prepend([vs[1], CAST(0.0 AS DOUBLE)],
+        |             list_transform(vs[2:], v -> [v])),
+        |           (a, x) -> list_concat(a,
+        |             [0.3 * x[1] + 0.7 * (a[-2] + a[-1]),
+        |              0.2 * (0.3 * x[1] + 0.7 * (a[-2] + a[-1]) - a[-2])
+        |                + 0.8 * a[-1]])) AS traj
+        |  FROM series),
         |expanded AS (
-        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
-        |  FROM series)
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
+        |         ds, vs, traj
+        |  FROM tr)
         |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |       CAST(ROUND(CAST(list_reduce(
-        |           list_transform(vs[1:t], v -> [v, CAST(0.0 AS DOUBLE)]),
-        |           (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
-        |                      0.2 * (0.3 * x[1] + 0.7 * (a[1] + a[2]) - a[1])
-        |                        + 0.8 * a[2]])[1]
-        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS level,
-        |       CAST(ROUND(CAST(list_reduce(
-        |           list_transform(vs[1:t], v -> [v, CAST(0.0 AS DOUBLE)]),
-        |           (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
-        |                      0.2 * (0.3 * x[1] + 0.7 * (a[1] + a[2]) - a[1])
-        |                        + 0.8 * a[2]])[2]
-        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS trend
+        |       CAST(ROUND(CAST(traj[2 * t - 1] AS DECIMAL(20,12)), 9)
+        |         AS DOUBLE) AS level,
+        |       CAST(ROUND(CAST(traj[2 * t] AS DECIMAL(20,12)), 9)
+        |         AS DOUBLE) AS trend
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
     // decay twin: the same power-of-two weights (1 << bucket — exact
@@ -921,10 +924,11 @@ object SparkEntry {
         |JOIN ic ib ON ib.pk = part_b
         |CROSS JOIN nb
         |ORDER BY part_a, part_b""".stripMargin,
-    // EWMA twin: the same daily decimal money sums, the same left fold
-    // (list_reduce starts its accumulator at the first element exactly
-    // as the Spark reduce() is seeded with element 1), α/1−α as the
-    // same parsed literals, decimal-9 re-round
+    // EWMA twin: the same trajectory left fold (ONE list_reduce per key
+    // appending each eₜ; the running value is the array's last slot —
+    // mirrors ewmaSmooth's O(days) form, same per-step arithmetic as
+    // the old per-t prefix refold so every eₜ is bit-identical),
+    // α/1−α as the same parsed literals, decimal-9 re-round
     "q_ewma" -> (graft.sources.OracleCtes.withEntities("sales") +
       """, daily AS (
         |  SELECT payment_mode, sale_date,
@@ -935,13 +939,20 @@ object SparkEntry {
         |         list(sale_date ORDER BY sale_date) AS ds,
         |         list(daily_total ORDER BY sale_date) AS vs
         |  FROM daily GROUP BY 1),
+        |tr AS (
+        |  SELECT payment_mode, ds, vs,
+        |         list_reduce(
+        |           list_prepend([vs[1]], list_transform(vs[2:], v -> [v])),
+        |           (a, x) -> list_concat(a, [0.3 * x[1] + 0.7 * a[-1]]))
+        |           AS traj
+        |  FROM series),
         |expanded AS (
-        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
-        |  FROM series)
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
+        |         ds, vs, traj
+        |  FROM tr)
         |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |       CAST(ROUND(CAST(list_reduce(vs[1:t],
-        |                (a, x) -> 0.3 * x + 0.7 * a)
-        |              AS DECIMAL(20,12)), 9) AS DOUBLE) AS ewma
+        |       CAST(ROUND(CAST(traj[t] AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |         AS ewma
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
     // anomaly twin: the EWMA chain, lag-1 forecast, decimal-summed Σr²,
@@ -956,14 +967,21 @@ object SparkEntry {
         |         list(sale_date ORDER BY sale_date) AS ds,
         |         list(daily_total ORDER BY sale_date) AS vs
         |  FROM daily GROUP BY 1),
-        |expanded AS (
-        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t, ds, vs
+        |tr AS (
+        |  SELECT payment_mode, ds, vs,
+        |         list_reduce(
+        |           list_prepend([vs[1]], list_transform(vs[2:], v -> [v])),
+        |           (a, x) -> list_concat(a, [0.3 * x[1] + 0.7 * a[-1]]))
+        |           AS traj
         |  FROM series),
+        |expanded AS (
+        |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
+        |         ds, vs, traj
+        |  FROM tr),
         |ew AS (
         |  SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |         CAST(ROUND(CAST(list_reduce(vs[1:t],
-        |                  (a, x) -> 0.3 * x + 0.7 * a)
-        |                AS DECIMAL(20,12)), 9) AS DOUBLE) AS ewma
+        |         CAST(ROUND(CAST(traj[t] AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |           AS ewma
         |  FROM expanded),
         |r AS (
         |  SELECT *, daily_total - forecast AS resid

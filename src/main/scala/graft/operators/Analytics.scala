@@ -114,11 +114,11 @@ object Analytics {
     * LEFT FOLD over each key's date-ordered value array: pure
     * multiply/add in a fixed order, so both engines derive
     * bit-identical doubles (a closed-form pow() version would hang
-    * determinism on two libms' pow rounding — rejected). The running
-    * value at every t re-folds the t-prefix: O(days²) per key, bounded
-    * by the TIME dimension (n ≈ days, a few hundred), never by corpus
-    * size — the per-key series frame is (keys × days) however large
-    * the fact table is, and the only corpus-grain work is the daily
+    * determinism on two libms' pow rounding — rejected). One fold per
+    * key emits the whole trajectory — O(days) lambda evaluations,
+    * bounded by the TIME dimension (n ≈ days), never by corpus size —
+    * the per-key series frame is (keys × days) however large the fact
+    * table is, and the only corpus-grain work is the daily
     * pre-aggregation (decimal money sums, one shuffle).
     *
     * @param daily (key, day, value) frame; (key, day) must be unique
@@ -198,16 +198,27 @@ object Analytics {
         col(valCol).as("v")))).as("s"))
       .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
         transform(col("s"), p => p.getField("v")).as("vs"))
+    // ONE fold per key emitting the whole raw trajectory [e₁,e₂,…]
+    // (running value = the array's last slot): O(days) lambda
+    // evaluations instead of the per-t prefix refold's O(days²) — the
+    // same per-step arithmetic in the same order, so every eₜ is
+    // bit-identical to the refold form (and to the oracle twin, which
+    // mirrors this trajectory text)
+    val traj = reduce(
+      transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
+        v => array(v)),
+      array(element_at(col("vs"), lit(1))),
+      (a, x) => concat(a, array(
+        lit(alpha) * element_at(x, 1)
+          + lit(oneMinusAlpha) * element_at(a, -1))))
     series
+      .withColumn("traj", traj) // materialized once per key
       .select(col(keyCol), posexplode(
         transform(sequence(lit(1), size(col("vs"))), t =>
           struct(
             element_at(col("ds"), t).as("d"),
             element_at(col("vs"), t).as("v"),
-            round(reduce(
-              slice(col("vs"), lit(2), t - 1),
-              element_at(col("vs"), lit(1)),
-              (a, x) => lit(alpha) * x + lit(oneMinusAlpha) * a)
+            round(element_at(col("traj"), t)
               .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
               .cast("double").as("e")))))
       .select(col(keyCol), col("col.d").as(dayCol),
@@ -279,9 +290,10 @@ object Analytics {
     * references fold correctly — the oracle twin must stay on the
     * array encoding. ℓₜ is deliberately recomputed inside the bₜ
     * branch (both texts verbatim) rather than let-bound: both engines
-    * execute the identical IEEE sequence. O(days²) per key, bounded by
-    * the TIME dimension — the only corpus-grain work is the daily
-    * pre-aggregation upstream.
+    * execute the identical IEEE sequence. One fold per key emits the
+    * WHOLE trajectory — O(days) lambda evaluations (see the inline
+    * note); the only corpus-grain work is the daily pre-aggregation
+    * upstream.
     */
   def holtSmooth(daily: DataFrame, keyCol: String, dayCol: String,
                  valCol: String, alpha: Double = 0.3,
@@ -300,23 +312,32 @@ object Analytics {
         col(valCol).as("v")))).as("s"))
       .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
         transform(col("s"), p => p.getField("v")).as("vs"))
-    def fold(t: org.apache.spark.sql.Column) = reduce(
-      slice(col("vs"), lit(2), t - 1),
+    // ONE fold per key producing the whole raw trajectory
+    // [ℓ₁,b₁,ℓ₂,b₂,…] (running state = the array's last two slots, read
+    // via negative element_at on both engines) — O(days) lambda
+    // evaluations. The per-t prefix-refold form q_ewma uses is O(days²)
+    // lambda evaluations and measured 12.6 s at sf0.1 for this operator
+    // (two coupled states double the tree); the trajectory fold's extra
+    // cost is only the growing-array copy, plain memmove.
+    val traj = reduce(
+      transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
+        v => array(v)),
       array(element_at(col("vs"), lit(1)), lit(0.0)),
-      (a, x) => array(
-        lit(alpha) * x + lit(oneMinusAlpha)
-          * (element_at(a, 1) + element_at(a, 2)),
-        lit(beta) * (lit(alpha) * x + lit(oneMinusAlpha)
-          * (element_at(a, 1) + element_at(a, 2)) - element_at(a, 1))
-          + lit(oneMinusBeta) * element_at(a, 2)))
+      (a, x) => concat(a, array(
+        lit(alpha) * element_at(x, 1) + lit(oneMinusAlpha)
+          * (element_at(a, -2) + element_at(a, -1)),
+        lit(beta) * (lit(alpha) * element_at(x, 1) + lit(oneMinusAlpha)
+          * (element_at(a, -2) + element_at(a, -1)) - element_at(a, -2))
+          + lit(oneMinusBeta) * element_at(a, -1))))
     series
+      .withColumn("traj", traj) // materialized once per key
       .select(col(keyCol), posexplode(
         transform(sequence(lit(1), size(col("vs"))), t =>
           struct(
             element_at(col("ds"), t).as("d"),
             element_at(col("vs"), t).as("v"),
-            round9(element_at(fold(t), 1)).as("l"),
-            round9(element_at(fold(t), 2)).as("b")))))
+            round9(element_at(col("traj"), t * 2 - 1)).as("l"),
+            round9(element_at(col("traj"), t * 2)).as("b")))))
       .select(col(keyCol), col("col.d").as(dayCol),
         col("col.v").as(valCol), col("col.l").as("level"),
         col("col.b").as("trend"))
