@@ -55,10 +55,12 @@ object Bench {
   // by the same rule as the merges above.
   // k6_forget writes the whole orders table month-partitioned and
   // replays a partition-scoped delete per invocation — same ETL-replay
-  // class as k4_merge_partitioned.
+  // class as k4_merge_partitioned. src_schema_evolution rewrites the
+  // orders table as two parquet waves per invocation — format/layout
+  // ETL like the ORC round trip.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
     "st_upsert", "k4_merge_partitioned", "k6_forget", "ann_index_append",
-    "src_orc_roundtrip", "q_bucketed_join")
+    "src_orc_roundtrip", "src_schema_evolution", "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -271,6 +271,30 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseStreaming(s, d,
         s"graft_cpjoin_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // schema evolution across corpus waves: wave 1 written with the
+    // original column set, wave 2 with a column the schema grew
+    // mid-corpus; a mergeSchema read serves the union with NULLs where
+    // the old wave predates the column — the drift case every
+    // long-lived 100 TB store hits (an ETL replay; Bench-excluded)
+    "src_schema_evolution" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_schevo")
+      val dest = root.resolve("t").toString
+      val o = sources.Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("append").parquet(dest)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("append").parquet(dest)
+      core.Scratch.materializeAndDelete(
+        s.read.option("mergeSchema", "true").parquet(dest)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("price"),
+            col("o_orderpriority"))
+          .orderBy("o_orderkey"),
+        root)
+    }),
     // streaming exact dedup (dropDuplicatesWithinWatermark — bounded
     // state): surviving fingerprint set must equal batch DISTINCT
     "st_dedup" -> ((s, d) =>
@@ -610,6 +634,14 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // evolution twin: the merged read must equal the union with NULLs
+    // where the old wave predates the grown column
+    "src_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(o_totalprice AS DOUBLE) AS price,
+        |       CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END
+        |         AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // streaming dedup twin: the deterministic invariant is the
     // surviving fingerprint SET (which duplicate wins is arrival order)
     "st_dedup" ->

@@ -413,7 +413,7 @@ object TrainingQueries {
     ("__knn_graph_fill",
       Set("ann_knn_graph", "search_margin", "graph_pagerank",
         "graph_label_prop", "graph_kcore", "graph_triangles",
-        "graph_ppr"),
+        "graph_ppr", "graph_degree_dist"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -432,6 +432,35 @@ object TrainingQueries {
         .orderBy("source")),
     "ts_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+    // langid EVALUATION: confusion matrix against the corpus' lang
+    // label — per-language recall + overall accuracy, the QA readout a
+    // curation pipeline publishes next to the classifier it ships.
+    // Cell-grain frames after one doc-keyed join; marginals window off
+    // the cells, the 1-row total rides a broadcast.
+    "ts_langid_confusion" -> ((s, d) => {
+      val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+      def round9(c: org.apache.spark.sql.Column) =
+        round(c.cast(d2012), 9).cast("double")
+      val docs = Tables.documents(s, d)
+      val cells = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.languageId(docs)
+          .select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+        .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val correct = when(col("lang") === col("predicted_lang"), col("n"))
+        .otherwise(0L)
+      val tot = cells.agg(sum("n").as("nn"), sum(correct).as("ncorr"))
+      graft.core.Scalars.crossBroadcast(
+        cells
+          .withColumn("n_lang", sum("n").over(byLang))
+          .withColumn("n_corr", sum(correct).over(byLang)), tot)
+        .select(col("lang"), col("predicted_lang"), col("n"),
+          round9(col("n_corr").cast("double") / col("n_lang").cast("double"))
+            .as("recall"),
+          round9(col("ncorr").cast("double") / col("nn").cast("double"))
+            .as("accuracy"))
+        .orderBy("lang", "predicted_lang")
+    }),
     "ts_tokens_fp" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.tokenCounts(docs)
@@ -657,6 +686,31 @@ object TrainingQueries {
         .select(col("src"), col("dst"))
       Triangles.triangleStats(
         g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+    // degree distribution of the symmetrized kNN graph + mean degree —
+    // the one-glance hubness/connectivity profile read before tuning k
+    // or thresholding mutual edges; reuses the memoized graph, then
+    // node-grain → degree-grain frames only
+    "graph_degree_dist" -> ((s, d) => {
+      val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+        .select(col("src"), col("dst"))
+      val edges = g
+        .union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val hist = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val tot = hist.agg(sum(col("degree") * col("n_nodes")).as("sum_deg"),
+        sum("n_nodes").as("n"))
+      graft.core.Scalars.crossBroadcast(hist, tot)
+        .select(col("degree"), col("n_nodes"),
+          round((col("sum_deg").cast("double") / col("n").cast("double"))
+            .cast(d2012), 9).cast("double").as("mean_degree"))
+        .orderBy("degree")
     }),
     // margin-scored mining (Artetxe & Schwenk ratio margin) over the
     // same graph config: edges rescored by the two sides' neighborhood
@@ -1091,6 +1145,45 @@ object TrainingQueries {
          |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
          |       CASE $pick ELSE 'und' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    // confusion twin: the SAME generated scorer text, cells + windowed
+    // per-language marginals + 1-row overall accuracy
+    "ts_langid_confusion" -> {
+      val scoreSql = TextAnalysis.markers.toSeq.sortBy(_._1).map {
+        case (lang, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS INT) AS score_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pick = langs.map(l =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |       $scoreSql
+         |  FROM documents),
+         |pred AS (SELECT doc_id, CASE $pick ELSE 'und' END AS predicted_lang
+         |         FROM scored),
+         |cells AS (SELECT d.lang, p.predicted_lang, count(*) AS n
+         |          FROM documents d JOIN pred p USING (doc_id)
+         |          GROUP BY 1, 2),
+         |per AS (SELECT lang, predicted_lang, n,
+         |          CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |          CAST(SUM(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+         |            OVER (PARTITION BY lang) AS BIGINT) AS n_corr
+         |        FROM cells),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |          CAST(SUM(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+         |            AS BIGINT) AS ncorr
+         |        FROM cells)
+         |SELECT lang, predicted_lang, n,
+         |       CAST(ROUND(CAST(CAST(n_corr AS DOUBLE)
+         |         / CAST(n_lang AS DOUBLE) AS DECIMAL(20,12)), 9) AS DOUBLE)
+         |         AS recall,
+         |       CAST(ROUND(CAST(CAST(ncorr AS DOUBLE)
+         |         / CAST(nn AS DOUBLE) AS DECIMAL(20,12)), 9) AS DOUBLE)
+         |         AS accuracy
+         |FROM per CROSS JOIN tot ORDER BY lang, predicted_lang""".stripMargin
     },
     "ts_tokens_fp" ->
       s"""SELECT doc_id,
@@ -2560,6 +2653,20 @@ object TrainingQueries {
            |         AS pr
            |FROM pr$iters ORDER BY pr DESC, node ASC""".stripMargin
     },
+    // degree-distribution twin: same symmetrized-distinct edge set,
+    // degree → histogram, 1-row mean riding a cross join
+    "graph_degree_dist" -> (knnGraphCteSql +
+      """, edges AS (SELECT src, dst FROM graph
+        |            UNION SELECT dst AS src, src AS dst FROM graph),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM edges
+        |        GROUP BY 1),
+        |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(degree * n_nodes) AS BIGINT) AS sum_deg,
+        |               CAST(SUM(n_nodes) AS BIGINT) AS n FROM hist)
+        |SELECT degree, n_nodes,
+        |       CAST(ROUND(CAST(CAST(sum_deg AS DOUBLE) / CAST(n AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS mean_degree
+        |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin),
     // triangles twin: the SAME mutual restriction, the SAME (deg, id)
     // orientation, the same single-division double coefficient
     "graph_triangles" -> (knnGraphCteSql +
