@@ -58,9 +58,12 @@ object Bench {
   // class as k4_merge_partitioned. src_schema_evolution rewrites the
   // orders table as two parquet waves per invocation — format/layout
   // ETL like the ORC round trip.
+  // k7_timetravel commits the orders table three times into a fresh
+  // snapshot store per invocation — the same class.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert", "k4_merge_partitioned", "k6_forget", "ann_index_append",
-    "src_orc_roundtrip", "src_schema_evolution", "q_bucketed_join")
+    "st_upsert", "k4_merge_partitioned", "k6_forget", "k7_timetravel",
+    "ann_index_append", "src_orc_roundtrip", "src_schema_evolution",
+    "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

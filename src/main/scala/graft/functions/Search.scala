@@ -73,6 +73,35 @@ object Search {
       .limit(k)
   }
 
+  /** Exact phrase search over a POSITIONAL inverted index — the
+    * retrieval feature bag-of-words scoring ([[bm25TopK]]) and cosine
+    * ANN cannot express: "these tokens, adjacent, in this order".
+    *
+    * Postings carry (doc_id, position) and are filtered to the
+    * phrase's terms BEFORE any shuffle (the BM25 discipline); the
+    * phrase then matches by chaining doc_id-co-keyed self-joins with
+    * `pos_{i+1} = pos_i + 1` — L−1 equi-joins for an L-term phrase,
+    * every frame bounded by the rarest term's postings list, never the
+    * corpus. Emits (doc_id, n_occurrences) per matching document.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phraseSearch: need at least two terms")
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        split(TextAnalysis.normalized(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+      .filter(col("token").isin(phrase.distinct: _*))
+    def postings(term: String, i: Int) = tok
+      .filter(col("token") === term)
+      .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    val matches = phrase.zipWithIndex
+      .map { case (t, i) => postings(t, i) }
+      .reduce(_.join(_, Seq("doc_id", "anchor")))
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., RRF) of
     * the [[bm25TopK]] lexical ranking and the brute cosine vector
     * ranking ([[Similarity.bruteTopK]]) — the standard fusion modern

@@ -432,6 +432,11 @@ object TrainingQueries {
         .orderBy("source")),
     "ts_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+    // exact phrase search over a positional inverted index — postings
+    // filtered to the phrase terms pre-shuffle, anchor-aligned
+    // equi-joins (pos − i) instead of L−1 inequality chains
+    "search_phrase" -> ((s, d) =>
+      Search.phraseSearch(Tables.documents(s, d), Seq("table", "value"))),
     // langid EVALUATION: confusion matrix against the corpus' lang
     // label — per-language recall + overall accuracy, the QA readout a
     // curation pipeline publishes next to the classifier it ships.
@@ -1307,6 +1312,22 @@ object TrainingQueries {
       s"""WITH $bm25Ctes
          |SELECT doc_id, count(*) AS n_hit, CAST(sum(part) AS DOUBLE) AS score
          |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // phrase twin: positional postings (parallel unnests zip token and
+    // 1-based position), per-term anchor = pos − i, equi-join on anchor
+    // — base offset cancels, so 0- vs 1-based positions are invisible
+    "search_phrase" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token,
+         |         unnest(range(1, len(string_split($normSql, ' ')) + 1))
+         |           AS pos
+         |  FROM documents),
+         |p1 AS (SELECT doc_id, pos AS anchor FROM tok
+         |       WHERE token = 'table'),
+         |p2 AS (SELECT doc_id, pos - 1 AS anchor FROM tok
+         |       WHERE token = 'value')
+         |SELECT doc_id, count(*) AS n_occurrences
+         |FROM p1 JOIN p2 USING (doc_id, anchor)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // RRF fusion twin: both candidate rankings reuse the proven BM25 /
     // cosine CTEs at kCand=50; ranks are integers so the fused score is
     // two deterministic double terms, rounded 9dp through decimal

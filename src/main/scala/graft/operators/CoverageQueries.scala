@@ -529,6 +529,32 @@ object CoverageQueries {
         .orderBy("c_nationkey", "bal_band")
     }),
 
+    // Snapshot time travel: three commits (append, append, logical
+    // overwrite) into a copy-on-write SnapshotTable, then every
+    // HISTORICAL version read back through its pinned manifest and
+    // aggregated — v1 must still answer from under v2/v3 (SnapshotSpec
+    // proves its files stay byte-identical). An ETL replay like the
+    // merges — Bench-excluded.
+    "k7_timetravel" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft_snap")
+      val dest = root.resolve("t").toString
+      graft.pipeline.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === 0), dest)
+      graft.pipeline.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === 1), dest)
+      graft.pipeline.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 3 === 2), dest, append = false)
+      def agg(v: Int) = graft.pipeline.SnapshotTable.read(s, dest, v)
+        .agg(count(lit(1)).as("n_orders"),
+          Money.round2(Money.moneySum(col("price"))).as("total_price"))
+        .select(lit(v).as("version"), col("n_orders"), col("total_price"))
+      graft.core.Scratch.materializeAndDelete(
+        agg(1).unionByName(agg(2)).unionByName(agg(3)).orderBy("version"),
+        root)
+    }),
+
     // Right-to-erasure replay: orders written month-partitioned to a
     // scratch store, then every order of the deletion-queue customers
     // (custkey ≡ 0 mod 97) is forgotten via deleteKeysPartitioned —
@@ -594,6 +620,25 @@ object CoverageQueries {
         |SELECT c_nationkey, bal_band, n_rows, l_div, min_l
         |FROM g CROSS JOIN m WHERE l_div < 3
         |ORDER BY c_nationkey, bal_band""".stripMargin,
+    // each version's read-back must equal the cumulative (append) or
+    // replacing (overwrite) filter the commits applied
+    "k7_timetravel" ->
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(o_totalprice AS DOUBLE) AS price
+        |           FROM orders)
+        |SELECT 1 AS version, count(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |         AS total_price
+        |FROM o WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 2, count(*),
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |FROM o WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, count(*),
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |FROM o WHERE o_orderkey % 3 = 2
+        |ORDER BY version""".stripMargin,
     // the store after the forget must equal a plain anti-join of the
     // original — partition-scoped rewrite is invisible to the answer
     "k6_forget" ->

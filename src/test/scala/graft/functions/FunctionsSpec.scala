@@ -282,6 +282,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch: adjacency, order, overlap, repeated-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),        // "a b" twice
+      (2L, "b a c"),            // reversed order — no match
+      (3L, "a a a"),            // overlapping "a a" matches at 2 anchors
+      (4L, "x y z"))            // no terms at all
+      .toDF("doc_id", "text")
+    val ab = Search.phraseSearch(docs, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == Map(1L -> 2L), s"got $ab")
+    val aa = Search.phraseSearch(docs, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(3L -> 2L), "overlapping occurrences both count")
+    val bac = Search.phraseSearch(docs, Seq("b", "a", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bac == Map(2L -> 1L), "3-term phrase chains both adjacencies")
+    intercept[IllegalArgumentException](
+      Search.phraseSearch(docs, Seq("a")))
+  }
+
   test("winnow pair recall at the shipped config: measured, floored") {
     // The corpus-scale companion of the planted-fragment property test
     // above, at the dd_winnow_pairs operating point (k=8, w=4,
