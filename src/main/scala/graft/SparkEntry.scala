@@ -245,6 +245,13 @@ object SparkEntry {
     // Holt's linear smoothing (level+trend) over the q_ewma daily series
     "q_holt" -> ((s, d) =>
       operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
+    // one-sided CUSUM drift localization over the same daily series
+    "q_cusum" -> ((s, d) =>
+      operators.Analytics.dailySalesCusum(sources.Entities.sales(s, d))),
+    // day-of-week seasonality profile (Monday-based on both engines)
+    "q_seasonal" -> ((s, d) =>
+      operators.Analytics.dailySalesSeasonality(
+        sources.Entities.sales(s, d))),
     // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
     // recursion as a per-key prefix fold — bit-identical doubles on
     // both engines (no pow(), no FP reassociation)
@@ -263,6 +270,12 @@ object SparkEntry {
     // exact-gap spacing merges (end-inclusive windows, spec-pinned)
     "q_session_window" -> ((s, d) =>
       streaming.EventsStream.sessionWindowBatch(sources.Tables.events(s, d))
+        .orderBy("user_id", "session_start")),
+    // the same session_window agg under readStream + watermark (state =
+    // one row per open session); complete source ⇒ hash-equals batch
+    "st_session" -> ((s, d) =>
+      streaming.EventsStream.sessionWindowStreaming(s, d,
+        s"graft_session_${streamCounter.incrementAndGet()}")
         .orderBy("user_id", "session_start")),
     // watermarked stream-stream interval join; the oracle is the batch
     // semantics (DuckDB) — on a fully-available source the watermark
@@ -582,10 +595,11 @@ object SparkEntry {
     val base = operators.CoverageQueries.oracles ++
       functions.TrainingQueries.oracles ++
       sqllab.SqlLab.oracles ++ baseOracles
-    // the streaming sliding twin must equal the batch form bit-for-bit
-    // (fully-available source ⇒ the watermark drops nothing), so it
-    // shares q_sliding_window's oracle text verbatim
-    base + ("st_sliding" -> base("q_sliding_window"))
+    // the streaming sliding/session twins must equal their batch forms
+    // bit-for-bit (fully-available source ⇒ the watermark drops
+    // nothing), so each shares its batch row's oracle text verbatim
+    base + ("st_sliding" -> base("q_sliding_window")) +
+      ("st_session" -> base("q_session_window"))
   }
 
   /** GROUPING SETS text shared verbatim by the Spark entry and the
@@ -911,6 +925,68 @@ object SparkEntry {
         |         AS DOUBLE) AS trend
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
+    // CUSUM twin: same decimal-exact rounded mean, same trajectory
+    // fold (seed 0.0, slot t+1 = Sₜ), flag compares the ROUNDED value
+    "q_cusum" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |series AS (
+        |  SELECT payment_mode,
+        |         list(sale_date ORDER BY sale_date) AS ds,
+        |         list(daily_total ORDER BY sale_date) AS vs,
+        |         CAST(ROUND(CAST(
+        |           CAST(SUM(CAST(daily_total AS DECIMAL(28,6))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE)
+        |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS mu
+        |  FROM daily GROUP BY 1),
+        |tr AS (
+        |  SELECT payment_mode, mu, ds, vs,
+        |         list_reduce(
+        |           list_prepend([CAST(0.0 AS DOUBLE)],
+        |             list_transform(vs, v -> [v])),
+        |           (a, x) -> list_concat(a,
+        |             [greatest(CAST(0.0 AS DOUBLE),
+        |               a[-1] + (x[1] - mu - 5.0))])) AS traj
+        |  FROM series),
+        |expanded AS (
+        |  SELECT payment_mode, mu, unnest(range(1, len(vs) + 1)) AS t,
+        |         ds, vs, traj
+        |  FROM tr)
+        |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total, mu,
+        |       CAST(ROUND(CAST(traj[t + 1] AS DECIMAL(20,12)), 9)
+        |         AS DOUBLE) AS cusum,
+        |       CAST(ROUND(CAST(traj[t + 1] AS DECIMAL(20,12)), 9)
+        |         AS DOUBLE) > 200.0 AS is_change
+        |FROM expanded
+        |ORDER BY payment_mode, sale_date""".stripMargin),
+    // seasonality twin: Monday-based weekday (isodow − 1 ↔ Spark
+    // weekday), exact counts/decimal sums, fixed double sequence
+    "q_seasonal" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, daily AS (
+        |  SELECT payment_mode, sale_date,
+        |         CAST(SUM(quantity) AS DOUBLE) AS daily_total
+        |  FROM sales GROUP BY 1, 2),
+        |bydow AS (
+        |  SELECT payment_mode, CAST(isodow(sale_date) - 1 AS INT) AS dow,
+        |         count(*) AS n_days,
+        |         SUM(CAST(daily_total AS DECIMAL(28,6))) AS sum_v
+        |  FROM daily GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT payment_mode, CAST(SUM(n_days) AS BIGINT) AS n_all,
+        |         SUM(sum_v) AS sum_all
+        |  FROM bydow GROUP BY 1)
+        |SELECT b.payment_mode, b.dow, b.n_days,
+        |       CAST(ROUND(CAST(CAST(b.sum_v AS DOUBLE)
+        |         / CAST(b.n_days AS DOUBLE) AS DECIMAL(20,12)), 9)
+        |         AS DOUBLE) AS mean_value,
+        |       CAST(ROUND(CAST((CAST(b.sum_v AS DOUBLE)
+        |           / CAST(b.n_days AS DOUBLE))
+        |         / (CAST(t.sum_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS seasonal_index
+        |FROM bydow b JOIN tot t USING (payment_mode)
+        |ORDER BY payment_mode, dow""".stripMargin),
     // decay twin: the same power-of-two weights (1 << bucket — exact
     // exponent decrement, no libm), decimal-summed, 2-dp render
     "q_decay" ->

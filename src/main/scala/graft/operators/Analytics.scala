@@ -348,6 +348,96 @@ object Analytics {
   def dailySalesHolt(sales: DataFrame): DataFrame =
     holtSmooth(dailyUnits(sales), "payment_mode", "sale_date", "daily_total")
 
+  /** One-sided CUSUM change detection over a per-key daily series —
+    * the LOCALIZER next to [[ewmaAnomaly]]'s outlier flags: CUSUM
+    * accumulates small persistent drifts that never individually clear
+    * a z-threshold,
+    *
+    *   S₁ = max(0, x₁ − μ − slack),
+    *   Sₜ = max(0, Sₜ₋₁ + (xₜ − μ − slack)),   flag Sₜ > h
+    *
+    * with μ the key's decimal-exact mean (decimal-9-rounded double so
+    * both engines fold from the identical baseline), `slack` the
+    * allowed per-day drift and `h` the alarm threshold. Same
+    * trajectory-fold shape as [[ewmaSmooth]]: O(days) lambda
+    * evaluations per key, fixed-order double arithmetic, outputs
+    * decimal-9 rounded.
+    */
+  def cusum(daily: DataFrame, keyCol: String, dayCol: String,
+            valCol: String, slack: Double, threshold: Double): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val acc = org.apache.spark.sql.types.DecimalType(28, 6)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val series = daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
+        col(valCol).as("v")))).as("s"),
+        round9(sum(col(valCol).cast(acc)).cast("double")
+          / count(lit(1)).cast("double")).as("mu"))
+      .select(col(keyCol), col("mu"),
+        transform(col("s"), p => p.getField("d")).as("ds"),
+        transform(col("s"), p => p.getField("v")).as("vs"))
+    val traj = reduce(
+      transform(col("vs"), v => array(v)),
+      array(lit(0.0)),
+      (a, x) => concat(a, array(
+        greatest(lit(0.0), element_at(a, -1)
+          + (element_at(x, 1) - col("mu") - lit(slack))))))
+    series
+      .withColumn("traj", traj) // slot t+1 holds Sₜ (slot 1 is the seed)
+      .select(col(keyCol), col("mu"), posexplode(
+        transform(sequence(lit(1), size(col("vs"))), t =>
+          struct(
+            element_at(col("ds"), t).as("d"),
+            element_at(col("vs"), t).as("v"),
+            round9(element_at(col("traj"), t + 1)).as("s")))))
+      .select(col(keyCol), col("col.d").as(dayCol),
+        col("col.v").as(valCol), col("mu"), col("col.s").as("cusum"),
+        (col("col.s") > threshold).as("is_change"))
+      .orderBy(keyCol, dayCol)
+  }
+
+  /** [[cusum]] over the per-mode daily units series. */
+  def dailySalesCusum(sales: DataFrame): DataFrame =
+    cusum(dailyUnits(sales), "payment_mode", "sale_date", "daily_total",
+      slack = 5.0, threshold = 200.0)
+
+  /** Day-of-week seasonality profile per key: mean daily value per
+    * weekday and its index against the key's overall daily mean (index
+    * 1.0 = no weekly seasonality) — the calendar decomposition read
+    * before interpreting any daily drift alarm. Weekday is pinned to
+    * Monday = 0 on both engines (Spark `weekday`; DuckDB `isodow − 1`
+    * — their `dayofweek`s disagree on the base). Exact integer counts
+    * and decimal sums; means and the index divide doubles in one fixed
+    * sequence, decimal-9 rounded.
+    */
+  def seasonalProfile(daily: DataFrame, keyCol: String, dayCol: String,
+                      valCol: String): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val acc = org.apache.spark.sql.types.DecimalType(28, 6)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val byDow = daily
+      .groupBy(col(keyCol), weekday(col(dayCol)).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col(valCol).cast(acc)).as("sum_v"))
+    val totals = byDow.groupBy(col(keyCol))
+      .agg(sum("n_days").as("n_all"), sum("sum_v").as("sum_all"))
+    val mDow = col("sum_v").cast("double") / col("n_days").cast("double")
+    val mAll = col("sum_all").cast("double") / col("n_all").cast("double")
+    byDow.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("n_days"),
+        round9(mDow).as("mean_value"),
+        round9(mDow / mAll).as("seasonal_index"))
+      .orderBy(keyCol, "dow")
+  }
+
+  /** [[seasonalProfile]] over the per-mode daily units series. */
+  def dailySalesSeasonality(sales: DataFrame): DataFrame =
+    seasonalProfile(dailyUnits(sales), "payment_mode", "sale_date",
+      "daily_total")
+
   /** Mutual information between two categorical columns — the
     * feature-relevance screen before training on event attributes
     * (MI(x;y)=0 means y carries no signal about x; dashboards rank

@@ -233,6 +233,24 @@ object SqlLab {
          |WHERE SALE_DATE > DATE '2001-11-05' - 150
          |GROUP BY SALE_MONTH, SALE_YEAR, month(SALE_DATE)
          |ORDER BY month(SALE_DATE), SALE_YEAR""".stripMargin,
+    // Engine extension (no reference text): correlated LATERAL derived
+    // table — per-region top-2 suppliers by mart revenue. The ONE SQL
+    // surface the adapted reference texts don't touch: a correlated
+    // subquery in the FROM clause with its own ORDER BY + LIMIT,
+    // decorrelated by Catalyst into a ranked join (DuckDB runs the
+    // identical text). TOTAL_REVENUE ties break on SUPPLIER_ID.
+    "sql_lateral" ->
+      """SELECT r.region AS REGION, t.SUPPLIER_ID, t.TOTAL_REVENUE
+        |FROM (SELECT DISTINCT region FROM suppliers) r,
+        |LATERAL (
+        |  SELECT sp.SUPPLIER_ID AS SUPPLIER_ID,
+        |         sp.TOTAL_REVENUE AS TOTAL_REVENUE
+        |  FROM supplier_performance sp
+        |  JOIN suppliers s2 ON trim(s2.supplier_id) = trim(sp.SUPPLIER_ID)
+        |  WHERE s2.region = r.region
+        |  ORDER BY sp.TOTAL_REVENUE DESC, sp.SUPPLIER_ID
+        |  LIMIT 2) t
+        |ORDER BY REGION, SUPPLIER_ID""".stripMargin,
     // Sales/Revenue_By_Region.sql:1-11
     "sql_revenue_by_region" ->
       s"""SELECT s.region AS REGION, ${sum2("sp.TOTAL_REVENUE")} AS REGIONAL_REVENUE

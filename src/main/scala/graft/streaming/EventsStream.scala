@@ -221,6 +221,33 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("last_ts"))
 
+  /** [[sessionWindowBatch]] under `readStream`: the SAME session_window
+    * groupBy with a watermark, complete-mode memory sink, drained
+    * synchronously. The state store holds one row per OPEN session —
+    * merging on arrival, exactly the semantics the batch operator
+    * computes at rest — so on a fully-available source streaming must
+    * hash-equal the batch twin (and share its oracle), the
+    * [[slidingAggStreaming]] contract applied to the stateful-merge
+    * window.
+    */
+  def sessionWindowStreaming(spark: SparkSession, sfDir: String,
+                             queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = graft.sources.Tables.microTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming CDC apply: a micro-batched update stream upserted into a
     * stored dimension via `foreachBatch` + MERGE — the production
     * pattern for maintaining a serving table from a change stream

@@ -315,6 +315,39 @@ class AnalyticsSpec extends AnyFunSuite {
         oneMinusBeta = 0.5))
   }
 
+  test("cusum accumulates a persistent shift EWMA-style outliers miss") {
+    // 10 days at 100, then 10 days at 130: each +30 day is well under
+    // any 3σ outlier bar, but CUSUM ramps once the shift starts.
+    // μ = 115, slack 5 ⇒ pre-shift increments are 100−120 = −20
+    // (clamped at 0); post-shift increments are +10 per day.
+    val daily = ((1 to 10).map(i =>
+      ("k", d(f"2024-01-$i%02d"), 100.0)) ++ (11 to 20).map(i =>
+      ("k", d(f"2024-01-$i%02d"), 130.0))).toDF("k", "day", "v")
+    val out = Analytics.cusum(daily, "k", "day", "v",
+      slack = 5.0, threshold = 45.0).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("2024-01-10") == ((0.0, false)), "flat run stays clamped")
+    assert(out("2024-01-11") == ((10.0, false)), "shift starts the ramp")
+    assert(out("2024-01-15") == ((50.0, true)),
+      "five shifted days cross the threshold")
+    assert(out("2024-01-20") == ((100.0, true)), "ramp keeps climbing")
+    assert(out.count(_._2._2) == 6, "exactly the post-crossing days flag")
+  }
+
+  test("seasonalProfile: weekday means and index against the key mean") {
+    // two Mondays at 10, one Tuesday at 40 → overall mean 20;
+    // Monday index 0.5, Tuesday index 2.0 (2024-01-01 is a Monday)
+    val daily = Seq(
+      ("k", d("2024-01-01"), 10.0), ("k", d("2024-01-08"), 10.0),
+      ("k", d("2024-01-02"), 40.0)).toDF("k", "day", "v")
+    val out = Analytics.seasonalProfile(daily, "k", "day", "v").collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(out(0) == ((2L, 10.0, 0.5)), s"Monday: $out")
+    assert(out(1) == ((1L, 40.0, 2.0)), s"Tuesday: $out")
+  }
+
   test("basketRules: support, directional confidence, lift") {
     // o1{A,B} o2{A,B} o3{A,C} o4{B}; the duplicate (o1,A) row must not
     // double-count the basket
