@@ -712,6 +712,68 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE merge-rule TRAINING (Sennrich et al.) — the iterative loop
+    * [[bpePairCounts]] is one step of: `rounds` times, count every
+    * adjacent symbol pair over the DISTINCT-word frequency table, take
+    * the most frequent pair (count desc, then lexicographic — the
+    * deterministic tie-break), and merge it left-to-right in every
+    * word. Emits the learned merge table `(round, lhs, rhs,
+    * pair_count)` — the artifact a tokenizer ships; [[subwordEncode]]
+    * is the corresponding APPLY stage.
+    *
+    * Distribution shape: the per-round pair count is a vocab-sized
+    * aggregation (never corpus grain — word frequencies absorb the
+    * corpus, [[bpePairCounts]]'s scaladoc argument); the merge DECISION
+    * is one collected row per round — the same driver-scalar contract
+    * as the clustering fixpoint probes, and exactly where production
+    * trainers put the sequential step (the algorithm is inherently
+    * sequential in merges). Word symbol strings use a canonical
+    * double-space separator form, so a merge is a LITERAL
+    * `replace(' l  r ', ' lr ')` — left-to-right non-overlapping in
+    * both engines, no regex escaping — re-canonicalized each round.
+    *
+    * The word table rides [[graft.core.PlanMemo]] so the per-round
+    * lineage replays narrow projections over a cached vocab-sized
+    * frame, not five corpus scans.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"bpeTrain: bad rounds $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.core.PlanMemo.cached("bpe_words",
+      docs.select(explode(split(normalized(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq")))
+    def canonical(c: Column): Column =
+      concat(lit(" "), array_join(split(trim(c), " +"), "  "), lit(" "))
+    var state = words.select(col("freq"),
+      concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  "),
+        lit(" ")).as("seq"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to rounds) {
+      val top = state
+        .withColumn("s", split(trim(col("seq")), " +"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) counts DOWN, not []
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("l"),
+              element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: no pairs left at round $round")
+      val (l, r, cnt) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      merges += ((round, l, r, cnt))
+      state = state.withColumn("seq", canonical(
+        replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r "))))
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .orderBy("round")
+  }
+
   /** Deterministic shard layout for a training run: every document gets
     * a reproducible pseudorandom `(shard_id, shard_pos)`. The salted-md5
     * order is the global shuffle (consecutive documents from one crawl

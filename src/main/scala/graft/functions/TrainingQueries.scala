@@ -532,6 +532,11 @@ object TrainingQueries {
     // one BPE count→merge statistics pass over the word-frequency table
     "ts_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), topK = 50)),
+    // the TRAINING loop those statistics feed: five count→argmax→merge
+    // rounds over the vocab-sized word table; the learned merge table
+    // is the output (subword_encode is the apply stage)
+    "ts_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), rounds = 5)),
     // the APPLY stage: corpus-learned trigram vocab run greedily over
     // every distinct word (TextAnalysis.subwordEncode scaladoc); the
     // oracle replays the same greedy scan as a recursive CTE
@@ -1375,6 +1380,46 @@ object TrainingQueries {
          |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
          |FROM pairs GROUP BY 1
          |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+    // BPE-train twin: five unrolled count→argmax→merge rounds over the
+    // same double-space canonical symbol strings (literal replace, then
+    // re-canonicalize); every round CTE MATERIALIZED per the iterative-
+    // oracle cost discipline; zip-longest null pads filtered
+    "ts_bpe_train" -> {
+      val rounds = 5
+      val base =
+        s"""wc AS MATERIALIZED (
+           |  SELECT w, count(*) AS freq
+           |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+           |        FROM documents) t
+           |  WHERE length(w) >= 2 GROUP BY 1),
+           |r0 AS MATERIALIZED (
+           |  SELECT freq, ' ' || array_to_string(regexp_extract_all(w, '.'),
+           |    '  ') || ' ' AS seq
+           |  FROM wc)""".stripMargin
+      val roundCtes = (1 to rounds).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, z[1] AS l, z[2] AS r
+           |        FROM (SELECT freq, unnest(list_zip(s, s[2:])) AS z
+           |              FROM (SELECT freq,
+           |                      string_split_regex(trim(seq), ' +') AS s
+           |                    FROM r${i - 1}) t0
+           |              WHERE len(s) >= 2) t1) t2
+           |  WHERE r IS NOT NULL GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |r$i AS MATERIALIZED (
+           |  SELECT freq, ' ' || array_to_string(string_split_regex(trim(
+           |    replace(seq, ' ' || m.l || '  ' || m.r || ' ',
+           |            ' ' || m.l || m.r || ' ')), ' +'), '  ') || ' '
+           |    AS seq
+           |  FROM r${i - 1} CROSS JOIN m$i m)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to rounds).map(i =>
+        s"SELECT $i AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH $base,\n$roundCtes\n$sel\nORDER BY round"
+    },
     // subword-apply twin: identical vocab learning (occurrence-weighted
     // trigrams, ties lexicographic), then the greedy trigram-or-char
     // scan replayed as a recursive CTE over distinct words — one state

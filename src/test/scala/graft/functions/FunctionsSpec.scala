@@ -282,6 +282,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: merge order, merged symbols re-pair, left-to-right overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab cd"), (2L, "aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) ×2 in each 'abab' = 4. Round 2: (ab,ab)=2 ties
+    // (a,a)=2 from 'aaa' — lexicographic tie-break takes (a,a), and the
+    // left-to-right merge folds ' a  a  a ' to ' aa  a ' (one merge
+    // consumes the left overlap). Round 3: the MERGED symbol re-pairs —
+    // (ab,ab)=2. Round 4: (aa,a)=1 ties (c,d)=1, tie-break on lhs.
+    assert(out(0) == ((1, "a", "b", 4L)), out.mkString(","))
+    assert(out(1) == ((2, "a", "a", 2L)), out.mkString(","))
+    assert(out(2) == ((3, "ab", "ab", 2L)), "merged symbol must re-pair")
+    assert(out(3) == ((4, "aa", "a", 1L)),
+      "left-to-right merge leaves the overlap remainder")
+  }
+
   test("phraseSearch: adjacency, order, overlap, repeated-term phrases") {
     import spark.implicits._
     val docs = Seq(
