@@ -60,10 +60,12 @@ object Bench {
   // ETL like the ORC round trip.
   // k7_timetravel commits the orders table three times into a fresh
   // snapshot store per invocation — the same class.
+  // st_restart re-writes the sales fact as two parquet waves and runs
+  // two full query incarnations per invocation — st_csv_drop's class.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_upsert", "k4_merge_partitioned", "k6_forget", "k7_timetravel",
-    "ann_index_append", "src_orc_roundtrip", "src_schema_evolution",
-    "q_bucketed_join")
+    "st_restart", "st_upsert", "k4_merge_partitioned", "k6_forget",
+    "k7_timetravel", "ann_index_append", "src_orc_roundtrip",
+    "src_schema_evolution", "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

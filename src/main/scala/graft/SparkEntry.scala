@@ -321,6 +321,11 @@ object SparkEntry {
       streaming.EventsStream.enrichStreaming(s, d,
         s"graft_enrich_${streamCounter.incrementAndGet()}")
         .orderBy("event_id")),
+    // checkpoint-restart exactly-once: two query incarnations over one
+    // checkpoint + parquet sink; hash-equality vs the batch derivation
+    // proves no duplicate and no loss across the restart
+    "st_restart" -> ((s, d) =>
+      streaming.EventsStream.restartReplay(s, d)),
     // CSV-drop ingest replayed against a real drop directory (two of the
     // three files appear only mid-stream); batch sales derivation is the
     // oracle. sale_id is non-unique → full-row ORDER BY for determinism.
@@ -599,7 +604,10 @@ object SparkEntry {
     // bit-for-bit (fully-available source ⇒ the watermark drops
     // nothing), so each shares its batch row's oracle text verbatim
     base + ("st_sliding" -> base("q_sliding_window")) +
-      ("st_session" -> base("q_session_window"))
+      ("st_session" -> base("q_session_window")) +
+      // restart replay reconstitutes the full sales set exactly once —
+      // the CSV-drop oracle text (full ordered sales) applies verbatim
+      ("st_restart" -> base("st_csv_drop"))
   }
 
   /** GROUPING SETS text shared verbatim by the Spark entry and the

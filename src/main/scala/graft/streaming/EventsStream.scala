@@ -484,6 +484,69 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Checkpoint-restart replay: the exactly-once contract a production
+    * stream lives on. Wave 1 is processed by a first query incarnation
+    * writing through a parquet SINK with a CHECKPOINT location; the
+    * query is stopped (a deploy, a crash), wave 2 arrives, and a brand-
+    * new incarnation starts against the SAME checkpoint + sink. The
+    * file-source offsets and the sink's transaction log must hand over
+    * exactly: wave 1 is neither re-emitted (no duplicates) nor wave 2
+    * missed. The batch sales derivation is the oracle — a hash match
+    * proves exactly-once across the restart, not just at-least-once.
+    */
+  def restartReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val sales = graft.sources.Entities.sales(spark, sfDir).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+    val dropDir = root.resolve("drop")
+    java.nio.file.Files.createDirectories(dropDir)
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drop(mod: Int): Unit = {
+      val stage = root.resolve(s"stage_$mod")
+      sales.filter(col("sale_id") % 2 === mod)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val parts = java.nio.file.Files.list(stage)
+      try {
+        val part = parts.filter(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow()
+        java.nio.file.Files.move(part, dropDir.resolve(s"wave_$mod.parquet"))
+      } finally parts.close()
+    }
+    def runIncarnation(): Unit = {
+      val q = spark.readStream.schema(sales.schema)
+        .parquet(dropDir.toString)
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(0)
+      runIncarnation() // first incarnation consumes wave 0, then "dies"
+      drop(1)
+      runIncarnation() // restart: same checkpoint, same sink, new query
+      graft.core.Scratch.materializeAndDelete(
+        spark.read.parquet(sink)
+          .orderBy("sale_id", "customer_id", "product_id", "sale_date",
+            "quantity", "discount", "shipping_cost", "order_status",
+            "payment_mode"),
+        root)
+    } finally {
+      sales.unpersist(blocking = false)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
   /** End-to-end [[dedupStream]] replay for the oracle gate: the
     * documents table streamed through the file source (arrival
     * timestamps synthesized from doc_id — deterministic), deduped on
