@@ -672,7 +672,10 @@ object Analytics {
       .distinct()
     val sized = items.groupBy("ok").agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBasket)
-    val kept = items.join(sized.select("ok"), Seq("ok"))
+    // kept feeds BOTH pair sides and the item counts — without the memo
+    // the distinct+size-filter subtree evaluates three times per call
+    val kept = graft.core.PlanMemo.cached("basket_kept",
+      items.join(sized.select("ok"), Seq("ok")))
     val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
     val a = kept.select(col("ok"), col("pk").as("part_a"))
     val b = kept.select(col("ok"), col("pk").as("part_b"))
