@@ -65,7 +65,7 @@ object Bench {
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
     "st_restart", "st_upsert", "k4_merge_partitioned", "k6_forget",
     "k7_timetravel", "ann_index_append", "src_orc_roundtrip",
-    "src_schema_evolution", "q_bucketed_join")
+    "src_schema_evolution", "src_badrecords", "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -321,6 +321,50 @@ object SparkEntry {
       streaming.EventsStream.enrichStreaming(s, d,
         s"graft_enrich_${streamCounter.incrementAndGet()}")
         .orderBy("event_id")),
+    // dirty-drop ingestion: a CSV wave with three injected
+    // STRUCTURALLY malformed lines (short row, extra column, stray
+    // text) — DROPMALFORMED serves the clean aggregate, the PERMISSIVE
+    // line count attributes exactly the corrupt remainder. Cell-level
+    // type drift is deliberately NOT injected here: it nulls the cell
+    // rather than dropping the row (Ingest scaladoc + spec). ETL
+    // replay, Bench-excluded.
+    "src_badrecords" -> ((s, d) => {
+      val sales = sources.Entities.sales(s, d)
+        .filter(col("sale_id") % 97 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft_badcsv")
+      val stage = root.resolve("stage")
+      sales.coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(stage.toString)
+      val inDir = root.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      val csv = inDir.resolve("sales.csv")
+      val parts = java.nio.file.Files.list(stage)
+      try {
+        val part = parts.filter(p => p.getFileName.toString.endsWith(".csv"))
+          .findFirst.orElseThrow()
+        java.nio.file.Files.move(part, csv)
+      } finally parts.close()
+      java.nio.file.Files.writeString(csv,
+        "1,2\n" +                                              // short row
+          "1,2,3,2020-01-01,5,0.1,0.2,a,b,EXTRA\n" +           // extra col
+          "stray text without any commas\n",                   // garbage
+        java.nio.file.StandardOpenOption.APPEND)
+      val clean = sources.Ingest.readCsvDropMalformed(
+        s, csv.toString, sales.schema)
+      val everything = sources.Ingest.readCsv(s, csv.toString, sales.schema)
+      val g = clean.groupBy("payment_mode")
+        .agg(count(lit(1)).as("n_sales"),
+          sum("quantity").cast("long").as("total_qty"))
+      val t = clean.agg(count(lit(1)).as("n_clean"))
+      val tl = everything.agg(count(lit(1)).as("n_lines"))
+      core.Scratch.materializeAndDelete(
+        core.Scalars.crossBroadcast(core.Scalars.crossBroadcast(g, t), tl)
+          .select(col("payment_mode"), col("n_sales"), col("total_qty"),
+            col("n_clean"), col("n_lines"),
+            (col("n_lines") - col("n_clean")).as("n_corrupt"))
+          .orderBy("payment_mode"),
+        root)
+    }),
     // checkpoint-restart exactly-once: two query incarnations over one
     // checkpoint + parquet sink; hash-equality vs the batch derivation
     // proves no duplicate and no loss across the restart
@@ -656,6 +700,17 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // bad-records twin: clean per-mode aggregates from the uncorrupted
+    // slice; exactly the three injected lines are the corrupt remainder
+    "src_badrecords" -> (graft.sources.OracleCtes.withEntities("sales") +
+      """, c AS (SELECT * FROM sales WHERE sale_id % 97 = 0),
+        |g AS (SELECT payment_mode, count(*) AS n_sales,
+        |             CAST(SUM(quantity) AS BIGINT) AS total_qty
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT count(*) AS n_clean FROM c)
+        |SELECT payment_mode, n_sales, total_qty, n_clean,
+        |       n_clean + 3 AS n_lines, CAST(3 AS BIGINT) AS n_corrupt
+        |FROM g CROSS JOIN t ORDER BY payment_mode""".stripMargin),
     // evolution twin: the merged read must equal the union with NULLs
     // where the old wave predates the grown column
     "src_schema_evolution" ->

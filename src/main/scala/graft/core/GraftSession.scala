@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // CSV malformedness must be a ROW property, not a projection
+      // property: with parser column pruning on, a row with a corrupt
+      // cell in an UNREFERENCED column silently survives DROPMALFORMED
+      // (and dodges _corrupt_record), so clean-row counts change with
+      // the SELECT list — a correctness trap for the dirty-drop policy
+      // readers (Ingest.readCsvDropMalformed/Permissive). CSV is the
+      // ingest edge, never the hot path; full-row parse there is the
+      // right trade.
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

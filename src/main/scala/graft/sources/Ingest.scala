@@ -31,6 +31,42 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S3 hardening — malformed-row policies for dirty drops (a daily
+    * file with truncated lines, stray text, or type drift must not
+    * poison the load). Measured Spark semantics, pinned by
+    * `IngestBadRecordsSpec`:
+    *
+    *  - DROPMALFORMED drops STRUCTURAL errors (token count mismatching
+    *    the schema — truncated lines, extra columns, stray text)
+    *    unconditionally; a failed CAST drops the row only when the
+    *    failing column is REFERENCED by the query — Spark converts
+    *    just the required columns, so cast-level malformedness is
+    *    projection-scoped even with parser column pruning disabled
+    *    (GraftSession pins `csv.parser.columnPruning.enabled=false`,
+    *    which makes the STRUCTURAL verdict row-global). Both regimes
+    *    are pinned by the spec; a pipeline that must treat type drift
+    *    as row-fatal regardless of projection should read PERMISSIVE
+    *    and filter on the corrupt column.
+    *  - PERMISSIVE + `_corrupt_record` keeps every line and
+    *    dead-letters the RAW text of any row with a structural error
+    *    or a failed cast among the referenced columns — the
+    *    audit policy. Spark requires the corrupt column declared in
+    *    the schema, and a query referencing ONLY that column must
+    *    cache first.
+    */
+  def readCsvDropMalformed(spark: SparkSession, path: String,
+                           schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .schema(schema).csv(path)
+
+  def readCsvPermissive(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** ORC sink + scan — the columnar interchange format the warehouse
     * world that isn't parquet speaks. Spark's native `orc` datasource
     * keeps the same pushdown/pruning machinery as parquet (predicate

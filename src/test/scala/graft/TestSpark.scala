@@ -10,6 +10,8 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // row-property CSV malformedness, as in GraftSession.builder
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
