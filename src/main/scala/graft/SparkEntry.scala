@@ -242,6 +242,11 @@ object SparkEntry {
     "q_abtest" -> ((s, d) =>
       operators.Analytics.abTest(sources.Tables.events(s, d),
         col("user_id") % 2 === 0)),
+    // Laplace-noised count release (deterministic md5 draws, b = 2)
+    "q_dp_noise" -> ((s, d) =>
+      operators.Analytics.laplaceNoisedCounts(
+        sources.Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), b = 2.0)),
     // Holt's linear smoothing (level+trend) over the q_ewma daily series
     "q_holt" -> ((s, d) =>
       operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
@@ -914,6 +919,29 @@ object SparkEntry {
         |      FROM tab)
         |SELECT x, y, n, expected, term, chi2, dof, cramers_v
         |FROM terms CROSS JOIN v ORDER BY x, y""".stripMargin,
+    // DP twin: the same md5-uniform (hex8 + 0.5)/2^32 draw per group
+    // key, the same inverse-CDF sequence, ln decimal-9 rounded
+    "q_dp_noise" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *,
+        |         (('0x' || substr(md5(c_mktsegment || ':' || c_nationkey
+        |             || ':' || 'dp'), 1, 8))::BIGINT + 0.5)
+        |           / 4294967296.0 AS uu
+        |  FROM g),
+        |n2 AS (
+        |  SELECT *,
+        |         CAST(ROUND(CAST(-2.0
+        |           * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |           * ln(1.0 - 2.0 * abs(uu - 0.5))
+        |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS noise
+        |  FROM u)
+        |SELECT c_mktsegment, c_nationkey, n, noise,
+        |       CAST(ROUND(CAST(CAST(n AS DOUBLE) + noise
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS noised
+        |FROM n2 ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // A/B twin: identical parity assignment, exact counts, one fixed
     // IEEE sequence for rates / pooled SE / z, decimal-9 rounded
     "q_abtest" ->

@@ -639,6 +639,41 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Laplace-noised count release — the differential-privacy-shaped
+    * publication step next to the k-anonymity/l-diversity audits: each
+    * group's exact count is released with additive Laplace(b) noise
+    * (b = sensitivity/ε; counts have sensitivity 1). The noise draw is
+    * DETERMINISTIC — an md5-derived uniform per group key (the
+    * engine's seeded-randomness idiom, as in the A-ES sampler) through
+    * the inverse CDF `−b·sign(u−½)·ln(1−2|u−½|)` — so runs reproduce
+    * and the oracle twin re-derives every draw; a production release
+    * would swap in a CSPRNG draw per release, which is the ONE line
+    * that changes. ln rides the decimal-9 guard (libm), everything
+    * else is exact.
+    *
+    * Shape: one aggregation at group grain, then per-row arithmetic.
+    */
+  def laplaceNoisedCounts(df: DataFrame, keyCols: Seq[String],
+                          b: Double): DataFrame = {
+    require(keyCols.nonEmpty && b > 0,
+      s"laplaceNoisedCounts: keys $keyCols, scale $b")
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val keyStr = concat_ws(":",
+      keyCols.map(c => col(c).cast("string")) :+ lit("dp"): _*)
+    val u = (conv(substring(md5(keyStr), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", round9(
+        lit(-b) * signum(u - lit(0.5))
+          * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))))
+      .withColumn("noised",
+        round9(col("n").cast("double") + col("noise")))
+      .orderBy(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Market-basket association rules over 2-item sets: for part pairs
     * co-occurring in the same order, support, directional confidence,
     * and lift — the co-purchase affinity feeding "bought together"

@@ -348,6 +348,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1) == ((1L, 40.0, 2.0)), s"Tuesday: $out")
   }
 
+  test("laplaceNoisedCounts: deterministic draws, scale tracks b") {
+    val df = (1 to 40).map(i => (s"g${i % 4}", i)).toDF("k", "x")
+    val out1 = Analytics.laplaceNoisedCounts(df, Seq("k"), b = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val out2 = Analytics.laplaceNoisedCounts(df, Seq("k"), b = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out1 == out2, "seeded draws must reproduce exactly")
+    assert(out1.values.forall(_._1 == 10L))
+    assert(out1.values.map(_._2).toSet.size == 4,
+      "distinct keys draw distinct noise")
+    out1.foreach { case (k, (n, noise, noised)) =>
+      assert(noise != 0.0 && math.abs(noise) < 100,
+        s"$k: Laplace(2) draw far tail is vanishingly unlikely: $noise")
+      assert(math.abs(noised - (n + noise)) < 1e-9)
+    }
+    // doubling b doubles every draw (same uniform, linear scale)
+    val wide = Analytics.laplaceNoisedCounts(df, Seq("k"), b = 4.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out1.foreach { case (k, (_, noise, _)) =>
+      assert(math.abs(wide(k) - 2 * noise) < 1e-8, s"$k: $noise vs ${wide(k)}")
+    }
+    intercept[IllegalArgumentException](
+      Analytics.laplaceNoisedCounts(df, Seq.empty, 1.0))
+  }
+
   test("basketRules: support, directional confidence, lift") {
     // o1{A,B} o2{A,B} o3{A,C} o4{B}; the duplicate (o1,A) row must not
     // double-count the basket
