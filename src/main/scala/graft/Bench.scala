@@ -63,8 +63,8 @@ object Bench {
   // st_restart re-writes the sales fact as two parquet waves and runs
   // two full query incarnations per invocation — st_csv_drop's class.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
-    "st_restart", "st_upsert", "k4_merge_partitioned", "k6_forget",
-    "k7_timetravel", "ann_index_append", "src_orc_roundtrip",
+    "st_restart", "st_late_drop", "st_upsert", "k4_merge_partitioned",
+    "k6_forget", "k7_timetravel", "ann_index_append", "src_orc_roundtrip",
     "src_schema_evolution", "src_badrecords", "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {

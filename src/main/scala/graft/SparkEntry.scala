@@ -375,6 +375,12 @@ object SparkEntry {
     // proves no duplicate and no loss across the restart
     "st_restart" -> ((s, d) =>
       streaming.EventsStream.restartReplay(s, d)),
+    // watermark NEGATIVE path: a weeks-late wave must be dropped by the
+    // stateful agg, and append finalizes exactly hour_end < watermark
+    "st_late_drop" -> ((s, d) =>
+      streaming.EventsStream.lateDropReplay(s, d,
+        s"graft_late_${streamCounter.incrementAndGet()}")
+        .orderBy("hour_start", "event_type")),
     // CSV-drop ingest replayed against a real drop directory (two of the
     // three files appear only mid-stream); batch sales derivation is the
     // oracle. sale_id is non-unique → full-row ORDER BY for determinism.
@@ -730,6 +736,19 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |  AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+    // late-drop twin: wave 1 only (the late wave is dropped), hours
+    // finalized strictly before the terminal watermark
+    "st_late_drop" ->
+      """WITH w1 AS (
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'),
+        |mx AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM w1)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM w1 CROSS JOIN mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "st_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
         |FROM events e

@@ -484,6 +484,69 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Watermark LATE-DATA DROP replay — the negative path every other
+    * streaming row deliberately avoids (they run complete sources where
+    * the watermark drops nothing and prove batch parity). Here wave 1
+    * (events from Jan 2 on) advances the watermark to max(ts) − 10 min;
+    * wave 2 is ENTIRELY day-1 events — weeks late — and must be
+    * dropped by the stateful hourly aggregation, not aggregated. In
+    * APPEND mode a window emits once the watermark passes its end, so
+    * the final table is exactly wave 1's hours with
+    * `hour_end < watermark` (the last sliver of hours never finalizes —
+    * that is watermark semantics, not loss; the oracle applies the same
+    * cutoff). Proves both drop and finalization arithmetic.
+    */
+  def lateDropReplay(spark: SparkSession, sfDir: String,
+                     queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.sources.Tables.microTs(
+      spark.read.parquet(s"$sfDir/events.parquet")).cache()
+    val cut = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_late")
+    val dropDir = root.resolve("drop")
+    java.nio.file.Files.createDirectories(dropDir)
+    def drop(name: String, slice: DataFrame): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val parts = java.nio.file.Files.list(stage)
+      try {
+        val part = parts.filter(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow()
+        java.nio.file.Files.move(part, dropDir.resolve(s"$name.parquet"))
+      } finally parts.close()
+    }
+    try {
+      drop("wave1", events.filter(col("ts") >= lit(cut)))
+      val stream = spark.readStream.schema(events.schema)
+        .parquet(dropDir.toString)
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Money.round2(Money.moneySum(col("value"))).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try {
+        q.processAllAvailable() // watermark now max(wave1) − 10 min
+        drop("wave2", events.filter(col("ts") < lit(cut))) // weeks late
+        q.processAllAvailable() // must drop wave 2, finalize wave 1
+      } finally q.stop()
+    } finally {
+      events.unpersist(blocking = false)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.table(queryName)
+  }
+
   /** Checkpoint-restart replay: the exactly-once contract a production
     * stream lives on. Wave 1 is processed by a first query incarnation
     * writing through a parquet SINK with a CHECKPOINT location; the
