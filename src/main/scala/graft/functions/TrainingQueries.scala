@@ -803,6 +803,36 @@ object TrainingQueries {
           col("frame_energy"))
         .orderBy("asset_id")
     }),
+    // scene-change segmentation over the same decoded frame energies:
+    // a frame starts a new scene when its |Δenergy| vs the previous
+    // frame EXCEEDS the clip's integer-mean |Δ| (all-integer — sums,
+    // abs, DIV — so both engines agree bit-for-bit); single-frame clips
+    // are one scene. The temporal counterpart of mm_segments' silence
+    // split: keyframes pick a frame, scenes partition the clip.
+    "mm_scenes" -> ((s, d) => {
+      val en = Multimodal.videoFrameEnergies(
+        Multimodal.assets(Tables.documents(s, d))).toDF()
+      val byFrame = org.apache.spark.sql.expressions.Window
+        .partitionBy("asset_id").orderBy("frame_idx")
+      val dd = en
+        .withColumn("ad",
+          abs(col("frame_energy") - lag("frame_energy", 1).over(byFrame)))
+      val thr = dd.filter(col("ad").isNotNull)
+        .groupBy("asset_id")
+        .agg(expr("sum(ad) DIV count(ad)").as("thr"))
+      dd.join(thr, Seq("asset_id"), "left")
+        .withColumn("brk",
+          when(col("ad").isNull || col("ad") > col("thr"), 1).otherwise(0))
+        .withColumn("scene", sum("brk").over(
+          byFrame.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("asset_id"), col("scene"))
+        .agg(min("frame_idx").cast("int").as("start_frame"),
+          count(lit(1)).cast("int").as("n_frames"))
+        .select(col("asset_id"), (col("scene") - 1).cast("int").as("scene_idx"),
+          col("start_frame"), col("n_frames"))
+        .orderBy("asset_id", "scene_idx")
+    }),
     // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
     // corpus has no natural re-crawls, so every 30th image is injected
     // as a verbatim copy on both engines — those pairs MUST surface at
@@ -2350,6 +2380,46 @@ object TrainingQueries {
         |ORDER BY asset_id, frame_idx""".stripMargin,
     // keyframe twin: same closed-form energies, argmax per clip with
     // the earliest-frame tie-break
+    // scene twin: the same closed-form frame energies, lag |Δ|,
+    // integer-mean threshold (// ↔ DIV), break-flag running sum
+    "mm_scenes" ->
+      """WITH vids AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS w,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS h,
+        |         CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+        |       FROM vids),
+        |px AS (SELECT doc_id, nf, f, unnest(range(0, w * h)) AS i
+        |       FROM fr),
+        |en AS (
+        |  SELECT doc_id, f,
+        |         CAST(SUM(2 * ((doc_id * 31 + f * 7 + i) % 128))
+        |           AS BIGINT) AS fe
+        |  FROM px GROUP BY doc_id, f),
+        |dd AS (
+        |  SELECT doc_id, f, fe,
+        |         abs(fe - lag(fe) OVER (PARTITION BY doc_id ORDER BY f))
+        |           AS ad
+        |  FROM en),
+        |thr AS (
+        |  SELECT doc_id, CAST(SUM(ad) // count(ad) AS BIGINT) AS thr
+        |  FROM dd WHERE ad IS NOT NULL GROUP BY 1),
+        |b AS (
+        |  SELECT d.doc_id, d.f,
+        |         CASE WHEN d.ad IS NULL OR d.ad > t.thr THEN 1 ELSE 0 END
+        |           AS brk
+        |  FROM dd d LEFT JOIN thr t USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, f,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY f
+        |           ROWS UNBOUNDED PRECEDING) AS scene
+        |  FROM b)
+        |SELECT doc_id AS asset_id, CAST(scene - 1 AS INT) AS scene_idx,
+        |       CAST(min(f) AS INT) AS start_frame,
+        |       CAST(count(*) AS INT) AS n_frames
+        |FROM s GROUP BY doc_id, scene
+        |ORDER BY asset_id, scene_idx""".stripMargin,
     "mm_keyframes" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS w,
