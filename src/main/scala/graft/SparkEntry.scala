@@ -1098,12 +1098,14 @@ object SparkEntry {
         |FROM bydow b JOIN tot t USING (payment_mode)
         |ORDER BY payment_mode, dow""".stripMargin),
     // decay twin: the same power-of-two weights (1 << bucket — exact
-    // exponent decrement, no libm), decimal-summed, 2-dp render
+    // exponent decrement, no libm; bucket clamped to 62, the shift-
+    // mask overflow guard), decimal-summed, 2-dp render
     "q_decay" ->
       """WITH e AS (
         |  SELECT user_id,
-        |         CAST(greatest(floor(CAST(date_diff('day', CAST(ts AS DATE),
-        |           DATE '2024-02-01') AS DOUBLE) / 7), 0) AS INT) AS b,
+        |         CAST(least(greatest(floor(CAST(date_diff('day',
+        |           CAST(ts AS DATE),
+        |           DATE '2024-02-01') AS DOUBLE) / 7), 0), 62) AS INT) AS b,
         |         value
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,

@@ -619,16 +619,21 @@ object Analytics {
     *
     * @param anchor  "now" for age computation (data-set fixed so runs
     *                reproduce); rows after the anchor clamp to age 0
-    * @param halfLifeDays bucket width b = ⌊age/halfLife⌋ ≥ 0
+    * @param halfLifeDays bucket width b = ⌊age/halfLife⌋, clamped to
+    *                [0, 62]: a JVM `1L << b` MASKS the shift amount mod
+    *                64 (bucket 64 would silently weigh a decade-old row
+    *                at FULL weight), and 2⁻⁶² ≈ 2·10⁻¹⁹ is zero at any
+    *                aggregation scale — the clamp is both the overflow
+    *                guard and semantically free
     */
   def recencyScore(df: DataFrame, keyCol: String, tsCol: String,
                    valCol: String, anchor: java.sql.Date,
                    halfLifeDays: Int): DataFrame = {
     require(halfLifeDays > 0, s"recencyScore: halfLife $halfLifeDays")
     val Acc = org.apache.spark.sql.types.DecimalType(38, 12)
-    val bucket = greatest(
+    val bucket = least(greatest(
       floor(datediff(lit(anchor), col(tsCol).cast("date"))
-        / halfLifeDays), lit(0)).cast("int")
+        / halfLifeDays), lit(0)), lit(62)).cast("int")
     df.select(col(keyCol),
         (col(valCol).cast("double")
           / call_function("shiftleft", lit(1L), bucket).cast("double"))
@@ -653,6 +658,8 @@ object Analytics {
     *
     * Shape: one aggregation at group grain, then per-row arithmetic.
     */
+  /* Null key values are the caller's to coalesce away first: concat_ws
+   * SKIPS nulls, so (null, "x") and ("x", null) would share one draw. */
   def laplaceNoisedCounts(df: DataFrame, keyCols: Seq[String],
                           b: Double): DataFrame = {
     require(keyCols.nonEmpty && b > 0,

@@ -248,13 +248,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val ev = Seq(
       ("u1", ts("2024-01-30 10:00:00"), 8.0),  // 2 days old, bucket 0
       ("u1", ts("2024-01-10 10:00:00"), 8.0),  // 22 days old, bucket 3 → /8
-      ("u2", ts("2024-02-05 10:00:00"), 4.0))  // after anchor → bucket 0
+      ("u2", ts("2024-02-05 10:00:00"), 4.0),  // after anchor → bucket 0
+      ("u3", ts("1970-01-01 00:00:00"), 8.0))  // ancient → bucket clamps 62
       .toDF("k", "ts", "v")
     val out = Analytics.recencyScore(ev, "k", "ts", "v",
       d("2024-02-01"), 7).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out("u1") == ((2L, 9.0)), s"8 + 8/8: $out")
     assert(out("u2") == ((1L, 4.0)), s"future event keeps full weight: $out")
+    // without the 62-clamp the JVM shift masks mod 64 and an ancient
+    // row would come back at FULL weight; clamped it rounds to zero
+    assert(out("u3") == ((1L, 0.0)), s"ancient row must decay out: $out")
   }
 
   test("recencyScore rejects a non-positive half-life") {
