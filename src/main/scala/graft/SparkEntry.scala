@@ -343,12 +343,7 @@ object SparkEntry {
       val inDir = root.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
       val csv = inDir.resolve("sales.csv")
-      val parts = java.nio.file.Files.list(stage)
-      try {
-        val part = parts.filter(p => p.getFileName.toString.endsWith(".csv"))
-          .findFirst.orElseThrow()
-        java.nio.file.Files.move(part, csv)
-      } finally parts.close()
+      core.Scratch.moveSinglePart(stage, ".csv", csv)
       java.nio.file.Files.writeString(csv,
         "1,2\n" +                                              // short row
           "1,2,3,2020-01-01,5,0.1,0.2,a,b,EXTRA\n" +           // extra col
@@ -1109,7 +1104,8 @@ object SparkEntry {
         |         value
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |       CAST(ROUND(SUM(CAST(value / CAST(1 << b AS DOUBLE)
+        |       CAST(ROUND(SUM(CAST(value
+        |         / CAST(CAST(1 AS BIGINT) << b AS DOUBLE)
         |         AS DECIMAL(38,12))), 2) AS DOUBLE) AS score
         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
     // basket twin: identical basket-size cap and min-support gate,

@@ -19,6 +19,24 @@ object Scratch {
     finally walk.close()
   }
 
+  /** Move the single part-file a `coalesce(1)` write produced from its
+    * stage directory to `dest` — the shared tail of every
+    * file-drop/wave replay (CSV drops, parquet waves, restart
+    * fixtures). Fails loudly if no part with the suffix exists, rather
+    * than silently streaming an empty wave.
+    */
+  def moveSinglePart(stage: Path, suffix: String, dest: Path): Unit = {
+    val parts = Files.list(stage)
+    try {
+      val part = parts
+        .filter(p => p.getFileName.toString.endsWith(suffix))
+        .findFirst
+        .orElseThrow(() => new IllegalStateException(
+          s"no *$suffix part file under $stage"))
+      Files.move(part, dest)
+    } finally parts.close()
+  }
+
   /** Pin a SMALL-BY-CONTRACT result into memory, then delete the temp
     * tree it reads from. The collect is bounded by the caller's contract
     * (a top-k result, a dimension snapshot) — never a corpus-sized

@@ -86,7 +86,12 @@ object Search {
     */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "phraseSearch: need at least two terms")
-    val tok = docs.repartition(col("doc_id"))
+    // no pre-shuffle: the narrow explode+filter shrinks the corpus to
+    // the phrase terms' postings, and the anchor equi-joins' own hash
+    // exchanges distribute THOSE — repartitioning the raw text first
+    // (the bm25 shape, which needs every token for doc lengths) would
+    // move full documents for nothing
+    val tok = docs
       .select(col("doc_id"), posexplode(
         split(TextAnalysis.normalized(col("text")), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("token"))

@@ -447,10 +447,14 @@ object TrainingQueries {
       def round9(c: org.apache.spark.sql.Column) =
         round(c.cast(d2012), 9).cast("double")
       val docs = Tables.documents(s, d)
-      val cells = docs.select(col("doc_id"), col("lang"))
-        .join(TextAnalysis.languageId(docs)
-          .select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
-        .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      // cell-grain and tiny, but feeding BOTH the windowed marginals
+      // and the 1-row total — without the memo the doc-keyed join and
+      // the full scoring pass would run twice per invocation
+      val cells = graft.core.PlanMemo.cached("langid_cells",
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.languageId(docs)
+            .select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+          .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n")))
       val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
       val correct = when(col("lang") === col("predicted_lang"), col("n"))
         .otherwise(0L)

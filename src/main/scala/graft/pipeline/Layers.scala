@@ -195,12 +195,37 @@ object LayerWriter {
       s"keys frame must be single-column [$keyCol], got " +
         keys.columns.mkString(","))
     val stored = spark.read.parquet(dest)
+    // the emptied-partition cleanup below reconstructs directory names
+    // from collected values; restrict to the types whose canonical
+    // string form matches Spark's partition-path encoding rather than
+    // silently missing a directory (TIMESTAMP's java toString carries a
+    // trailing '.0' Spark's encoding does not — a stale-file trap)
+    stored.schema(partitionCol).dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"deleteKeysPartitioned: unsupported partition type $other for " +
+          s"$partitionCol (date/string/boolean/integral only)")
+    }
     val touched = stored.join(keys, Seq(keyCol), "left_semi")
       .select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
     if (touched.nonEmpty) {
-      val slice = spark.read.parquet(dest)
-        .filter(col(partitionCol).isin(touched: _*))
+      // isin() never matches NULL — a null partition value needs its
+      // own isNull branch or the to-be-forgotten rows in the default
+      // partition silently survive the rewrite
+      val (nullTouched, valTouched) = touched.partition(_ == null)
+      val matchTouched =
+        if (valTouched.isEmpty) col(partitionCol).isNull
+        else if (nullTouched.isEmpty) col(partitionCol).isin(valTouched: _*)
+        else col(partitionCol).isin(valTouched: _*) ||
+          col(partitionCol).isNull
+      val slice = spark.read.parquet(dest).filter(matchTouched)
       val remaining = slice.join(keys, Seq(keyCol), "left_anti")
       // dynamic overwrite only rewrites partitions PRESENT in the
       // written data — a partition emptied by the delete would silently
@@ -215,9 +240,12 @@ object LayerWriter {
         new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       emptied.foreach { v =>
+        val rendered =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else String.valueOf(v)
         fs.delete(new org.apache.hadoop.fs.Path(dest,
           ExternalCatalogUtils.getPartitionPathString(
-            partitionCol, String.valueOf(v))), true)
+            partitionCol, rendered)), true)
       }
     }
   }

@@ -143,12 +143,8 @@ object EventsStream {
       sales.filter(col("sale_id") % 3 === mod)
         .coalesce(1).write.option("header", "true")
         .mode("overwrite").csv(stage.toString)
-      val parts = java.nio.file.Files.list(stage)
-      try {
-        val part = parts.filter(p => p.getFileName.toString.endsWith(".csv"))
-          .findFirst.orElseThrow()
-        java.nio.file.Files.move(part, dropDir.resolve(s"sales_$mod.csv"))
-      } finally parts.close()
+      graft.core.Scratch.moveSinglePart(stage, ".csv",
+        dropDir.resolve(s"sales_$mod.csv"))
     }
     try {
       drop(0)
@@ -508,13 +504,8 @@ object EventsStream {
     def drop(name: String, slice: DataFrame): Unit = {
       val stage = root.resolve(s"stage_$name")
       slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val parts = java.nio.file.Files.list(stage)
-      try {
-        val part = parts.filter(p =>
-          p.getFileName.toString.endsWith(".parquet"))
-          .findFirst.orElseThrow()
-        java.nio.file.Files.move(part, dropDir.resolve(s"$name.parquet"))
-      } finally parts.close()
+      graft.core.Scratch.moveSinglePart(stage, ".parquet",
+        dropDir.resolve(s"$name.parquet"))
     }
     try {
       drop("wave1", events.filter(col("ts") >= lit(cut)))
@@ -568,13 +559,8 @@ object EventsStream {
       val stage = root.resolve(s"stage_$mod")
       sales.filter(col("sale_id") % 2 === mod)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val parts = java.nio.file.Files.list(stage)
-      try {
-        val part = parts.filter(p =>
-          p.getFileName.toString.endsWith(".parquet"))
-          .findFirst.orElseThrow()
-        java.nio.file.Files.move(part, dropDir.resolve(s"wave_$mod.parquet"))
-      } finally parts.close()
+      graft.core.Scratch.moveSinglePart(stage, ".parquet",
+        dropDir.resolve(s"wave_$mod.parquet"))
     }
     def runIncarnation(): Unit = {
       val q = spark.readStream.schema(sales.schema)

@@ -130,6 +130,57 @@ class WriterSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteKeysPartitioned erases rows in the NULL partition too") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_null")
+    try {
+      val dest = root.toString + "/t"
+      Seq((1L, "a", Some("x")), (2L, "b", None), (3L, "c", None))
+        .toDF("k", "v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dest)
+      // key 2 lives in the __HIVE_DEFAULT_PARTITION__ slice: isin()
+      // alone would never match it and the row would survive
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(2L).toDF("k"), "p")
+      val after = spark.read.parquet(dest).select("k").as[Long]
+        .collect().toSet
+      assert(after == Set(1L, 3L), s"null-partition row must erase: $after")
+      // emptying the null partition clears its directory
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(3L).toDF("k"), "p")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dest, "p=__HIVE_DEFAULT_PARTITION__")),
+        "emptied default partition must not keep stale files")
+      assert(spark.read.parquet(dest).select("k").as[Long]
+        .collect().toSet == Set(1L))
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("deleteKeysPartitioned rejects partition types it cannot re-render") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_ts")
+    try {
+      val dest = root.toString + "/t"
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("k", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dest)
+      val ex = intercept[IllegalArgumentException](
+        LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+          Seq(1L).toDF("k"), "p"))
+      assert(ex.getMessage.contains("unsupported partition type"),
+        "TIMESTAMP dirs encode differently than java toString — refuse " +
+          "loudly instead of leaving stale files")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("deleteKeysPartitioned rejects a malformed keys frame") {
     val dest = java.nio.file.Files.createTempDirectory("graft_forget2")
     try {
