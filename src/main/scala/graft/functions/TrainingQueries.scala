@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Money
-import graft.operators.{KCore, LabelProp, Triangles, PageRank => PageRankOp}
+import graft.operators.{KCore, LabelProp, LinkPred, Triangles, PageRank => PageRankOp}
 import graft.sources.Tables
 
 /** Verifiable queries for the training-data operators (text analysis,
@@ -413,7 +413,7 @@ object TrainingQueries {
     ("__knn_graph_fill",
       Set("ann_knn_graph", "search_margin", "graph_pagerank",
         "graph_label_prop", "graph_kcore", "graph_triangles",
-        "graph_ppr", "graph_degree_dist"),
+        "graph_ppr", "graph_degree_dist", "graph_linkpred"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id").between(1, 16))
@@ -699,6 +699,18 @@ object TrainingQueries {
       val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .select(col("src"), col("dst"))
       Triangles.triangleStats(
+        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+    // common-neighbor link prediction over the mutual graph: non-edge
+    // pairs sharing neighbors, neighborhood-Jaccard ranked — the
+    // densification / retrieval-expansion candidates the stored k missed
+    "graph_linkpred" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
+        .select(col("src"), col("dst"))
+      LinkPred.commonNeighborPairs(
         g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
     }),
     // degree distribution of the symmetrized kNN graph + mean degree —
@@ -2793,6 +2805,34 @@ object TrainingQueries {
            |         AS pr
            |FROM pr$iters ORDER BY pr DESC, node ASC""".stripMargin
     },
+    // linkpred twin: mutual edges, center-wedge pairs, NOT EXISTS
+    // edge removal, Jaccard in one double sequence
+    "graph_linkpred" -> (knnGraphCteSql +
+      """, sym AS MATERIALIZED (
+        |  SELECT src, dst FROM graph
+        |  INTERSECT
+        |  SELECT dst AS src, src AS dst FROM graph),
+        |deg AS MATERIALIZED (
+        |  SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |w AS MATERIALIZED (
+        |  SELECT e1.dst AS node_a, e2.dst AS node_b
+        |  FROM sym e1 JOIN sym e2
+        |    ON e1.src = e2.src AND e1.dst < e2.dst),
+        |cn AS MATERIALIZED (
+        |  SELECT node_a, node_b, count(*) AS common FROM w GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT c.* FROM cn c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sym s
+        |                    WHERE s.src = c.node_a AND s.dst = c.node_b))
+        |SELECT c.node_a, c.node_b, c.common,
+        |       da.deg AS deg_a, db.deg AS deg_b,
+        |       CAST(ROUND(CAST(CAST(c.common AS DOUBLE)
+        |         / CAST(da.deg + db.deg - c.common AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS score
+        |FROM cand c
+        |JOIN deg da ON da.src = c.node_a
+        |JOIN deg db ON db.src = c.node_b
+        |ORDER BY score DESC, node_a, node_b LIMIT 100""".stripMargin),
     // degree-distribution twin: same symmetrized-distinct edge set,
     // degree → histogram, 1-row mean riding a cross join
     "graph_degree_dist" -> (knnGraphCteSql +
