@@ -57,6 +57,79 @@ object Similarity {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
 
+  /** Maximal Marginal Relevance diversified reranking (Carbonell &
+    * Goldstein) — the serving-tier step after retrieval: greedily pick
+    * k results maximizing `λ·sim(q,d) − (1−λ)·max_{s∈selected}
+    * sim(d,s)`, so near-duplicate hits don't crowd the result list.
+    * Completes the retrieve → rerank chain next to [[hybridRrf]]
+    * (which fuses rankings; MMR diversifies one).
+    *
+    * Distribution contract: the corpus-scale work is the candidate
+    * scan (a TakeOrderedAndProject tail, like [[bruteTopK]]) and the
+    * kCand² candidate-pair cosine frame — both in-plan. The greedy
+    * LOOP runs on the driver over those ≤ kCand + kCand² collected
+    * rows (by-contract small, the bounded-collect class): every
+    * similarity it consumes was rounded in-plan by [[roundSim]], and
+    * the λ-combination is two multiplies and a subtract on those
+    * identical doubles, so the DuckDB twin's unrolled-round CTEs
+    * reproduce the selection bit-for-bit. Emits (rnk, vec_id, qsim).
+    */
+  def mmrRerank(embeddings: DataFrame, query: DataFrame, kCand: Int = 50,
+                k: Int = 10, lambda: Double = 0.7,
+                oneMinusLambda: Double = 0.3): DataFrame = {
+    require(k >= 1 && kCand >= k, s"mmrRerank: k $k, kCand $kCand")
+    // both weights arrive as PARSED literals (the ewmaSmooth pattern):
+    // deriving 1−λ at runtime gives 0.30000000000000004, not the 0.3
+    // the oracle text parses — a one-ulp scoring divergence
+    require(lambda >= 0 && lambda <= 1 &&
+      math.abs(lambda + oneMinusLambda - 1.0) < 1e-9,
+      s"mmrRerank: lambda $lambda + $oneMinusLambda must be 1")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = crossBroadcast(embeddings,
+        query.select(col("embedding").as("qvec")))
+      .select(col("vec_id"), col("embedding"),
+        roundSim(cosine(col("embedding"), col("qvec"))).as("qsim"))
+      .orderBy(desc("qsim"), asc("vec_id"))
+      .limit(kCand)
+      .cache()
+    try {
+      val qsims = cand.select("vec_id", "qsim").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val a = cand.select(col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      val b = cand.select(col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      val pairSims = crossBroadcast(a, b)
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          roundSim(cosine(col("ea"), col("eb"))).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      val remaining = scala.collection.mutable.TreeSet[Long](
+        qsims.keys.toSeq: _*)
+      while (selected.length < k && remaining.nonEmpty) {
+        val pick = remaining.iterator.map { v =>
+          val pen =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => pairSims((v, s))).max
+          (v, lambda * qsims(v) - oneMinusLambda * pen)
+        }.reduceLeft { (x, y) =>
+          // argmax: score desc, vec_id asc — TreeSet iteration is id-
+          // ascending, so strictly-greater keeps the smaller id on ties
+          if (y._2 > x._2) y else x
+        }._1
+        selected += pick
+        remaining -= pick
+      }
+      selected.toSeq.zipWithIndex
+        .map { case (v, i) => (i + 1, v, qsims(v)) }
+        .toDF("rnk", "vec_id", "qsim")
+        .orderBy("rnk")
+    } finally cand.unpersist(blocking = false)
+  }
+
   /** Two-stage prefix-dimension retrieval (the Matryoshka/truncated-
     * embedding serving pattern): rank the WHOLE corpus by cosine over
     * only the first `prefixDims` dimensions — a dot product

@@ -598,6 +598,13 @@ object TrainingQueries {
       val e = Tables.embeddings(s, d)
       Similarity.bruteTopK(e, e.filter(col("vec_id") === 0), k = 10)
     }),
+    // MMR diversified reranking over the brute candidate set: greedy
+    // λ·qsim − (1−λ)·max-selected-sim selection (λ and 1−λ both parsed
+    // literals), driver greedy over in-plan-rounded sims only
+    "ann_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") === 0))
+    }),
     // two-stage matryoshka retrieval: coarse rank over the first 16
     // dims, exact cosine re-rank of the 50 survivors
     "ann_prefix_rerank" -> ((s, d) => {
@@ -2181,6 +2188,44 @@ object TrainingQueries {
          |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim
          |FROM embeddings CROSS JOIN q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // MMR twin: the candidate + pair sims from the same rounded cosine
+    // text, then ten unrolled greedy rounds (λ/1−λ as parsed literals;
+    // every score combines ALREADY-ROUNDED sims, so selection is
+    // bit-deterministic); MATERIALIZED per the iterative-oracle rule
+    "ann_mmr" -> {
+      val rounds = (2 to 10).map { i =>
+        s"""sc$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.qsim,
+           |         0.7 * c.qsim - 0.3 * (SELECT max(p.sim) FROM pairs p
+           |           WHERE p.pa = c.vec_id
+           |             AND p.pb IN (SELECT vec_id FROM sel${i - 1}))
+           |           AS score
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL
+           |  SELECT vec_id, qsim, $i FROM (
+           |    SELECT vec_id, qsim FROM sc$i
+           |    ORDER BY score DESC, vec_id LIMIT 1) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings
+         |           WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |         ${cosSql("e.embedding", "qvec")} AS qsim
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY qsim DESC, e.vec_id LIMIT 50),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, qsim, 1 AS rnk FROM cand
+         |  ORDER BY qsim DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT rnk, vec_id, qsim FROM sel10 ORDER BY rnk""".stripMargin
+    },
     // JL twin: the SAME ±1 matrix the engine folds over, embedded as a
     // SQL literal (both sides regenerate from the md5 seed string);
     // list_transform keeps the projection's accumulation order

@@ -9,6 +9,39 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
 
+  test("mmrRerank diversifies: a redundant near-copy loses to a distinct hit") {
+    import spark.implicits._
+    // q=(1,0); vec1=(4,3) and vec2=(8,6) are the SAME direction
+    // (qsim 0.8, mutual sim 1.0); vec3=(0,1) is orthogonal to q
+    // (qsim 0.0) but only 0.6-similar to vec1. Plain top-2 is {1,2};
+    // MMR at λ=0.3 must pick {1,3}: score(2)=0.3·0.8−0.7·1.0=−0.46 <
+    // score(3)=0.3·0.0−0.7·0.6=−0.42. Round 3 takes the copy last.
+    val corpus = Seq(
+      (1L, Array(4f, 3f)), (2L, Array(8f, 6f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, query, kCand = 3, k = 3,
+      lambda = 0.3, oneMinusLambda = 0.7).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+    assert(out(0) == ((1, (1L, 0.8))), s"qsim tie breaks on id: ${out.toSeq}")
+    assert(out(1)._2._1 == 3L, s"the distinct hit must outrank the copy: ${out.toSeq}")
+    assert(out(2)._2._1 == 2L)
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(corpus, query, lambda = 0.3,
+        oneMinusLambda = 0.5))
+  }
+
+  test("mmrRerank at λ=1 is pure relevance — the brute ranking order") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0)
+    val mmr = Similarity.mmrRerank(emb, q, kCand = 20, k = 10,
+      lambda = 1.0, oneMinusLambda = 0.0)
+      .collect().map(_.getLong(1)).toSeq
+    val brute = Similarity.bruteTopK(emb, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr == brute, "zero diversity weight must reduce to top-k")
+  }
+
   test("self-similarity tops the brute-force ranking at 1.0") {
     val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0), 5)
       .collect()
