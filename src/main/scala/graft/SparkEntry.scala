@@ -247,6 +247,14 @@ object SparkEntry {
       operators.Analytics.laplaceNoisedCounts(
         sources.Tables.customer(s, d),
         Seq("c_mktsegment", "c_nationkey"), b = 2.0)),
+    // Benford first-digit audit over order totals (string-exact digit)
+    "q_benford" -> ((s, d) =>
+      operators.Analytics.benford(sources.Tables.orders(s, d),
+        "o_totalprice")),
+    // RFM quintile segmentation over orders (tie-broken ntile orders)
+    "q_rfm" -> ((s, d) =>
+      operators.Analytics.rfm(sources.Tables.orders(s, d),
+        java.sql.Date.valueOf("2001-09-01"))),
     // Holt's linear smoothing (level+trend) over the q_ewma daily series
     "q_holt" -> ((s, d) =>
       operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
@@ -933,6 +941,55 @@ object SparkEntry {
         |      FROM tab)
         |SELECT x, y, n, expected, term, chi2, dof, cramers_v
         |FROM terms CROSS JOIN v ORDER BY x, y""".stripMargin,
+    // Benford twin: DECIMAL(18,2)-string first digit (libm-free digit
+    // extraction), exact counts, ln-ratio expectations decimal-9
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice
+        |           AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
+        |s AS (SELECT digit, n,
+        |        CAST(ROUND(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          AS DECIMAL(20,12)), 9) AS DOUBLE) AS observed,
+        |        CAST(ROUND(CAST(ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |          / ln(10.0) AS DECIMAL(20,12)), 9) AS DOUBLE) AS expected
+        |      FROM g CROSS JOIN t),
+        |s2 AS (SELECT *,
+        |        CAST(ROUND(CAST(abs(observed - expected)
+        |          AS DECIMAL(20,12)), 9) AS DOUBLE) AS deviation
+        |       FROM s),
+        |m AS (SELECT CAST(ROUND(CAST(
+        |        CAST(SUM(CAST(deviation AS DECIMAL(28,12))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE)
+        |        AS DECIMAL(20,12)), 9) AS DOUBLE) AS mad FROM s2)
+        |SELECT digit, n, observed, expected, deviation, mad
+        |FROM s2 CROSS JOIN m ORDER BY digit""".stripMargin,
+    // RFM twin: identical tie-broken ntile orders (metric, then
+    // customer key — a non-total order would be layout-dependent)
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS customer_id,
+        |         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |           DATE '2001-09-01') AS INT) AS recency_days,
+        |         count(*) AS frequency,
+        |         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+        |           AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT *,
+        |        CAST(ntile(5) OVER (ORDER BY recency_days ASC,
+        |          customer_id ASC) AS INT) AS r_quintile,
+        |        CAST(ntile(5) OVER (ORDER BY frequency DESC,
+        |          customer_id ASC) AS INT) AS f_quintile,
+        |        CAST(ntile(5) OVER (ORDER BY monetary DESC,
+        |          customer_id ASC) AS INT) AS m_quintile
+        |      FROM base)
+        |SELECT customer_id, recency_days, frequency, monetary,
+        |       r_quintile, f_quintile, m_quintile,
+        |       CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR)
+        |         || CAST(m_quintile AS VARCHAR) AS segment
+        |FROM q ORDER BY customer_id""".stripMargin,
     // DP twin: the same md5-uniform (hex8 + 0.5)/2^32 draw per group
     // key, the same inverse-CDF sequence, ln decimal-9 rounded
     "q_dp_noise" ->

@@ -644,6 +644,85 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Benford first-digit audit — the fraud / fabricated-data screen an
+    * ingest pipeline runs over money-like columns: naturally occurring
+    * multiplicative amounts follow P(d) = log₁₀(1 + 1/d); invented or
+    * truncated figures don't. Emits the per-digit observed share vs
+    * the Benford expectation and their absolute deviation, with the
+    * mean absolute deviation (the standard conformity statistic)
+    * riding along.
+    *
+    * The first significant digit comes from the DECIMAL(18,2) STRING
+    * rendering (first [1-9]) — exact on both engines, where a
+    * log₁₀/power extraction would hang the digit on libm rounding at
+    * powers of ten. Counts are exact; shares and the log expectations
+    * divide/evaluate in doubles decimal-9 rounded; the MAD crosses an
+    * order-free decimal accumulator. Non-positive rows are excluded
+    * (Benford is defined on magnitudes).
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val acc = org.apache.spark.sql.types.DecimalType(28, 12)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val digit = regexp_extract(
+      col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string"), "[1-9]", 0).cast("int")
+    val counts = df.filter(col(valCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nn"))
+    val scored = graft.core.Scalars.crossBroadcast(counts, tot)
+      .withColumn("observed",
+        round9(col("n").cast("double") / col("nn").cast("double")))
+      .withColumn("expected", round9(
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0))))
+      .withColumn("deviation",
+        round9(abs(col("observed") - col("expected"))))
+    val mad = scored.agg(
+      round9(sum(col("deviation").cast(acc)).cast("double")
+        / count(lit(1)).cast("double")).as("mad"))
+    graft.core.Scalars.crossBroadcast(
+      scored.select("digit", "n", "observed", "expected", "deviation"),
+      mad)
+      .orderBy("digit")
+  }
+
+  /** RFM customer segmentation — the classic lifecycle grid: per
+    * customer, Recency (days since last purchase), Frequency (order
+    * lines), Monetary (decimal-summed spend), each cut into quintiles
+    * over a TIE-BROKEN total order (metric, then customer_id — ntile
+    * over a non-total order is nondeterministic by partition layout,
+    * the usual RFM-in-SQL trap). Quintile 1 is the BEST bucket on every
+    * axis (most recent / most frequent / highest spend); `segment`
+    * concatenates the three codes.
+    *
+    * Shape: one fact aggregation to customer grain, then three
+    * customer-grain window ranks — ntile's single-partition window is
+    * customer-grain, and at 100 TB becomes a range-partitioned rank
+    * (the ts_shards argument) — nothing corpus-grain past the first
+    * aggregation.
+    */
+  def rfm(orders: DataFrame, anchor: java.sql.Date): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders.groupBy(col("o_custkey").as("customer_id"))
+      .agg(datediff(lit(anchor), max(col("o_orderdate").cast("date")))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Money.round2(Money.moneySum(col("o_totalprice"))).as("monetary"))
+    base
+      .withColumn("r_quintile", ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("customer_id").asc)))
+      .withColumn("f_quintile", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("customer_id").asc)))
+      .withColumn("m_quintile", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("customer_id").asc)))
+      .withColumn("segment", concat(col("r_quintile"), col("f_quintile"),
+        col("m_quintile")))
+      .orderBy("customer_id")
+  }
+
   /** Laplace-noised count release — the differential-privacy-shaped
     * publication step next to the k-anonymity/l-diversity audits: each
     * group's exact count is released with additive Laplace(b) noise

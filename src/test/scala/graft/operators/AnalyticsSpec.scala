@@ -352,6 +352,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1) == ((1L, 40.0, 2.0)), s"Tuesday: $out")
   }
 
+  test("benford: string-exact first digits, shares, expectation, MAD") {
+    val vals = Seq(1.0, 12.34, 150.0, 2.5, 29.99, 3.0, 0.45, -5.0, 999.0)
+      .map(Tuple1(_)).toDF("v")
+    val out = Analytics.benford(vals, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // digits of the 8 positives: 1,1,1,2,2,3,4 (0.45 → '4'), 9
+    assert(out.keySet == Set(1, 2, 3, 4, 9), s"got ${out.keySet}")
+    assert(out(1)._1 == 3L && out(1)._2 == 0.375)
+    assert(out(1)._3 == 0.301029996, "log10(2) decimal-9")
+    assert(out(1)._4 == 0.073970004)
+    assert(out(4)._1 == 1L, "0.45's first significant digit is 4")
+    // MAD identical on every row and equals the mean of deviations
+    val mads = Analytics.benford(vals, "v").collect()
+      .map(_.getDouble(5)).distinct
+    assert(mads.length == 1 && mads.head > 0)
+  }
+
+  test("rfm: quintile orientation — 1 is best on every axis") {
+    val orders = Seq(
+      (10L, 1L, 100.0, ts("2001-08-01 00:00:00")),
+      (11L, 1L, 100.0, ts("2001-08-01 00:00:00")),
+      (12L, 1L, 100.0, ts("2001-07-01 00:00:00")),
+      (13L, 2L, 50.0, ts("2000-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Analytics.rfm(orders, d("2001-09-01")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getString(7)))).toMap
+    assert(out(1L) == ((31, 3L, 300.0, "111")),
+      s"recent/frequent/high-spend customer takes 1 on every axis: $out")
+    assert(out(2L) == ((609, 1L, 50.0, "222")), s"got $out")
+  }
+
   test("laplaceNoisedCounts: deterministic draws, scale tracks b") {
     val df = (1 to 40).map(i => (s"g${i % 4}", i)).toDF("k", "x")
     val out1 = Analytics.laplaceNoisedCounts(df, Seq("k"), b = 2.0)
