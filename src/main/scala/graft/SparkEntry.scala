@@ -255,6 +255,9 @@ object SparkEntry {
     "q_rfm" -> ((s, d) =>
       operators.Analytics.rfm(sources.Tables.orders(s, d),
         java.sql.Date.valueOf("2001-09-01"))),
+    // Pareto/ABC revenue concentration + Gini (decimal-exact cumsums)
+    "q_pareto" -> ((s, d) =>
+      operators.Analytics.paretoAbc(sources.Tables.orders(s, d))),
     // Holt's linear smoothing (level+trend) over the q_ewma daily series
     "q_holt" -> ((s, d) =>
       operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
@@ -966,6 +969,41 @@ object SparkEntry {
         |        AS DECIMAL(20,12)), 9) AS DOUBLE) AS mad FROM s2)
         |SELECT digit, n, observed, expected, deviation, mad
         |FROM s2 CROSS JOIN m ORDER BY digit""".stripMargin,
+    // Pareto twin: the same (18,2) decimal basis, tie-broken cumulative
+    // window, rank-weighted Gini in one fixed double sequence
+    "q_pareto" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS customer_id,
+        |         CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))),
+        |           2) AS DOUBLE) AS DECIMAL(18,2)) AS m_dec
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT customer_id, m_dec,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY CAST(m_dec AS DOUBLE) ASC,
+        |           customer_id ASC) AS DECIMAL(10,0)) AS j,
+        |         SUM(m_dec) OVER (ORDER BY CAST(m_dec AS DOUBLE) DESC,
+        |           customer_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base),
+        |tot AS (
+        |  SELECT SUM(m_dec) AS total, CAST(count(*) AS BIGINT) AS n,
+        |         SUM(m_dec * j) AS rank_weighted
+        |  FROM ranked)
+        |SELECT customer_id, CAST(m_dec AS DOUBLE) AS monetary,
+        |       CAST(ROUND(CAST(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS cum_share,
+        |       CASE WHEN CAST(ROUND(CAST(CAST(cum AS DOUBLE)
+        |                / CAST(total AS DOUBLE) AS DECIMAL(20,12)), 9)
+        |                AS DOUBLE) <= 0.8 THEN 'A'
+        |            WHEN CAST(ROUND(CAST(CAST(cum AS DOUBLE)
+        |                / CAST(total AS DOUBLE) AS DECIMAL(20,12)), 9)
+        |                AS DOUBLE) <= 0.95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |       CAST(ROUND(CAST(2.0 * CAST(rank_weighted AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+        |         AS DECIMAL(20,12)), 9) AS DOUBLE) AS gini
+        |FROM ranked CROSS JOIN tot
+        |ORDER BY customer_id""".stripMargin,
     // RFM twin: identical tie-broken ntile orders (metric, then
     // customer key — a non-total order would be layout-dependent)
     "q_rfm" ->

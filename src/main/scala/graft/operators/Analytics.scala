@@ -644,6 +644,62 @@ object Analytics {
       .orderBy(keyCol)
   }
 
+  /** Pareto / ABC concentration analysis with the Gini coefficient
+    * riding along — "which customers are the 80 %" plus the one-number
+    * inequality summary:
+    *
+    *   class A while cumulative revenue share ≤ 0.80, B ≤ 0.95, C rest;
+    *   G = 2·Σⱼ j·xⱼ / (n·Σx) − (n+1)/n   (x ascending, rank j)
+    *
+    * Determinism: the per-key revenue is the 2-dp money double, cast
+    * BACK to DECIMAL(38,6) (exact) as the basis for the cumulative and
+    * rank-weighted sums — decimal windows/aggregates are order-free
+    * exact, the final shares/G divide doubles decimal-9 rounded, and
+    * both rank orders are tie-broken by key. Shape: one fact
+    * aggregation to key grain, then key-grain windows (the RFM
+    * single-partition-rank note applies).
+    */
+  def paretoAbc(orders: DataFrame, aShare: Double = 0.80,
+                bShare: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(aShare > 0 && aShare < bShare && bShare < 1,
+      s"paretoAbc: bad thresholds $aShare/$bShare")
+    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    // (18,2): exact for 2-dp money, and products with DECIMAL(10,0)
+    // ranks stay inside precision 38 on BOTH engines (a (38,6) basis
+    // would push rank products into precision-loss territory)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    def round9(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 9).cast("double")
+    val base = orders.groupBy(col("o_custkey").as("customer_id"))
+      .agg(Money.round2(Money.moneySum(col("o_totalprice"))).as("monetary"))
+      .withColumn("m_dec", col("monetary").cast(dec))
+    val byDesc = Window.orderBy(col("monetary").desc, col("customer_id").asc)
+    val byAsc = Window.orderBy(col("monetary").asc, col("customer_id").asc)
+    val ranked = base.withColumn("j", row_number().over(byAsc)
+      .cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+    val tot = ranked.agg(sum("m_dec").as("total"), count(lit(1)).as("n"),
+      sum(col("m_dec") * col("j")).as("rank_weighted"))
+    graft.core.Scalars.crossBroadcast(
+      ranked.withColumn("cum",
+        sum("m_dec").over(byDesc.rowsBetween(
+          Window.unboundedPreceding, 0))), tot)
+      .select(col("customer_id"), col("monetary"),
+        round9(col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        col("n"), col("total"), col("rank_weighted"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aShare, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C"))
+      .withColumn("gini",
+        round9(lit(2.0) * col("rank_weighted").cast("double")
+          / (col("n").cast("double") * col("total").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double")))
+      .select("customer_id", "monetary", "cum_share", "abc_class", "gini")
+      .orderBy("customer_id")
+  }
+
   /** Benford first-digit audit — the fraud / fabricated-data screen an
     * ingest pipeline runs over money-like columns: naturally occurring
     * multiplicative amounts follow P(d) = log₁₀(1 + 1/d); invented or

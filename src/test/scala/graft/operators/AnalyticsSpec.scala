@@ -385,6 +385,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(2L) == ((609, 1L, 50.0, "222")), s"got $out")
   }
 
+  test("paretoAbc: cumulative classes and the hand-computed Gini") {
+    // revenues 80/10/6/4 of 100: cum shares .8 (A), .9 (B), .96, 1.0 (C)
+    // gini over asc [4,6,10,80]: 2·366/(4·100) − 5/4 = 0.58
+    val orders = Seq(
+      (1L, 10L, 80.0, ts("2001-01-01 00:00:00")),
+      (2L, 20L, 10.0, ts("2001-01-01 00:00:00")),
+      (3L, 30L, 6.0, ts("2001-01-01 00:00:00")),
+      (4L, 40L, 4.0, ts("2001-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Analytics.paretoAbc(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4)))).toMap
+    assert(out(10L) == ((80.0, 0.8, "A", 0.58)), s"got $out")
+    assert(out(20L)._3 == "B" && out(20L)._2 == 0.9)
+    assert(out(30L)._3 == "C" && out(30L)._2 == 0.96)
+    assert(out(40L) == ((4.0, 1.0, "C", 0.58)))
+    intercept[IllegalArgumentException](
+      Analytics.paretoAbc(orders, aShare = 0.9, bShare = 0.8))
+  }
+
   test("laplaceNoisedCounts: deterministic draws, scale tracks b") {
     val df = (1 to 40).map(i => (s"g${i % 4}", i)).toDF("k", "x")
     val out1 = Analytics.laplaceNoisedCounts(df, Seq("k"), b = 2.0)
