@@ -88,6 +88,24 @@ object SnapshotTable {
     v
   }
 
+  /** O(1)-metadata rollback: commit a NEW version whose manifest is a
+    * copy of `toVersion`'s — no data files move, history stays intact
+    * (the rolled-back-over versions remain queryable), and readers of
+    * "latest" see the old content. Returns the new version number.
+    */
+  def rollback(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(toVersion),
+      s"SnapshotTable.rollback: version $toVersion not in ${vs.mkString(",")}")
+    val v = vs.last + 1
+    val lines = readManifest(spark, dir, toVersion).mkString("\n")
+    val f = fs(spark, dir)
+    val out = f.create(manifestPath(dir, v), false)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
   /** Read a pinned version (default: latest). Plans a plain multi-path
     * parquet scan over exactly that version's manifest — predicate
     * pushdown and column pruning apply as on any parquet read.

@@ -92,6 +92,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentation windows run over key grain, never the fact") {
+    // q_rfm/q_pareto rank with SINGLE-PARTITION windows — legitimate
+    // only because their input is the customer-grain aggregate, not the
+    // fact table. Pin that every Window in those plans sits ABOVE an
+    // Aggregate (the grain reduction), so a refactor can't silently
+    // move corpus-grain rows under a one-partition sort.
+    Seq("q_rfm", "q_pareto").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$name should plan window ranks")
+      windows.foreach { w =>
+        val hasAggBelow = w.child.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+        assert(hasAggBelow,
+          s"$name plans a window over non-aggregated (fact-grain) input")
+      }
+    }
+  }
+
   test("no query in the inventory emits a DECIMAL output column") {
     // STRICT invariant: DECIMAL cells serialize differently across the
     // correctness comparator's two read paths (proven in round 5 — four

@@ -56,6 +56,26 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("rollback is metadata-only: latest reverts, history survives") {
+    withDir { dest =>
+      SnapshotTable.commit(Seq((1, "a")).toDF("k", "v"), dest)
+      SnapshotTable.commit(Seq((9, "z")).toDF("k", "v"), dest,
+        append = false)
+      assert(SnapshotTable.rollback(spark, dest, toVersion = 1) == 3)
+      def keys(v: Int) = SnapshotTable.read(spark, dest, v)
+        .select("k").as[Int].collect().toSet
+      assert(SnapshotTable.read(spark, dest).select("k").as[Int]
+        .collect().toSet == Set(1), "latest now serves v1's content")
+      assert(keys(2) == Set(9), "the rolled-over version stays queryable")
+      // no new data directory was written for the rollback commit
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dest, "data/v3")),
+        "rollback must be metadata-only")
+      intercept[IllegalArgumentException](
+        SnapshotTable.rollback(spark, dest, toVersion = 9))
+    }
+  }
+
   test("reads of missing tables and unknown versions fail loudly") {
     withDir { dest =>
       intercept[IllegalArgumentException](SnapshotTable.read(spark, dest))
