@@ -426,6 +426,44 @@ object TrainingQueries {
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
+    // metric CALIBRATION: does the quality signal predict duplication?
+    // Docs deciled by alpha ratio (tie-broken total order), exact-dup
+    // membership rate per decile vs the corpus rate — the validation a
+    // curation pipeline publishes before gating on a score. The decile
+    // ntile is a corpus-grain rank: exact here for oracle parity; at
+    // 100 TB the assignment becomes range-partitioned ranking (the
+    // shardAssign argument) or approx-percentile boundaries — the
+    // per-decile AGGREGATES this row emits are unchanged either way
+    "ts_quality_calibration" -> ((s, d) => {
+      val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+      def round9(c: org.apache.spark.sql.Column) =
+        round(c.cast(d2012), 9).cast("double")
+      val docs = Tables.documents(s, d)
+      val fp = docs.select(col("doc_id"),
+        md5(TextAnalysis.normalized(col("text"))).as("fp"))
+      val dupFlag = fp
+        .join(fp.groupBy("fp").agg(count(lit(1)).as("n_fp")), Seq("fp"))
+        .select(col("doc_id"),
+          (col("n_fp") >= 2).cast("long").as("is_dup"))
+      val scored = docs.select(col("doc_id"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))).as("alpha_ratio"))
+        .join(dupFlag, Seq("doc_id"))
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("alpha_ratio").asc, col("doc_id").asc)))
+      val byDecile = scored.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      val overall = byDecile.agg(
+        round9(sum("n_dups").cast("double") / sum("n_docs").cast("double"))
+          .as("overall_rate"))
+      graft.core.Scalars.crossBroadcast(
+        byDecile.withColumn("dup_rate",
+          round9(col("n_dups").cast("double") / col("n_docs").cast("double"))),
+        overall)
+        .select("decile", "n_docs", "n_dups", "dup_rate", "overall_rate")
+        .orderBy("decile")
+    }),
     // the per-source data card a curation run publishes with its output
     "ts_corpus_profile" -> ((s, d) =>
       TextAnalysis.corpusProfile(Tables.documents(s, d))
@@ -1179,6 +1217,41 @@ object TrainingQueries {
          |FROM agg a JOIN top t USING (source)
          |ORDER BY source""".stripMargin
     },
+    // calibration twin: same fingerprint groups, same tie-broken ntile
+    "ts_quality_calibration" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |g AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY 1),
+         |fl AS (
+         |  SELECT f.doc_id,
+         |         CAST(CASE WHEN g.n_fp >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |           AS is_dup
+         |  FROM fp f JOIN g USING (fp)),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |         CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+         |           AS DOUBLE) / length(d.text) AS alpha_ratio,
+         |         fl.is_dup
+         |  FROM documents d JOIN fl USING (doc_id)),
+         |r AS (
+         |  SELECT *, CAST(ntile(10) OVER (ORDER BY alpha_ratio ASC,
+         |    doc_id ASC) AS INT) AS decile
+         |  FROM sc),
+         |bd AS (
+         |  SELECT decile, count(*) AS n_docs,
+         |         CAST(SUM(is_dup) AS BIGINT) AS n_dups
+         |  FROM r GROUP BY 1),
+         |ov AS (
+         |  SELECT CAST(ROUND(CAST(CAST(SUM(n_dups) AS DOUBLE)
+         |    / CAST(SUM(n_docs) AS DOUBLE) AS DECIMAL(20,12)), 9)
+         |    AS DOUBLE) AS overall_rate
+         |  FROM bd)
+         |SELECT decile, n_docs, n_dups,
+         |       CAST(ROUND(CAST(CAST(n_dups AS DOUBLE)
+         |         / CAST(n_docs AS DOUBLE) AS DECIMAL(20,12)), 9)
+         |         AS DOUBLE) AS dup_rate,
+         |       overall_rate
+         |FROM bd CROSS JOIN ov ORDER BY decile""".stripMargin,
     "ts_quality" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INT) AS n_chars,
