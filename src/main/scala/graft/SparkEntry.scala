@@ -743,7 +743,12 @@ object SparkEntry {
         |  AS fp
         |FROM documents ORDER BY fp""".stripMargin,
     // late-drop twin: wave 1 only (the late wave is dropped), hours
-    // finalized strictly before the terminal watermark
+    // finalized once the terminal watermark has passed their end.
+    // Spark's append-mode eviction predicate is `window.end <= watermark`
+    // (WatermarkSupport emits a window the moment the watermark REACHES
+    // its end), so the twin uses <= as well — with `<` the two engines
+    // would diverge in the boundary case where max(ts) lands exactly
+    // 10 minutes past an hour boundary (wm == some hour end).
     "st_late_drop" ->
       """WITH w1 AS (
         |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'),
@@ -753,7 +758,7 @@ object SparkEntry {
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
         |         AS sum_value
         |FROM w1 CROSS JOIN mx
-        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "st_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
@@ -945,13 +950,18 @@ object SparkEntry {
         |SELECT x, y, n, expected, term, chi2, dof, cramers_v
         |FROM terms CROSS JOIN v ORDER BY x, y""".stripMargin,
     // Benford twin: DECIMAL(18,2)-string first digit (libm-free digit
-    // extraction), exact counts, ln-ratio expectations decimal-9
+    // extraction), exact counts, ln-ratio expectations decimal-9.
+    // TRY_CAST + IS NOT NULL: values in (0, 0.005) render "0.00" with no
+    // [1-9], which plain CAST('') would crash on — the Spark side drops
+    // the same NULL digit group, keeping both engines total on any
+    // positive input.
     "q_benford" ->
       """WITH c AS (
-        |  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice
+        |  SELECT TRY_CAST(regexp_extract(CAST(CAST(o_totalprice
         |           AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS INT) AS digit
         |  FROM orders WHERE o_totalprice > 0),
-        |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+        |g AS (SELECT digit, count(*) AS n FROM c
+        |      WHERE digit IS NOT NULL GROUP BY 1),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
         |s AS (SELECT digit, n,
         |        CAST(ROUND(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)

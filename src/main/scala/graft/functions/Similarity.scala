@@ -78,6 +78,14 @@ object Similarity {
                 k: Int = 10, lambda: Double = 0.7,
                 oneMinusLambda: Double = 0.3): DataFrame = {
     require(k >= 1 && kCand >= k, s"mmrRerank: k $k, kCand $kCand")
+    // the greedy loop collects kCand² pair sims to the driver — a
+    // serving-tier rerank budget (50² = 2.5k rows), NOT a corpus knob.
+    // A caller who passes a corpus-sized kCand must fail here, loudly,
+    // instead of materializing an n² frame on the driver.
+    require(kCand <= 1024,
+      s"mmrRerank: kCand $kCand collects kCand^2 pair similarities to " +
+        "the driver — bounded at 1024; rerank a retrieved candidate " +
+        "list, not the corpus")
     // both weights arrive as PARSED literals (the ewmaSmooth pattern):
     // deriving 1−λ at runtime gives 0.30000000000000004, not the 0.3
     // the oracle text parses — a one-ulp scoring divergence

@@ -724,8 +724,14 @@ object Analytics {
     val digit = regexp_extract(
       col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
         .cast("string"), "[1-9]", 0).cast("int")
+    // Values in (0, 0.005) render as "0.00" — no [1-9] anywhere — and
+    // would form a NULL digit group; Benford's law is about nonzero
+    // leading digits, so that group is dropped explicitly (the SQL twin
+    // TRY_CASTs and filters the same way, keeping both engines total on
+    // any positive input rather than crashing on sub-cent values).
     val counts = df.filter(col(valCol) > 0)
       .select(digit.as("digit"))
+      .filter(col("digit").isNotNull)
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum("n").as("nn"))
     val scored = graft.core.Scalars.crossBroadcast(counts, tot)
@@ -793,8 +799,11 @@ object Analytics {
     *
     * Shape: one aggregation at group grain, then per-row arithmetic.
     */
-  /* Null key values are the caller's to coalesce away first: concat_ws
-   * SKIPS nulls, so (null, "x") and ("x", null) would share one draw. */
+  /* Null key values must fail loudly, not collide: concat_ws SKIPS
+   * nulls, so (null, "x") and ("x", null) would share one seed — two
+   * releases drawing the SAME noise, which quietly halves the privacy
+   * the two draws were supposed to provide. The guard below raises
+   * in-plan on the first null key row; callers coalesce first. */
   def laplaceNoisedCounts(df: DataFrame, keyCols: Seq[String],
                           b: Double): DataFrame = {
     require(keyCols.nonEmpty && b > 0,
@@ -802,8 +811,12 @@ object Analytics {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
     def round9(c: org.apache.spark.sql.Column) =
       round(c.cast(d2012), 9).cast("double")
-    val keyStr = concat_ws(":",
-      keyCols.map(c => col(c).cast("string")) :+ lit("dp"): _*)
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val keyStr = when(anyNull, raise_error(lit(
+      "laplaceNoisedCounts: NULL key value — coalesce key columns " +
+        "first (NULL-skipping seed concat would collide draws)")))
+      .otherwise(concat_ws(":",
+        keyCols.map(c => col(c).cast("string")) :+ lit("dp"): _*))
     val u = (conv(substring(md5(keyStr), 1, 8), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
     df.groupBy(keyCols.map(col): _*)

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: wedges enumerate from each CENTER node over both of its
   * incident directions — fan-out deg² per center, which on a kNN graph
   * is bounded by construction (deg ≤ k after the mutual restriction;
-  * 25 pairs per center at k=5), NOT a skew hazard; on a general graph
-  * this is where a per-center cap or the [[Triangles]] orientation
-  * trade-off goes. Everything else is node-keyed joins and pair-grain
+  * 25 pairs per center at k=5). On a GENERAL graph a hub center fans
+  * out deg² wedges — a single million-degree node is 10¹² pairs — so
+  * wedge enumeration skips centers above `maxCenterDeg` (the standard
+  * hub-suppression cut: a shared million-degree neighbor carries ~zero
+  * affinity signal anyway, which is the same observation behind the
+  * dedup stack's `maxDf` stop-shingle caps). True degrees still feed
+  * the score. Everything else is node-keyed joins and pair-grain
   * aggregation; the existing-edge removal is one anti join.
   */
 object LinkPred {
@@ -25,11 +29,18 @@ object LinkPred {
   /** @param edges directed edges (`src`, `dst`); symmetrized and
     *              de-duplicated internally
     * @param topK  result cap (score desc, then pair asc — total order)
+    * @param maxCenterDeg hub cut: centers with degree above this emit
+    *              no wedges, bounding per-center fan-out at
+    *              maxCenterDeg² (default 256 → ≤ 64k pairs/center;
+    *              far above any kNN graph's k, so kNN results are
+    *              unaffected)
     * @return (node_a, node_b, common, deg_a, deg_b, score), node_a <
     *         node_b, none of them an existing edge
     */
-  def commonNeighborPairs(edges: DataFrame, topK: Int = 100): DataFrame = {
+  def commonNeighborPairs(edges: DataFrame, topK: Int = 100,
+                          maxCenterDeg: Int = 256): DataFrame = {
     require(topK >= 1, s"commonNeighborPairs: topK $topK")
+    require(maxCenterDeg >= 1, s"commonNeighborPairs: maxCenterDeg $maxCenterDeg")
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val sym = dir
@@ -37,10 +48,14 @@ object LinkPred {
       .distinct()
       .filter(col("src") =!= col("dst"))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // hub cut BEFORE the self-join: only sub-threshold centers enumerate
+    // wedges (deg² bound); scores below still use true degrees
+    val capped = sym.join(
+      deg.filter(col("deg") <= maxCenterDeg).select("src"), Seq("src"))
     // wedges through center b: every unordered out-pair of b's
     // neighborhood — each shared neighbor of (a, c) counted exactly once
-    val wedges = sym.as("e1")
-      .join(sym.as("e2"),
+    val wedges = capped.as("e1")
+      .join(capped.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
     val cn = wedges.groupBy("node_a", "node_b")

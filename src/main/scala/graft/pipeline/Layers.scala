@@ -187,6 +187,19 @@ object LayerWriter {
     * Same non-atomicity contract as [[mergeIntoPartitioned]]: readers
     * may observe a touched partition mid-rewrite; the window is the
     * touched slice, not the table.
+    *
+    * Crash-window contract (this is an ERASURE primitive, so the failure
+    * mode is spelled out rather than implied): emptied-partition
+    * directories are removed only AFTER the dynamic-overwrite commit. A
+    * crash between the two steps leaves an emptied partition's old files
+    * on disk — every "forgotten" row of that partition silently
+    * resurrected on the next read. Two defenses: (1) the operation is
+    * idempotent — re-running it with the same key set re-finds those
+    * rows and deletes the directory, so a failed run MUST be re-run, not
+    * assumed partial-complete; (2) a post-condition re-scans the touched
+    * partitions after cleanup and throws if any key survived, so a run
+    * that RETURNS NORMALLY is verified clean — only a crash can leave
+    * the window open, and (1) closes it.
     */
   def deleteKeysPartitioned(spark: SparkSession, dest: String,
                             keyCol: String, keys: DataFrame,
@@ -247,6 +260,27 @@ object LayerWriter {
           ExternalCatalogUtils.getPartitionPathString(
             partitionCol, rendered)), true)
       }
+      // Post-condition (see scaladoc crash-window contract): re-scan the
+      // touched slice and prove zero forgotten keys survived — a wrong
+      // directory-name reconstruction or a botched overwrite fails HERE,
+      // loudly, instead of resurrecting erased rows on the next read.
+      // The scan is partition-pruned to the touched values, so the cost
+      // is one semi join over the rewritten slice, not the table.
+      val survivors =
+        try spark.read.parquet(dest).filter(matchTouched)
+          .join(keys, Seq(keyCol), "left_semi").count()
+        catch {
+          // A delete that emptied EVERY partition leaves no parquet
+          // footers to infer a schema from — that is full erasure, i.e.
+          // zero survivors, not a verification failure.
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+               e.getMessage.contains("does not exist") => 0L
+        }
+      if (survivors != 0) throw new IllegalStateException(
+        s"deleteKeysPartitioned: $survivors row(s) with forgotten keys " +
+          s"survived the rewrite of $dest — store left dirty; re-run the " +
+          "delete after diagnosing")
     }
   }
 }

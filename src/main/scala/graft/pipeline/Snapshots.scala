@@ -119,4 +119,53 @@ object SnapshotTable {
     val paths = readManifest(spark, dir, v)
     spark.read.parquet(paths: _*)
   }
+
+  /** Version expiry + vacuum — the GC a long-lived store needs (without
+    * it every commit's files live forever; Delta's VACUUM / Iceberg's
+    * `expire_snapshots` are the same two-step). Keeps the newest
+    * `keepLast` versions; drops older manifests; then deletes every
+    * `data/v*` directory no SURVIVING manifest references.
+    *
+    * Crash-safety ordering: manifests are deleted BEFORE data. A crash
+    * mid-GC can only leave unreferenced data directories behind
+    * (harmless garbage a re-run collects — the operation is
+    * idempotent); it can never leave a live manifest pointing at
+    * deleted files. Live versions' data files are never touched, let
+    * alone rewritten — reads of surviving versions are byte-identical
+    * before and after (SnapshotSpec pins this).
+    *
+    * @return (expired version numbers, deleted data directories)
+    */
+  def expire(spark: SparkSession, dir: String,
+             keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"SnapshotTable.expire: keepLast $keepLast")
+    val vs = versions(spark, dir)
+    val (dead, live) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val f = fs(spark, dir)
+    // referenced BY SURVIVORS, computed before any deletion
+    val referenced = live.flatMap(readManifest(spark, dir, _)).toSet
+    dead.foreach(v => f.delete(manifestPath(dir, v), false))
+    val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
+    val removed =
+      if (!f.exists(dataRoot)) Seq.empty[String]
+      else f.listStatus(dataRoot).toIndexedSeq
+        .map(_.getPath)
+        .filterNot(p => referenced.exists(r =>
+          new org.apache.hadoop.fs.Path(r).getName == p.getName))
+        .map { p => f.delete(p, true); p.toString }
+    (dead, removed)
+  }
+
+  /** Small-file compaction: rewrite the LATEST version's content as one
+    * overwrite commit with `numFiles` files. Pure data reorganization —
+    * the new version is row-identical to the old latest (SnapshotSpec
+    * proves the read back equal), history keeps the fragmented
+    * versions until [[expire]] collects them. The rewrite is one
+    * repartition — at scale, run it per partition-predicate slice the
+    * same way the real formats compact bin-packed file groups.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Int = {
+    require(numFiles >= 1, s"SnapshotTable.compact: numFiles $numFiles")
+    commit(read(spark, dir).repartition(numFiles), dir, append = false)
+  }
 }

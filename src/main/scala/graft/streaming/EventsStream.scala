@@ -486,11 +486,13 @@ object EventsStream {
     * (events from Jan 2 on) advances the watermark to max(ts) − 10 min;
     * wave 2 is ENTIRELY day-1 events — weeks late — and must be
     * dropped by the stateful hourly aggregation, not aggregated. In
-    * APPEND mode a window emits once the watermark passes its end, so
-    * the final table is exactly wave 1's hours with
-    * `hour_end < watermark` (the last sliver of hours never finalizes —
-    * that is watermark semantics, not loss; the oracle applies the same
-    * cutoff). Proves both drop and finalization arithmetic.
+    * APPEND mode a window emits once the watermark REACHES its end
+    * (eviction predicate `window.end <= watermark`), so the final table
+    * is exactly wave 1's hours with `hour_end <= watermark` (the last
+    * sliver of hours never finalizes — that is watermark semantics, not
+    * loss; the oracle applies the same `<=` cutoff, including the
+    * boundary case where the watermark lands exactly on an hour end).
+    * Proves both drop and finalization arithmetic.
     */
   def lateDropReplay(spark: SparkSession, sfDir: String,
                      queryName: String): DataFrame = {

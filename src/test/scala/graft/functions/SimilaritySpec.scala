@@ -29,6 +29,11 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.mmrRerank(corpus, query, lambda = 0.3,
         oneMinusLambda = 0.5))
+    // corpus-sized kCand must fail loudly before collecting kCand² pair
+    // sims to the driver (serving-tier rerank contract)
+    val big = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(corpus, query, kCand = 100000, k = 10))
+    assert(big.getMessage.contains("kCand"), big.getMessage)
   }
 
   test("mmrRerank at λ=1 is pure relevance — the brute ranking order") {

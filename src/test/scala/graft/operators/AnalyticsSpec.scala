@@ -432,6 +432,24 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.laplaceNoisedCounts(df, Seq.empty, 1.0))
   }
 
+  test("laplaceNoisedCounts: NULL key values fail loudly, not collide") {
+    // (null,'x') and ('x',null) would concat_ws to the SAME seed string
+    // and share one noise draw — the guard must raise instead
+    val df = Seq((Option.empty[String], Option("x")),
+      (Option("x"), Option.empty[String])).toDF("a", "b")
+    val e = intercept[Exception](
+      Analytics.laplaceNoisedCounts(df, Seq("a", "b"), b = 2.0).collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${msgs(t.getCause)}"
+    assert(msgs(e).contains("NULL key value"), s"got: ${msgs(e)}")
+    // non-null keys still work through the guard branch
+    val ok = Analytics.laplaceNoisedCounts(
+      Seq(("x", "y"), ("y", "x")).toDF("a", "b"), Seq("a", "b"), b = 2.0)
+      .collect()
+    assert(ok.length == 2 &&
+      ok.map(_.getDouble(3)).toSet.size == 2)
+  }
+
   test("basketRules: support, directional confidence, lift") {
     // o1{A,B} o2{A,B} o3{A,C} o4{B}; the duplicate (o1,A) row must not
     // double-count the basket

@@ -37,4 +37,23 @@ class LinkPredSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       LinkPred.commonNeighborPairs(edges, topK = 0))
   }
+
+  test("commonNeighborPairs: hub centers above maxCenterDeg emit no wedges") {
+    // star: hub 0 adjacent to leaves 1..10 (deg 10); every leaf pair
+    // shares only the hub. With the hub cut at 5 the ONLY wedge center
+    // (deg 10) is suppressed → empty result, proving the deg² fan-out
+    // bound is enforced; uncapped, all 45 leaf pairs appear.
+    val edges = (1L to 10L).map(l => (0L, l)).toDF("src", "dst")
+    val uncapped = LinkPred.commonNeighborPairs(edges, topK = 1000)
+    assert(uncapped.count() == 45, "10 choose 2 leaf pairs via the hub")
+    val capped = LinkPred.commonNeighborPairs(edges, topK = 1000,
+      maxCenterDeg = 5)
+    assert(capped.count() == 0, "hub suppressed — no wedge centers left")
+    // sub-threshold centers still enumerate: path 1-2-3 (center deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(LinkPred.commonNeighborPairs(path, topK = 10,
+      maxCenterDeg = 5).count() == 1, "(1,3) via center 2 survives")
+    intercept[IllegalArgumentException](
+      LinkPred.commonNeighborPairs(edges, maxCenterDeg = 0))
+  }
 }
