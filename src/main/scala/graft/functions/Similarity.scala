@@ -359,8 +359,18 @@ object Similarity {
     * iteration empty simply drop (k can shrink — acceptable for
     * probe-style IVF; the recall spec measures the result, not the
     * intent).
+    *
+    * The per-dimension mean goes through DECIMAL space (exact
+    * order-independent sum, double divide, 9-dp round — the Money /
+    * roundSim discipline): a plain `avg(double)` depends on partial-
+    * aggregation order, which would make the trained centroids vary
+    * run-to-run and engine-to-engine. This determinism is what lets the
+    * DuckDB oracle twins re-train the SAME centroids as unrolled CTEs
+    * and is why trained cells can be the SHIPPED default config rather
+    * than a recommended-but-unverifiable one.
     */
   def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val d2812 = org.apache.spark.sql.types.DecimalType(28, 12)
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     var cents = embeddings.orderBy("vec_id").limit(k)
       .select(row_number().over(w).as("centroid_id"),
@@ -370,7 +380,9 @@ object Similarity {
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(roundSim(
+          sum(col("x").cast("double").cast(d2812)).cast("double")
+            / count(lit(1)).cast("double")).as("m"))
         .groupBy("centroid_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

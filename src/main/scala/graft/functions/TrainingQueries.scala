@@ -181,12 +181,63 @@ object TrainingQueries {
        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / tot_len))
        |      AS DECIMAL(20,12)), 9) AS DOUBLE) AS DECIMAL(20,9)) AS part
        |  FROM tf JOIN df USING (token) JOIN dlen USING (doc_id) CROSS JOIN sc)""".stripMargin
+  // ── trained-centroid chain (DuckDB twin of Similarity.trainCentroids,
+  // k = 16, iters = 2, dim = 64) — the SHIPPED cell config for the
+  // IVF/graph/SemDeDup families. Exact CTE-for-operator parity:
+  //   tc0  = seed (the 16 lowest vec_ids, centroid_id = dense order)
+  //   taN  = Lloyd assignment (9-dp-rounded argmax cosine, lowest-id
+  //          tie-break — the bestCentroid fold's exact semantics)
+  //   mean = per-dimension DECIMAL(28,12)-exact sum, double divide,
+  //          9-dp round (trainCentroids' order-independent mean)
+  // Training in SQL is what makes "trained centroids" an ORACLE config
+  // instead of an unverifiable recommendation: both engines re-derive
+  // the identical cell geometry from the corpus alone.
+  private def trainedAssignCte(from: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $from c) r WHERE rn = 1)""".stripMargin
+  private def trainedMeanSelect(from: String, idCol: String): String =
+    s"""SELECT centroid_id AS $idCol, list(m ORDER BY p) AS cvec FROM (
+       |    SELECT centroid_id, ps.p,
+       |           CAST(ROUND(CAST(
+       |             CAST(SUM(CAST(CAST(embedding[ps.p] AS DOUBLE)
+       |                      AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+       |             AS DECIMAL(20,12)), 9) AS DOUBLE) AS m
+       |    FROM $from CROSS JOIN (SELECT unnest(range(1, 65)) AS p) ps
+       |    GROUP BY centroid_id, ps.p) g
+       |  GROUP BY centroid_id""".stripMargin
+  /** The full chain, ending in a CTE named `cents(idCol, cvec)`. */
+  private def trainedCentsChain(idCol: String): String =
+    s"""tc0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id,
+       |         embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 16) s),
+       |${trainedAssignCte("tc0", "ta1")},
+       |tc1 AS (
+       |  ${trainedMeanSelect("ta1", "centroid_id")}),
+       |${trainedAssignCte("tc1", "ta2")},
+       |cents AS (
+       |  ${trainedMeanSelect("ta2", idCol)})""".stripMargin
+
+  // fixed first-16 PQ codebook — ann_pq / ann_pq_adc stay pinned to it
+  // (the CODE semantics config, deliberately independent of cell
+  // training; FAISS separates the coarse and fine quantizers the same
+  // way)
+  private val fixedCentsCid =
+    """cents AS (SELECT vec_id AS cid, embedding AS cvec
+      |          FROM embeddings WHERE vec_id BETWEEN 1 AND 16)""".stripMargin
+
   // PQ code assignment, DuckDB side (matches Similarity.pqEncode: 8
-  // subspaces of 8 dims over the fixed first-16 codebook; per-subspace
-  // argmin of 9dp-rounded squared L2, centroid-id tie-break)
-  private val pqBestCtes =
-    """WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-      |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+  // subspaces of 8 dims over the `cents(cid, cvec)` codebook CTE
+  // supplied by the caller; per-subspace argmin of 9dp-rounded squared
+  // L2, centroid-id tie-break)
+  private def pqBestCtesWith(centsCte: String): String =
+    s"""WITH $centsCte,
       |grid AS (
       |  SELECT e.vec_id, ss.s, c.cid,
       |         CAST(ROUND(CAST(list_sum(list_transform(
@@ -204,6 +255,12 @@ object TrainingQueries {
       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
       |             ORDER BY d2 ASC, cid ASC) AS rn
       |    FROM grid) WHERE rn = 1)""".stripMargin
+  private lazy val pqBestCtes = pqBestCtesWith(fixedCentsCid)
+  // trained cells AND trained codebook: the ivfpq/index/batch serving
+  // family quantizes against the same trained set it cells by — one
+  // geometry per index, as a retrained production index would ship
+  private lazy val pqBestCtesTrained =
+    pqBestCtesWith(trainedCentsChain("cid"))
 
   // The approximate kNN graph (ann_knn_graph's full text) as a reusable
   // CTE chain ending in `graph(src, dst, sim, rnk)` — shared verbatim by
@@ -213,8 +270,7 @@ object TrainingQueries {
   // index), the same ranking extended to rn ≤ 4 probes the src side,
   // then a per-source rank over the cell join.
   private val knnGraphCteSql: String =
-    s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-       |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+    s"""WITH ${trainedCentsChain("centroid_id")},
        |ranked AS (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -251,7 +307,7 @@ object TrainingQueries {
   private lazy val ivfPqSql: String = ivfPqSqlWhere("")
   // same chain with a residual predicate on the stored metadata —
   // filtered search: the top-k among matching rows (pre-filter)
-  private def ivfPqSqlWhere(where: String): String = pqBestCtes +
+  private def ivfPqSqlWhere(where: String): String = pqBestCtesTrained +
     s"""
        |, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |cell AS (
@@ -344,9 +400,25 @@ object TrainingQueries {
           coalesce(col("label"), col("asset_id")).as("label"))
     }
 
-  private def annCentroids(e: DataFrame): DataFrame =
+  /** The fixed first-16 PQ codebook config (ann_pq / ann_pq_adc only —
+    * see `fixedCentsCid` on the oracle side). */
+  private def fixed16Centroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  /** The SHIPPED cell config for the IVF / kNN-graph / SemDeDup / index
+    * families: k-means-trained centroids (k = 16, 2 Lloyd iterations,
+    * deterministic seed + order-independent decimal means — the
+    * [[Similarity.trainCentroids]] oracle contract, re-derived by the
+    * DuckDB twins as unrolled CTEs in `trainedCentsChain`). Memoized per
+    * (session, sfDir) like the other amortized corpus state: an index's
+    * geometry is trained once per corpus, not once per query.
+    */
+  private val centsMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def trainedCents(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(centsMemo, s, d)(
+      Similarity.trainCentroids(Tables.embeddings(s, d), k = 16, iters = 2))
 
   // The stored ANN index the two serving queries probe: ONE build per
   // (session, sfDir) — an index is amortized state in production, built
@@ -371,7 +443,7 @@ object TrainingQueries {
             catch { case _: Throwable => () }
           }
           val e = Tables.embeddings(s, d)
-          Similarity.writeIndex(e, annCentroids(e), root.toString)
+          Similarity.writeIndex(e, trainedCents(s, d), root.toString)
           (d, root.toString)
       })._2
   }
@@ -383,6 +455,17 @@ object TrainingQueries {
     * cost, not whichever query ran first paying a shared memo fill.
     */
   def coldFills: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
+    // the trained cell geometry every IVF/graph/SemDeDup-family query
+    // serves from (k-means, 2 Lloyd passes over the corpus) — FIRST so
+    // the index/graph fills below consume it instead of absorbing it
+    ("__cents_train_fill",
+      Set("ann_ivf", "ann_ivfpq", "ann_batch", "ann_index_scan",
+        "ann_filtered", "ann_index_append", "ann_knn_graph",
+        "search_margin", "dd_semdedup", "dd_proto_prune",
+        "ts_cluster_balance", "graph_pagerank", "graph_label_prop",
+        "graph_kcore", "graph_ppr", "graph_triangles", "graph_linkpred",
+        "graph_degree_dist"),
+      (s, d) => { trainedCents(s, d).count(); () }),
     // the near-dup funnel: LSH signature+pair graph and its transitive
     // closure — read by dd_cluster/dd_canonical (the signature half also
     // serves dd_minhash_lsh through PlanMemo)
@@ -416,10 +499,7 @@ object TrainingQueries {
         "graph_ppr", "graph_degree_dist", "graph_linkpred"),
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cents = e.filter(col("vec_id").between(1, 16))
-          .select(col("vec_id").as("centroid_id"),
-            col("embedding").as("cvec"))
-        Similarity.knnGraph(e, cents, k = 5, nprobe = 4).count()
+        Similarity.knnGraph(e, trainedCents(s, d), k = 5, nprobe = 4).count()
         ()
       }))
 
@@ -657,21 +737,18 @@ object TrainingQueries {
     }),
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val centroids = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      Similarity.ivfTopK(e, centroids, e.filter(col("vec_id") === 0),
-        k = 10, nprobe = 4)
+      Similarity.ivfTopK(e, trainedCents(s, d),
+        e.filter(col("vec_id") === 0), k = 10, nprobe = 4)
     }),
     "dd_embed_cos" -> ((s, d) =>
       Similarity.signLshPairs(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
     // approximate k-NN graph: every vector probes its 4 nearest of the
-    // fixed first-16 cells (the ann_ivf oracle config) and ranks the
+    // trained k=16 cells (the shipped ann_ivf config) and ranks the
     // members top-5; directed, rank filter rides WindowGroupLimit
     "ann_knn_graph" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .orderBy("src", "rnk")
     }),
@@ -686,8 +763,7 @@ object TrainingQueries {
     // hub scoring; 5 power iterations through the CC checkpoint seam
     "graph_pagerank" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       PageRankOp.pageRank(
         Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
           .select(col("src"), col("dst")))
@@ -698,8 +774,7 @@ object TrainingQueries {
     // 5 synchronous integer-only rounds, smallest-label tie-break
     "graph_label_prop" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       LabelProp.labelPropagate(
         Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
           .select(col("src"), col("dst")))
@@ -713,8 +788,7 @@ object TrainingQueries {
     // engines land on the identical core
     "graph_kcore" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .select(col("src"), col("dst"))
       KCore.kCore(
@@ -727,8 +801,7 @@ object TrainingQueries {
     // hold exactly 0.0 on both engines
     "graph_ppr" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       PageRankOp.personalizedPageRank(
         Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
           .select(col("src"), col("dst")),
@@ -739,8 +812,7 @@ object TrainingQueries {
     // wedge fan-out — the O(m^1.5) form that survives hubs at scale
     "graph_triangles" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .select(col("src"), col("dst"))
       Triangles.triangleStats(
@@ -751,8 +823,7 @@ object TrainingQueries {
     // densification / retrieval-expansion candidates the stored k missed
     "graph_linkpred" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .select(col("src"), col("dst"))
       LinkPred.commonNeighborPairs(
@@ -765,8 +836,7 @@ object TrainingQueries {
     "graph_degree_dist" -> ((s, d) => {
       val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
         .select(col("src"), col("dst"))
       val edges = g
@@ -788,18 +858,16 @@ object TrainingQueries {
     // densities — the bitext/aligned-pair filtering criterion
     "search_margin" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Similarity.marginPairs(e, cents, k = 5, nprobe = 4)
         .orderBy(desc("margin"), asc("src"), asc("dst"))
     }),
-    // SemDeDup: centroid-cell blocking instead of sign-LSH; fixed
-    // first-16 centroids (the ann_ivf oracle config) so DuckDB mirrors
-    // the assignment argmax exactly
+    // SemDeDup: centroid-cell blocking instead of sign-LSH; trained
+    // k=16 centroids (the shipped ann_ivf config) — DuckDB re-trains the
+    // identical cells in-oracle and mirrors the assignment argmax exactly
     "dd_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Similarity.semDedup(e, cents, threshold = 0.25, maxCell = 256)
         .orderBy("vec_a", "vec_b")
     }),
@@ -931,20 +999,18 @@ object TrainingQueries {
     "ts_bigram_lp" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
     // DataComp-style cluster-balanced curation: per-semantic-cell
-    // quality cap over the fixed first-16 centroid config (the ann_ivf
+    // quality cap over the trained k=16 centroid config (the ann_ivf
     // oracle assignment), rank window rides WindowGroupLimit
     "ts_cluster_balance" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Curation.clusterBalance(Tables.documents(s, d), e, cents, perCell = 20)
     }),
     // D4-style prototypicality pruning: per cell, the floor(0.25·n)
     // vectors closest to their centroid are marked redundant
     "dd_proto_prune" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Curation.protoPrune(e, cents, dropFrac = 0.25)
     }),
     // int8 quantization; q rendered as csv (array hashing is
@@ -956,13 +1022,12 @@ object TrainingQueries {
             .as("q_csv"))
         .orderBy("vec_id")),
     // product quantization: per-subspace argmin-L2 codes against the
-    // fixed first-16 codebook (the ann_ivf centroid config); codes
+    // fixed first-16 codebook (the pinned PQ-code config); codes
     // rendered csv (array hashing is representation-fragile, ann_quantize
     // precedent)
     "ann_pq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = fixed16Centroids(e)
       Similarity.pqEncode(e, cents, m = 8)
         .select(col("vec_id"),
           array_join(transform(col("codes"), x => x.cast("string")), ",")
@@ -972,8 +1037,7 @@ object TrainingQueries {
     // ADC search over the PQ codes: reconstruction vs uncompressed query
     "ann_pq_adc" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = fixed16Centroids(e)
       Similarity.pqTopK(e, cents, e.filter(col("vec_id") === 0), k = 10, m = 8)
     }),
     // the STORED serving path: write the IVF+PQ index partitioned by
@@ -981,7 +1045,7 @@ object TrainingQueries {
     // (results must equal the in-memory ann_ivfpq composition)
     "ann_index_scan" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.searchIndex(s, storedIndex(s, d), annCentroids(e),
+      Similarity.searchIndex(s, storedIndex(s, d), trainedCents(s, d),
         e.filter(col("vec_id") === 0), k = 10, nprobe = 4)
     }),
     // FILTERED search over the stored index: top-k among label = 2 —
@@ -989,7 +1053,7 @@ object TrainingQueries {
     // k results are the best MATCHING vectors)
     "ann_filtered" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.searchIndex(s, storedIndex(s, d), annCentroids(e),
+      Similarity.searchIndex(s, storedIndex(s, d), trainedCents(s, d),
         e.filter(col("vec_id") === 0), k = 10, nprobe = 4,
         pred = col("label") === 2)
     }),
@@ -997,8 +1061,7 @@ object TrainingQueries {
     // k-NN / hard-negative-mining shape), per-query rank <= k
     "ann_batch" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       val qs = e.filter(col("vec_id").isin(0L, 17L, 42L))
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.searchBatch(e, cents, qs, k = 5, nprobe = 4)
@@ -1009,7 +1072,7 @@ object TrainingQueries {
     // must equal the one-shot index over the full corpus (same twin)
     "ann_index_append" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = annCentroids(e)
+      val cents = trainedCents(s, d)
       val base = e.filter(col("vec_id") % 100 =!= 0)
       val wave = e.filter(col("vec_id") % 100 === 0)
       val root = java.nio.file.Files.createTempDirectory("graft_annappend")
@@ -1031,8 +1094,7 @@ object TrainingQueries {
     // only the survivors by PQ reconstruction (FAISS IVFx,PQy layout)
     "ann_ivfpq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d)
       Similarity.ivfPqTopK(e, cents, e.filter(col("vec_id") === 0),
         k = 10, nprobe = 4, m = 8)
     }),
@@ -1748,8 +1810,7 @@ object TrainingQueries {
     // centroid-id tie-break) joined to the ts_quality alpha_ratio,
     // per-cell rank capped in a subquery
     "ts_cluster_balance" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      s"""WITH ${trainedCentsChain("centroid_id")},
          |assigned AS (
          |  SELECT vec_id AS doc_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
@@ -2335,9 +2396,8 @@ object TrainingQueries {
          |SELECT vec_id, label, coarse_sim, ${cosSql("embedding", "qv")} AS sim
          |FROM c ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ann_ivf" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |          FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      s"""WITH ${trainedCentsChain("centroid_id")},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |assigned AS (
          |  SELECT vec_id, label, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
@@ -2381,7 +2441,7 @@ object TrainingQueries {
     "ann_filtered" -> ivfPqSqlWhere("WHERE e.label = 2"),
     // batched twin: per-query probe rank + per-query result rank over
     // the same cell/recon chain
-    "ann_batch" -> (pqBestCtes +
+    "ann_batch" -> (pqBestCtesTrained +
       s"""
          |, qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |         WHERE vec_id IN (0, 17, 42)),
@@ -3018,8 +3078,7 @@ object TrainingQueries {
     // proto-prune twin: the ann_ivf argmax assignment, centroid-cosine
     // re-score, integer drop boundary floor(0.25·n)
     "dd_proto_prune" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      s"""WITH ${trainedCentsChain("centroid_id")},
          |assigned AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -3044,8 +3103,7 @@ object TrainingQueries {
     // mirrors semDedup: the assigned CTE is ann_ivf's argmax assignment,
     // the cap is dd_embed_cos' deterministic row_number guard
     "dd_semdedup" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |               FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      s"""WITH ${trainedCentsChain("centroid_id")},
          |assigned AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -67,19 +67,22 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("knnGraph: nprobe = all cells ≡ exact brute k-NN graph; shipped recalls") {
-    val cents = emb.filter(col("vec_id").between(1, 16))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val cents = Similarity.trainCentroids(emb, k = 16, iters = 2).cache()
     def edges(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // every src probes every cell ⇒ candidates = the whole corpus ⇒ exact
     val full = edges(Similarity.knnGraph(emb, cents, k = 5, nprobe = 16))
     val brute = edges(Similarity.bruteKnnGraph(emb, k = 5))
     assert(full == brute, "nprobe = |cells| must reproduce brute force")
-    // shipped nprobe=4: measured recall floor (worst-case near-uniform
-    // synthetic vectors; DuckDB-replayed 0.487 at sf0.01)
+    // SHIPPED config (trained k=16 cells, nprobe=4): measured recall
+    // floor on worst-case near-uniform synthetic vectors — the fixed
+    // first-16 cells this replaced measured 0.487 at sf0.01; trained
+    // cells measure 0.573 (info line below prints the current value)
     val shipped = edges(Similarity.knnGraph(emb, cents, k = 5, nprobe = 4))
     val recall = (shipped intersect brute).size.toDouble / brute.size
-    assert(recall >= 0.35, s"knn recall $recall below floor")
+    info(f"shipped trained-cell knn edge recall $recall%.3f")
+    assert(recall >= 0.45, s"knn recall $recall below floor")
+    cents.unpersist()
   }
 
   test("VecDot is bit-identical to the HOF fold; null semantics match") {
@@ -391,8 +394,9 @@ class SimilaritySpec extends AnyFunSuite {
       val n = e.count()
       val brute = pairSet(
         Similarity.semDedup(e, one, threshold = 0.25, maxCell = n.toInt))
-      val cents = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      // SHIPPED config: k-means-trained cells (the dd_semdedup default
+      // since round 7; the DuckDB twin re-trains the same cells in-oracle)
+      val cents = Similarity.trainCentroids(e, k = 16, iters = 2).cache()
       val shipped = pairSet(
         Similarity.semDedup(e, cents, threshold = 0.25, maxCell = 256))
       assert(shipped.subsetOf(brute),
@@ -400,24 +404,29 @@ class SimilaritySpec extends AnyFunSuite {
       val biggestCell = Similarity.assign(e, cents)
         .groupBy("centroid_id").count().agg(max("count")).head().getLong(0)
       val recall = shipped.size.toDouble / brute.size
-      info(f"pair recall $recall%.3f (${shipped.size}/${brute.size}), " +
-        s"largest cell $biggestCell (cap 256)")
+      info(f"shipped trained-cell pair recall $recall%.3f " +
+        s"(${shipped.size}/${brute.size}), largest cell $biggestCell (cap 256)")
       // the cap is NOT the loss at this SF (largest cell ≪ 256): all
       // recall loss is cell blocking over near-random synthetic vectors —
-      // the blocking-hostile case, same as IVF's fixed-centroid 0.536.
-      // Measured 0.182 here; floored with headroom for noise.
+      // the blocking-hostile case. Trained cells measured 0.224 here vs
+      // 0.182 for the fixed first-16 cells they replaced; floored with
+      // headroom for noise.
       assert(biggestCell <= 256,
         "cap binds at this SF — update the recall attribution above")
-      assert(recall >= 0.15, s"pair recall was $recall")
-      // k-means-trained cells (the recommended config) concentrate
-      // near-dups better even on this corpus; measured 0.224
-      val trained = pairSet(Similarity.semDedup(e,
-        Similarity.trainCentroids(e, k = 16, iters = 2),
+      assert(recall >= 0.18, s"pair recall was $recall")
+      // the superseded fixed-cell config must not silently become
+      // BETTER than the shipped trained one — if this flips, retrain
+      // harder (more iters) rather than shipping the weaker default
+      val fixed = pairSet(Similarity.semDedup(e,
+        e.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cvec")),
         threshold = 0.25, maxCell = 256))
-      val trainedRecall = trained.size.toDouble / brute.size
-      info(f"trained-centroid pair recall $trainedRecall%.3f")
-      assert(trainedRecall >= recall * 0.9,
+      val fixedRecall = fixed.size.toDouble / brute.size
+      info(f"fixed-cell pair recall $fixedRecall%.3f (superseded config)")
+      assert(recall >= fixedRecall * 0.9,
         "trained cells should not be materially worse than fixed cells")
+      cents.unpersist()
     } finally e.unpersist()
   }
 
@@ -447,8 +456,14 @@ class SimilaritySpec extends AnyFunSuite {
         }
         per.sum / per.size
       }
+      val r4 = recall(4)
       val r12 = recall(12)
       val r16 = recall(16)
+      // nprobe=4 is the SHIPPED ann_ivf default (trained cells since
+      // round 7 — the fixed first-16 cells measured 0.536 here)
+      info(f"shipped trained-cell recall@10: nprobe=4 $r4%.3f, " +
+        f"nprobe=12 $r12%.3f")
+      assert(r4 >= 0.6, s"recall@10 at the shipped nprobe=4 was $r4")
       assert(r12 >= 0.9, s"recall@10 at nprobe=12 was $r12")
       assert(r16 == 1.0, s"full probe must be exact, got $r16")
       assert(r16 >= r12, "recall must not decrease with probe width")

@@ -190,8 +190,13 @@ def main():
         oracles = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
+        # single-file testdata (driver sfs) vs directory-of-parts
+        # (graft.ScaleUp output): glob the parts when it's a directory
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+                    f"read_parquet('{path}')")
     failures = 0
     for name, sql in sorted(oracles.items()):
         if ONLY and name not in ONLY:
