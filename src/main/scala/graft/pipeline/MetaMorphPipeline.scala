@@ -35,6 +35,33 @@ object MetaMorphPipeline {
     done.toSeq
   }
 
+  /** Conform + dup-gate + snapshot the four source entities into the raw
+    * layer, once. The conformed snapshot is a pure function of the source
+    * data (no run-day dependence — [[Conform.conform]] is clock-free), so
+    * a backfill that replays N days needs ONE derivation of each entity,
+    * not N: the `sales` derivation is the lineitem⨝orders shuffle, which
+    * at 100 TB dominates ingest cost, and the dup gates each re-aggregate
+    * the full entity. Replayed days then read the raw_pre parquet — a
+    * column-pruned scan instead of a source join per day.
+    */
+  def conformSources(spark: SparkSession, sfDir: String,
+                     catalog: LayerCatalog): Unit = {
+    def gate(name: String, df: DataFrame, pk: Seq[String]): Unit = {
+      val conformed = Conform.conform(df, name)
+      DuplicateChecker.assertNoDuplicates(conformed.select(pk.map(col): _*), pk)
+      LayerWriter.overwrite(conformed, catalog.raw(s"${name}_pre"))
+    }
+    gate("suppliers", Entities.suppliers(spark, sfDir), Seq("supplier_id"))
+    gate("customers", Entities.customers(spark, sfDir), Seq("customer_id"))
+    gate("products", Entities.products(spark, sfDir), Seq("product_id"))
+    // the reference gates sales on SALE_ID alone (ingestion_tasks.py:313),
+    // but the testdata has colliding sale ids; gate at INGEST on the
+    // tightest composite key that is unique in the data, so duplicated
+    // rows (cancelled ones included) can't flow ungated into any mart
+    gate("sales", Entities.sales(spark, sfDir),
+      Seq("sale_id", "customer_id", "product_id", "sale_date", "quantity"))
+  }
+
   /** One daily run (the `meta_morph_pipeline` DAG body). Returns the
     * executed stage order.
     *
@@ -43,49 +70,42 @@ object MetaMorphPipeline {
     *                   dynamic partition overwrite of the day's DAY_DT
     *                   partitions, making re-runs and backfill repairs
     *                   safe ([[LayerWriter.overwriteDaily]]).
+    * @param sourcesReady true when [[conformSources]] already ran for
+    *                   this (sfDir, catalog): ingest stages skip the
+    *                   source derivation + dup gate and stamp DAY_DT onto
+    *                   the existing raw snapshot. Used by [[backfill]] to
+    *                   conform once across all replayed days.
     */
   def runDaily(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
-               clock: RunClock, idempotent: Boolean = false): Seq[String] = {
+               clock: RunClock, idempotent: Boolean = false,
+               sourcesReady: Boolean = false): Seq[String] = {
     val day = clock.runDateCol
     val writeDaily: (org.apache.spark.sql.DataFrame, String) => Unit =
       if (idempotent) LayerWriter.overwriteDaily else LayerWriter.appendDaily
 
-    def ingest(name: String, df: DataFrame, pk: Seq[String]): Stage =
-      Stage(s"ingest_$name", Nil) { () =>
-        val conformed = Conform.conform(df, name)
-        DuplicateChecker.assertNoDuplicates(
-          conformed.select(pk.map(col): _*), pk)
-        LayerWriter.overwrite(conformed, catalog.raw(s"${name}_pre"))
-        writeDaily(conformed.withColumn("DAY_DT", day),
-          catalog.legacy(name))
-      }
-
     def raw(name: String): DataFrame =
       spark.read.parquet(catalog.raw(s"${name}_pre"))
+
+    def ingest(name: String, df: => DataFrame, pk: Seq[String]): Stage =
+      Stage(s"ingest_$name", Nil) { () =>
+        if (!sourcesReady) {
+          val conformed = Conform.conform(df, name)
+          DuplicateChecker.assertNoDuplicates(
+            conformed.select(pk.map(col): _*), pk)
+          LayerWriter.overwrite(conformed, catalog.raw(s"${name}_pre"))
+        }
+        writeDaily(raw(name).withColumn("DAY_DT", day), catalog.legacy(name))
+      }
 
     val stages = Seq(
       // the reference's sales dup gate keys (DAY_DT, SALE_ID); the
       // testdata has colliding sale ids, so the engine gates on the full
-      // natural key instead
+      // natural key instead (see conformSources for the rationale)
       ingest("suppliers", Entities.suppliers(spark, sfDir), Seq("supplier_id")),
       ingest("customers", Entities.customers(spark, sfDir), Seq("customer_id")),
       ingest("products", Entities.products(spark, sfDir), Seq("product_id")),
-      Stage("ingest_sales", Nil) { () =>
-        val conformed = Conform.conform(Entities.sales(spark, sfDir), "sales")
-        // the reference gates on SALE_ID alone (ingestion_tasks.py:313),
-        // but the testdata has colliding sale ids; gate at INGEST on the
-        // tightest composite key that is unique in the data, so
-        // duplicated rows (cancelled ones included) can't flow ungated
-        // into any downstream mart
-        DuplicateChecker.assertNoDuplicates(
-          conformed.select("sale_id", "customer_id", "product_id",
-            "sale_date", "quantity"),
-          Seq("sale_id", "customer_id", "product_id", "sale_date",
-            "quantity"))
-        LayerWriter.overwrite(conformed, catalog.raw("sales_pre"))
-        writeDaily(conformed.withColumn("DAY_DT", day),
-          catalog.legacy("sales"))
-      },
+      ingest("sales", Entities.sales(spark, sfDir),
+        Seq("sale_id", "customer_id", "product_id", "sale_date", "quantity")),
       Stage("m_supplier_performance",
         Seq("ingest_suppliers", "ingest_products", "ingest_sales")) { () =>
         val out = SupplierPerformance.build(
@@ -149,14 +169,20 @@ object MetaMorphPipeline {
 
   /** Backfill: replay N days ending at `endClock`, oldest first
     * (`adhoc_reload_metamorph_pipeline.py:27-64` runs 5 sequential
-    * day-groups with `DAY_DT = current_date() - offset`).
+    * day-groups with `DAY_DT = current_date() - offset`). The source
+    * entities are conformed ONCE up front ([[conformSources]]) and each
+    * replayed day stamps its DAY_DT onto that shared snapshot — N days
+    * cost one source derivation + gate, not N (PLANS.md round-3 #3).
     */
   def backfill(spark: SparkSession, sfDir: String, catalog: LayerCatalog,
                endClock: RunClock, days: Int,
-               idempotent: Boolean = false): Seq[Seq[String]] =
+               idempotent: Boolean = false): Seq[Seq[String]] = {
+    conformSources(spark, sfDir, catalog)
     (days - 1 to 0 by -1).map { offset =>
       val d = java.sql.Date.valueOf(endClock.runDate.toLocalDate.minusDays(offset))
       val ts = java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay)
-      runDaily(spark, sfDir, catalog, RunClock(d, ts), idempotent)
+      runDaily(spark, sfDir, catalog, RunClock(d, ts), idempotent,
+        sourcesReady = true)
     }
+  }
 }
