@@ -105,10 +105,49 @@ def frame_hash(df):
     return h.hexdigest()
 
 
+# Above this many rows the pandas row-hash comparator is impractical
+# (itertuples over hundreds of millions of rows); compare entirely inside
+# DuckDB instead: column names, exact row count, and a full-width
+# order-independent aggregate checksum (sum + bit_xor of hash(row)) over
+# ALL columns of both sides. Weaker than the driver's ordered hash only
+# in row ORDER — acceptable for the self-imposed large-SF gate; the
+# driver's sf0.01 gate below threshold keeps the exact comparator.
+BIG_ROWS = 2_000_000
+
+
+def compare_big(name, sql, con, res_dir, n_mine):
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{res_dir}/*.parquet')"
+    ).fetchall()]
+    try:
+        ocols = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+    except Exception as e:
+        return f"FAIL {name}: oracle error: {e}"
+    if sorted(cols) != sorted(ocols):
+        return f"FAIL {name}: columns spark={sorted(cols)} oracle={sorted(ocols)}"
+    sel = ", ".join(f'"{c}"' for c in sorted(cols))
+    agg = ("count(*), sum(hash(ROW(%s))), bit_xor(hash(ROW(%s)))"
+           % (sel, sel))
+    a = con.execute(
+        f"SELECT {agg} FROM read_parquet('{res_dir}/*.parquet')").fetchone()
+    b = con.execute(f"SELECT {agg} FROM ({sql}) t").fetchone()
+    if a[0] != b[0]:
+        return f"FAIL {name}: rows spark={a[0]} oracle={b[0]}"
+    if a[1:] != b[1:]:
+        return f"FAIL {name}: aggregate row-hash checksum differs"
+    return (f"PASS {name} ({a[0]} rows) "
+            f"[big-frame: unordered duckdb checksum]")
+
+
 def compare(name, sql, con):
     res_dir = os.path.join(OUT_DIR, name)
     if not os.path.isdir(res_dir):
         return f"FAIL {name}: no spark output"
+    n_mine = con.execute(
+        f"SELECT count(*) FROM read_parquet('{res_dir}/*.parquet')"
+    ).fetchone()[0]
+    if n_mine > BIG_ROWS:
+        return compare_big(name, sql, con, res_dir, n_mine)
     # the Spark side goes through pyarrow/pandas, the oracle through
     # DuckDB's .df() — two distinct read paths, as at the driver
     mine = pd.read_parquet(res_dir)
