@@ -269,9 +269,15 @@ object TrainingQueries {
   // materializes: the ann_ivf argmax assignment caps each cell (dst
   // index), the same ranking extended to rn ≤ 4 probes the src side,
   // then a per-source rank over the cell join.
+  // `ranked` and `graph` are AS MATERIALIZED: DuckDB inlines plain CTEs
+  // per REFERENCE, and `ranked` is read twice (assigned + probes) while
+  // `graph` is read twice by the degree queries (src/dst union) — at
+  // large SF an inlined `graph` re-runs the multi-million-pair cell
+  // join once per reference (measured: the sf1 gate's degree_dist twin
+  // spilled >77 GB inlined, vs minutes materialized).
   private val knnGraphCteSql: String =
     s"""WITH ${trainedCentsChain("centroid_id")},
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
@@ -287,7 +293,7 @@ object TrainingQueries {
        |  WHERE crn <= 1024),
        |probes AS (SELECT vec_id, embedding, centroid_id
        |           FROM ranked WHERE rn <= 4),
-       |graph AS (
+       |graph AS MATERIALIZED (
        |  SELECT src, dst, sim, CAST(rnk AS INT) AS rnk FROM (
        |    SELECT p.vec_id AS src, a.vec_id AS dst,
        |           ${cosSql("p.embedding", "a.embedding")} AS sim,
