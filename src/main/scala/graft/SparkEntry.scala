@@ -881,7 +881,13 @@ object SparkEntry {
         |m AS (
         |  SELECT payment_mode, count(*) AS n,
         |         SUM(x) AS sx, SUM(x * x) AS sxx,
-        |         SUM(y) AS sy, SUM(y * x) AS sxy, SUM(y * y) AS syy
+        |         -- y*y's operands are both width<=18, which DuckDB
+        |         -- multiplies in INT64 and overflows once unscaled y
+        |         -- passes sqrt(int64) (seen at 10x data); widening ONE
+        |         -- side to width 19 forces the HUGEINT path. Exact
+        |         -- either way - same value, wider accumulator.
+        |         SUM(y) AS sy, SUM(y * x) AS sxy,
+        |         SUM(CAST(y AS DECIMAL(19,6)) * y) AS syy
         |  FROM (SELECT payment_mode,
         |               CAST(date_diff('day', DATE '2000-01-01', sale_date)
         |                 AS BIGINT) AS x,
@@ -1117,21 +1123,26 @@ object SparkEntry {
         |tr AS (
         |  SELECT payment_mode, ds, vs,
         |         list_reduce(
-        |           list_prepend([vs[1], CAST(0.0 AS DOUBLE)],
-        |             list_transform(vs[2:], v -> [v])),
+        |           list_prepend([dvs[1], CAST(0 AS DECIMAL(26,12))],
+        |             list_transform(dvs[2:], v -> [v])),
         |           (a, x) -> list_concat(a,
-        |             [0.3 * x[1] + 0.7 * (a[-2] + a[-1]),
-        |              0.2 * (0.3 * x[1] + 0.7 * (a[-2] + a[-1]) - a[-2])
-        |                + 0.8 * a[-1]])) AS traj
-        |  FROM series),
+        |             [CAST(ROUND(0.3 * x[1] + 0.7 * (a[-2] + a[-1]), 12)
+        |                AS DECIMAL(26,12)),
+        |              CAST(ROUND(0.2 * (
+        |                  CAST(ROUND(0.3 * x[1] + 0.7 * (a[-2] + a[-1]), 12)
+        |                    AS DECIMAL(26,12)) - a[-2])
+        |                + 0.8 * a[-1], 12) AS DECIMAL(26,12))])) AS traj
+        |  FROM (SELECT payment_mode, ds, vs,
+        |          list_transform(vs, v -> CAST(v AS DECIMAL(26,12))) AS dvs
+        |        FROM series) sd),
         |expanded AS (
         |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
         |         ds, vs, traj
         |  FROM tr)
         |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |       CAST(ROUND(CAST(traj[2 * t - 1] AS DECIMAL(20,12)), 9)
+        |       CAST(ROUND(traj[2 * t - 1], 9)
         |         AS DOUBLE) AS level,
-        |       CAST(ROUND(CAST(traj[2 * t] AS DECIMAL(20,12)), 9)
+        |       CAST(ROUND(traj[2 * t], 9)
         |         AS DOUBLE) AS trend
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
@@ -1153,21 +1164,29 @@ object SparkEntry {
         |  FROM daily GROUP BY 1),
         |tr AS (
         |  SELECT payment_mode, mu, ds, vs,
+        |         -- the 0-clamp is a CASE, NOT greatest(): DuckDB's
+        |         -- greatest(DECIMAL, DECIMAL) returns DOUBLE, which
+        |         -- round-trips the 16-significant-digit state through
+        |         -- 53 bits and corrupts the last decimal
         |         list_reduce(
-        |           list_prepend([CAST(0.0 AS DOUBLE)],
-        |             list_transform(vs, v -> [v])),
+        |           list_prepend([CAST(0 AS DECIMAL(26,12))],
+        |             list_transform(dvs, v -> [v])),
         |           (a, x) -> list_concat(a,
-        |             [greatest(CAST(0.0 AS DOUBLE),
-        |               a[-1] + (x[1] - mu - 5.0))])) AS traj
-        |  FROM series),
+        |             [CASE WHEN a[-1] + (x[1] - CAST(mu AS DECIMAL(26,12))
+        |                     - 5.0) < 0 THEN CAST(0 AS DECIMAL(26,12))
+        |               ELSE CAST(a[-1] + (x[1] - CAST(mu AS DECIMAL(26,12))
+        |                 - 5.0) AS DECIMAL(26,12)) END])) AS traj
+        |  FROM (SELECT payment_mode, mu, ds, vs,
+        |          list_transform(vs, v -> CAST(v AS DECIMAL(26,12))) AS dvs
+        |        FROM series) sd),
         |expanded AS (
         |  SELECT payment_mode, mu, unnest(range(1, len(vs) + 1)) AS t,
         |         ds, vs, traj
         |  FROM tr)
         |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total, mu,
-        |       CAST(ROUND(CAST(traj[t + 1] AS DECIMAL(20,12)), 9)
+        |       CAST(ROUND(traj[t + 1], 9)
         |         AS DOUBLE) AS cusum,
-        |       CAST(ROUND(CAST(traj[t + 1] AS DECIMAL(20,12)), 9)
+        |       CAST(ROUND(traj[t + 1], 9)
         |         AS DOUBLE) > 200.0 AS is_change
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
@@ -1263,16 +1282,19 @@ object SparkEntry {
         |tr AS (
         |  SELECT payment_mode, ds, vs,
         |         list_reduce(
-        |           list_prepend([vs[1]], list_transform(vs[2:], v -> [v])),
-        |           (a, x) -> list_concat(a, [0.3 * x[1] + 0.7 * a[-1]]))
-        |           AS traj
-        |  FROM series),
+        |           list_prepend([dvs[1]], list_transform(dvs[2:], v -> [v])),
+        |           (a, x) -> list_concat(a,
+        |             [CAST(ROUND(0.3 * x[1] + 0.7 * a[-1], 12)
+        |                AS DECIMAL(26,12))])) AS traj
+        |  FROM (SELECT payment_mode, ds, vs,
+        |          list_transform(vs, v -> CAST(v AS DECIMAL(26,12))) AS dvs
+        |        FROM series) sd),
         |expanded AS (
         |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
         |         ds, vs, traj
         |  FROM tr)
         |SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |       CAST(ROUND(CAST(traj[t] AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |       CAST(ROUND(traj[t], 9) AS DOUBLE)
         |         AS ewma
         |FROM expanded
         |ORDER BY payment_mode, sale_date""".stripMargin),
@@ -1291,17 +1313,20 @@ object SparkEntry {
         |tr AS (
         |  SELECT payment_mode, ds, vs,
         |         list_reduce(
-        |           list_prepend([vs[1]], list_transform(vs[2:], v -> [v])),
-        |           (a, x) -> list_concat(a, [0.3 * x[1] + 0.7 * a[-1]]))
-        |           AS traj
-        |  FROM series),
+        |           list_prepend([dvs[1]], list_transform(dvs[2:], v -> [v])),
+        |           (a, x) -> list_concat(a,
+        |             [CAST(ROUND(0.3 * x[1] + 0.7 * a[-1], 12)
+        |                AS DECIMAL(26,12))])) AS traj
+        |  FROM (SELECT payment_mode, ds, vs,
+        |          list_transform(vs, v -> CAST(v AS DECIMAL(26,12))) AS dvs
+        |        FROM series) sd),
         |expanded AS (
         |  SELECT payment_mode, unnest(range(1, len(vs) + 1)) AS t,
         |         ds, vs, traj
         |  FROM tr),
         |ew AS (
         |  SELECT payment_mode, ds[t] AS sale_date, vs[t] AS daily_total,
-        |         CAST(ROUND(CAST(traj[t] AS DECIMAL(20,12)), 9) AS DOUBLE)
+        |         CAST(ROUND(traj[t], 9) AS DOUBLE)
         |           AS ewma
         |  FROM expanded),
         |r AS (

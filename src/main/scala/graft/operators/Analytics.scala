@@ -187,6 +187,31 @@ object Analytics {
       .orderBy(keyCol, dayCol)
   }
 
+  /** Per-step decimal scale for the recursive-series family (EWMA /
+    * Holt / CUSUM). The recursion state lives in DECIMAL(26,12) and
+    * every step lands back on that grid, so there is NO free-running
+    * double anywhere in the chain — the round-7 sf1 gate showed why
+    * doubles can't carry it: Spark casts double→decimal through the
+    * SHORTEST decimal string (Java `Double.toString`) while DuckDB
+    * scales the binary value in double and rounds, so two engines
+    * rounding the same raw recursion double to 9 dp disagree whenever
+    * the value sits within ~ulp of the .5e-9 boundary — ~0.2 % of rows
+    * once the series magnitude reaches 10⁴ (ulp 2e-12), measured as
+    * 43 diverging rows across the family at sf1. Decimal steps are
+    * exact-value arithmetic on both engines; the only double↔decimal
+    * crossings left are the value entry (exact for integer-valued
+    * series like daily units; a one-time 12-dp quantization otherwise)
+    * and the final 9-dp emission (a 9-dp decimal → double cast, exact
+    * and engine-agreed for |v| ≲ 10⁶ — above that DuckDB's
+    * double-scaled cast loses its half-ulp margin).
+    */
+  private val StepDec = org.apache.spark.sql.types.DecimalType(26, 12)
+  /** Smoothing weights as decimal literals via the shortest string —
+    * 0.3 becomes DECIMAL '0.3' exactly, matching the SQL twin's
+    * literal. */
+  private def dlit(x: Double) =
+    lit(java.math.BigDecimal.valueOf(x))
+
   def ewmaSmooth(daily: DataFrame, keyCol: String, dayCol: String,
                  valCol: String, alpha: Double = 0.3,
                  oneMinusAlpha: Double = 0.7): DataFrame = {
@@ -197,20 +222,21 @@ object Analytics {
       .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
         col(valCol).as("v")))).as("s"))
       .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
-        transform(col("s"), p => p.getField("v")).as("vs"))
-    // ONE fold per key emitting the whole raw trajectory [e₁,e₂,…]
+        transform(col("s"), p => p.getField("v")).as("vs"),
+        transform(col("s"), p => p.getField("v").cast(StepDec)).as("dvs"))
+    // ONE fold per key emitting the whole trajectory [e₁,e₂,…]
     // (running value = the array's last slot): O(days) lambda
-    // evaluations instead of the per-t prefix refold's O(days²) — the
-    // same per-step arithmetic in the same order, so every eₜ is
-    // bit-identical to the refold form (and to the oracle twin, which
-    // mirrors this trajectory text)
+    // evaluations instead of the per-t prefix refold's O(days²). State
+    // is DECIMAL(26,12), each step exact-decimal then rounded back to
+    // the grid (see [[StepDec]]) — bit-identical across engines by
+    // construction, at any magnitude.
     val traj = reduce(
-      transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
+      transform(slice(col("dvs"), lit(2), size(col("dvs")) - 1),
         v => array(v)),
-      array(element_at(col("vs"), lit(1))),
+      array(element_at(col("dvs"), lit(1))),
       (a, x) => concat(a, array(
-        lit(alpha) * element_at(x, 1)
-          + lit(oneMinusAlpha) * element_at(a, -1))))
+        round(dlit(alpha) * element_at(x, 1)
+          + dlit(oneMinusAlpha) * element_at(a, -1), 12).cast(StepDec))))
     series
       .withColumn("traj", traj) // materialized once per key
       .select(col(keyCol), posexplode(
@@ -218,8 +244,7 @@ object Analytics {
           struct(
             element_at(col("ds"), t).as("d"),
             element_at(col("vs"), t).as("v"),
-            round(element_at(col("traj"), t)
-              .cast(org.apache.spark.sql.types.DecimalType(20, 12)), 9)
+            round(element_at(col("traj"), t), 9)
               .cast("double").as("e")))))
       .select(col(keyCol), col("col.d").as(dayCol),
         col("col.v").as(valCol), col("col.e").as("ewma"))
@@ -303,32 +328,32 @@ object Analytics {
       math.abs(beta + oneMinusBeta - 1.0) < 1e-9,
       s"holtSmooth: weights must pair to 1 ($alpha/$oneMinusAlpha, " +
         s"$beta/$oneMinusBeta)")
-    val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
-    def round9(c: org.apache.spark.sql.Column) =
-      round(c.cast(d2012), 9).cast("double")
     val series = daily
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
         col(valCol).as("v")))).as("s"))
       .select(col(keyCol), transform(col("s"), p => p.getField("d")).as("ds"),
-        transform(col("s"), p => p.getField("v")).as("vs"))
-    // ONE fold per key producing the whole raw trajectory
-    // [ℓ₁,b₁,ℓ₂,b₂,…] (running state = the array's last two slots, read
-    // via negative element_at on both engines) — O(days) lambda
-    // evaluations. The per-t prefix-refold form q_ewma uses is O(days²)
-    // lambda evaluations and measured 12.6 s at sf0.1 for this operator
-    // (two coupled states double the tree); the trajectory fold's extra
-    // cost is only the growing-array copy, plain memmove.
+        transform(col("s"), p => p.getField("v")).as("vs"),
+        transform(col("s"), p => p.getField("v").cast(StepDec)).as("dvs"))
+    // ONE fold per key producing the whole trajectory [ℓ₁,b₁,ℓ₂,b₂,…]
+    // (running state = the array's last two slots, read via negative
+    // element_at on both engines) — O(days) lambda evaluations. The
+    // per-t prefix-refold form is O(days²) and measured 12.6 s at
+    // sf0.1 for this operator. State is decimal per [[StepDec]]; the
+    // trend step reads the ROUNDED new level (the same grid value both
+    // engines emit), repeated textually in the SQL twin.
     val traj = reduce(
-      transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
+      transform(slice(col("dvs"), lit(2), size(col("dvs")) - 1),
         v => array(v)),
-      array(element_at(col("vs"), lit(1)), lit(0.0)),
-      (a, x) => concat(a, array(
-        lit(alpha) * element_at(x, 1) + lit(oneMinusAlpha)
-          * (element_at(a, -2) + element_at(a, -1)),
-        lit(beta) * (lit(alpha) * element_at(x, 1) + lit(oneMinusAlpha)
-          * (element_at(a, -2) + element_at(a, -1)) - element_at(a, -2))
-          + lit(oneMinusBeta) * element_at(a, -1))))
+      array(element_at(col("dvs"), lit(1)), lit(0).cast(StepDec)),
+      (a, x) => {
+        val lNew = round(dlit(alpha) * element_at(x, 1)
+          + dlit(oneMinusAlpha)
+            * (element_at(a, -2) + element_at(a, -1)), 12).cast(StepDec)
+        val bNew = round(dlit(beta) * (lNew - element_at(a, -2))
+          + dlit(oneMinusBeta) * element_at(a, -1), 12).cast(StepDec)
+        concat(a, array(lNew, bNew))
+      })
     series
       .withColumn("traj", traj) // materialized once per key
       .select(col(keyCol), posexplode(
@@ -336,8 +361,10 @@ object Analytics {
           struct(
             element_at(col("ds"), t).as("d"),
             element_at(col("vs"), t).as("v"),
-            round9(element_at(col("traj"), t * 2 - 1)).as("l"),
-            round9(element_at(col("traj"), t * 2)).as("b")))))
+            round(element_at(col("traj"), t * 2 - 1), 9)
+              .cast("double").as("l"),
+            round(element_at(col("traj"), t * 2), 9)
+              .cast("double").as("b")))))
       .select(col(keyCol), col("col.d").as(dayCol),
         col("col.v").as(valCol), col("col.l").as("level"),
         col("col.b").as("trend"))
@@ -377,13 +404,24 @@ object Analytics {
           / count(lit(1)).cast("double")).as("mu"))
       .select(col(keyCol), col("mu"),
         transform(col("s"), p => p.getField("d")).as("ds"),
-        transform(col("s"), p => p.getField("v")).as("vs"))
+        transform(col("s"), p => p.getField("v")).as("vs"),
+        transform(col("s"), p => p.getField("v").cast(StepDec)).as("dvs"))
+    // decimal recursion (see [[StepDec]]); unlike EWMA/Holt no per-step
+    // round is even needed — x, μ (a 9-dp value) and slack all sit on
+    // fixed decimal scales, so every Sₜ is EXACT at scale 12: the sum
+    // never leaves the grid. (μ's double→decimal re-cast is exact and
+    // engine-agreed because μ is a 9-dp value — the general free-double
+    // cast is what isn't portable.) Spark's `greatest` preserves the
+    // decimal type; the SQL twin must clamp with CASE instead, because
+    // DuckDB's greatest(DECIMAL, DECIMAL) returns DOUBLE and would
+    // round-trip the 16-significant-digit state through 53 bits.
     val traj = reduce(
-      transform(col("vs"), v => array(v)),
-      array(lit(0.0)),
+      transform(col("dvs"), v => array(v)),
+      array(lit(0).cast(StepDec)),
       (a, x) => concat(a, array(
-        greatest(lit(0.0), element_at(a, -1)
-          + (element_at(x, 1) - col("mu") - lit(slack))))))
+        greatest(lit(0).cast(StepDec),
+          (element_at(a, -1) + (element_at(x, 1) - col("mu").cast(StepDec)
+            - dlit(slack))).cast(StepDec)))))
     series
       .withColumn("traj", traj) // slot t+1 holds Sₜ (slot 1 is the seed)
       .select(col(keyCol), col("mu"), posexplode(
@@ -391,7 +429,8 @@ object Analytics {
           struct(
             element_at(col("ds"), t).as("d"),
             element_at(col("vs"), t).as("v"),
-            round9(element_at(col("traj"), t + 1)).as("s")))))
+            round(element_at(col("traj"), t + 1), 9)
+              .cast("double").as("s")))))
       .select(col(keyCol), col("col.d").as(dayCol),
         col("col.v").as(valCol), col("mu"), col("col.s").as("cusum"),
         (col("col.s") > threshold).as("is_change"))

@@ -18,6 +18,26 @@ import graft.core.Money
   */
 object EventsStream {
 
+  /** File-source stream over one sf table, layout-aware. The driver's
+    * testdata lays each table out as a BARE FILE
+    * `<sfDir>/<table>.parquet`, which the directory-only file-stream
+    * source can only reach via a glob filter on the parent directory;
+    * scaled-up data (graft.ScaleUp) writes the standard DIRECTORY
+    * layout, where that same glob matches nothing (pathGlobFilter
+    * filters leaf FILE names, and the parts are `part-*.parquet`) and
+    * the stream is SILENTLY empty — a zero-row result, not an error.
+    * Detect the layout and stream accordingly.
+    */
+  private def tableStream(spark: SparkSession, sfDir: String, table: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+  }
+
   /** Batch twin: hourly tumbling counts/sums per event_type. */
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events
@@ -59,9 +79,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = graft.sources.Tables.microTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      tableStream(spark, sfDir, "events", schema))
     val agg = slidingAggBatch(
       events.withWatermark("ts", "10 minutes"))
     val q = agg.writeStream
@@ -82,12 +100,8 @@ object EventsStream {
                          queryName: String = "graft_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source wants a directory: stream the sf dir with a glob
-    // filter selecting just the events file
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = graft.sources.Tables.microTs(raw)
+    val events = graft.sources.Tables.microTs(
+      tableStream(spark, sfDir, "events", schema))
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -231,9 +245,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = graft.sources.Tables.microTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      tableStream(spark, sfDir, "events", schema))
     val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
@@ -343,9 +355,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def stream(): DataFrame = graft.sources.Tables.microTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      tableStream(spark, sfDir, "events", schema))
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -409,9 +419,7 @@ object EventsStream {
                       queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val events = tableStream(spark, sfDir, "events", schema)
     val customers = graft.sources.Tables.customer(spark, sfDir)
     val q = enrichBatch(events, customers).writeStream
       .outputMode(OutputMode.Append())
@@ -611,9 +619,7 @@ object EventsStream {
   def dedupStreamReplay(spark: SparkSession, sfDir: String,
                         queryName: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val docs = tableStream(spark, sfDir, "documents", schema)
       .withColumn("ts",
         (lit(1704067200L) + col("doc_id")).cast("timestamp"))
     val q = dedupStream(docs).select("fp")

@@ -79,7 +79,11 @@ def canon_cell(v):
     if isinstance(v, pd.Timestamp):
         return "\\N" if pd.isna(v) else v.isoformat()
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        # pd.NaT subclasses datetime.datetime and isoformat()s to 'NaT';
+        # a NULL date read as NaT (datetime64 path) must serialize like
+        # a NULL date read as None (object path) or equal frames
+        # hash-differ (seen at sf1: customers with no purchases)
+        return "\\N" if pd.isna(v) else v.isoformat()
     if isinstance(v, datetime.date):
         return datetime.datetime.combine(v, datetime.time()).isoformat()
     if isinstance(v, (bool, np.bool_)):
@@ -228,6 +232,13 @@ def main():
     with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so blocking operators
+    # (hash join/agg over the unrolled graph CTE chains at large SF)
+    # cannot spill and die with "Out of Memory Error". Point temp at
+    # disk and cap memory below the machine so the OS survives.
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='80GB'")
     for t in TABLES:
         # single-file testdata (driver sfs) vs directory-of-parts
         # (graft.ScaleUp output): glob the parts when it's a directory
