@@ -36,7 +36,14 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") 
     else "/tmp/graft_verify"
 SKIP_SPARK = "--skip-spark" in sys.argv
 SELFTEST = "--selftest" in sys.argv
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+# --json <path>: also write a driver-format artifact
+# ({name: {rows_match, schema_match, hash_match, spark_rows,
+#   oracle_rows, err}})
+JSON_OUT = None
+if "--json" in sys.argv:
+    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+ONLY = [a for a in sys.argv[3:]
+        if not a.startswith("--") and a != JSON_OUT]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -119,6 +126,16 @@ def frame_hash(df):
 BIG_ROWS = 2_000_000
 
 
+def record(rows=False, schema=False, hashm=False, sr=None, orr=None,
+           err=None):
+    return {"rows_match": rows, "schema_match": schema,
+            "hash_match": hashm, "spark_rows": sr, "oracle_rows": orr,
+            "err": err}
+
+
+RECORDS = {}
+
+
 def compare_big(name, sql, con, res_dir, n_mine):
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{res_dir}/*.parquet')"
@@ -126,8 +143,10 @@ def compare_big(name, sql, con, res_dir, n_mine):
     try:
         ocols = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
     except Exception as e:
+        RECORDS[name] = record(err=f"oracle error: {e}")
         return f"FAIL {name}: oracle error: {e}"
     if sorted(cols) != sorted(ocols):
+        RECORDS[name] = record(sr=n_mine, err="column mismatch")
         return f"FAIL {name}: columns spark={sorted(cols)} oracle={sorted(ocols)}"
     sel = ", ".join(f'"{c}"' for c in sorted(cols))
     agg = ("count(*), sum(hash(ROW(%s))), bit_xor(hash(ROW(%s)))"
@@ -136,9 +155,12 @@ def compare_big(name, sql, con, res_dir, n_mine):
         f"SELECT {agg} FROM read_parquet('{res_dir}/*.parquet')").fetchone()
     b = con.execute(f"SELECT {agg} FROM ({sql}) t").fetchone()
     if a[0] != b[0]:
+        RECORDS[name] = record(schema=True, sr=a[0], orr=b[0])
         return f"FAIL {name}: rows spark={a[0]} oracle={b[0]}"
     if a[1:] != b[1:]:
+        RECORDS[name] = record(rows=True, schema=True, sr=a[0], orr=b[0])
         return f"FAIL {name}: aggregate row-hash checksum differs"
+    RECORDS[name] = record(True, True, True, a[0], b[0])
     return (f"PASS {name} ({a[0]} rows) "
             f"[big-frame: unordered duckdb checksum]")
 
@@ -146,6 +168,7 @@ def compare_big(name, sql, con, res_dir, n_mine):
 def compare(name, sql, con):
     res_dir = os.path.join(OUT_DIR, name)
     if not os.path.isdir(res_dir):
+        RECORDS[name] = record(err="no spark output")
         return f"FAIL {name}: no spark output"
     n_mine = con.execute(
         f"SELECT count(*) FROM read_parquet('{res_dir}/*.parquet')"
@@ -158,8 +181,12 @@ def compare(name, sql, con):
     try:
         oracle = con.execute(sql).df()
     except Exception as e:
+        RECORDS[name] = record(err=f"oracle error: {e}")
         return f"FAIL {name}: oracle error: {e}"
     mine, oracle = normalize(mine), normalize(oracle)
+    RECORDS[name] = record(len(mine) == len(oracle),
+                           list(mine.columns) == list(oracle.columns),
+                           False, len(mine), len(oracle))
     if list(mine.columns) != list(oracle.columns):
         return (f"FAIL {name}: columns spark={list(mine.columns)} "
                 f"oracle={list(oracle.columns)}")
@@ -188,6 +215,7 @@ def compare(name, sql, con):
                     != [canon_cell(v) for v in oracle[c]]]
         return (f"FAIL {name}: values equal but canonical hash differs "
                 f"(serialization-unstable columns: {culprits or 'row order'})")
+    RECORDS[name]["hash_match"] = True
     note = f" [schema: {', '.join(schema_notes)}]" if schema_notes else ""
     return f"PASS {name} ({len(mine)} rows){note}"
 
@@ -261,6 +289,10 @@ def main():
             n = len(con.execute(
                 f"SELECT 1 FROM read_parquet('{p}/*.parquet')").fetchall())
             print(f"ROWS {name}: {n} rows (no oracle)")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(RECORDS, f, indent=0, sort_keys=True)
+        print(f"wrote {JSON_OUT} ({len(RECORDS)} records)")
     sys.exit(1 if failures else 0)
 
 
