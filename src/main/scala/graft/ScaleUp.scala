@@ -71,6 +71,39 @@ object ScaleUp {
     def write(df: DataFrame, t: String, files: Int): Unit =
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
+    // Validate the documented preconditions instead of assuming them —
+    // each failure mode below is SILENT corruption, not an error:
+    //  - factor > |ALPHA|: replica r and r+|ALPHA| share the identity
+    //    rotation, reintroducing exact cross-replica duplicates and
+    //    defeating design constraint 2 (linear derived-structure growth);
+    //  - a source key >= STRIDE (e.g. chaining a scale-up, or a larger
+    //    source sf): replica key ranges overlap and the __r
+    //    reconstruction in scaleDocuments/scaleEmbeddings mis-assigns
+    //    replicas — corrupt referential integrity with no error;
+    //  - factor > embedding dim: the cyclic slice in scaleEmbeddings
+    //    produces malformed vectors.
+    require(factor >= 1 && factor <= ALPHA.length,
+      s"ScaleUp: factor $factor outside [1, ${ALPHA.length}] — the " +
+        "letter-rotation alphabet provides only " +
+        s"${ALPHA.length} distinct text bijections; a larger factor " +
+        "would silently reuse the identity rotation")
+    val keyCols = Seq(
+      "customer" -> "c_custkey", "part" -> "p_partkey",
+      "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+      "supplier" -> "s_suppkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    keyCols.foreach { case (t, k) =>
+      val mx = read(t).agg(max(col(k)).cast("long")).head.getLong(0)
+      require(mx < STRIDE,
+        s"ScaleUp: max $t.$k = $mx >= STRIDE $STRIDE — replica key " +
+          "ranges would overlap (is the source already scaled up?)")
+    }
+    val dim = read("embeddings").agg(min(size(col("embedding")))).head.getInt(0)
+    require(factor <= dim,
+      s"ScaleUp: factor $factor exceeds embedding dim $dim — the cyclic " +
+        "rotation slice would produce malformed vectors")
+
     // Fixed dims: straight copy.
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)

@@ -503,7 +503,6 @@ object Dedup {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  maxDist: Int): DataFrame = {
-    val w = math.max(maxDist, 1)
     val rows = df.select(col(idCol).as("id"), col(textCol).as("t"))
     // Edit distance depends only on the TEXT, so distances are computed
     // once per DISTINCT text and then expanded back to id pairs — with
@@ -511,12 +510,37 @@ object Dedup {
     // product names) the quadratic distance pass shrinks by the square
     // of the duplication factor, and with all-unique strings it costs
     // one extra distinct() shuffle over dimension-sized data.
+    val crossText = fuzzyTextPairs(rows, maxDist)
+    // identical texts are distance-0 near-dups of each other
+    val selfText = rows.select("t").distinct()
+      .select(col("t").as("t_a"), col("t").as("t_b"),
+        lit(0).as("edit_dist"))
+    selfText.unionByName(crossText)
+      .join(rows.toDF("id_1", "t_a"), "t_a")
+      .join(rows.toDF("id_2", "t_b"), "t_b")
+      // within a same-text group keep each unordered id pair once; for
+      // t_a < t_b every (id_1, id_2) combo appears exactly once already
+      .filter(when(col("t_a") === col("t_b"), col("id_1") < col("id_2"))
+        .otherwise(lit(true)))
+      .select(least(col("id_1"), col("id_2")).as("id_a"),
+        greatest(col("id_1"), col("id_2")).as("id_b"),
+        col("edit_dist"))
+  }
+
+  /** The distinct-text candidate stage shared by [[fuzzyPairs]] and
+    * [[fuzzyStarPairs]]: (first-token, length-band) blocked text pairs
+    * within `maxDist` edits. The length band is a pure refinement (see
+    * [[fuzzyPairs]]) — results are identical to first-token-only
+    * blocking, which is what the oracle twins express.
+    */
+  private def fuzzyTextPairs(rows: DataFrame, maxDist: Int): DataFrame = {
+    val w = math.max(maxDist, 1)
     val texts = rows.select("t").distinct()
       .select(col("t"), split(col("t"), " ").getItem(0).as("__tok"),
         floor(length(col("t")) / w).as("__f"))
     val banded = texts.select(col("t"), col("__tok"), col("__f"),
       explode(array(col("__f"), col("__f") + 1)).as("__band"))
-    val crossText = banded.toDF("t_a", "__tok", "__f_a", "__band")
+    banded.toDF("t_a", "__tok", "__f_a", "__band")
       .join(banded.toDF("t_b", "__tok", "__f_b", "__band"),
         Seq("__tok", "__band"))
       .filter(col("t_a") < col("t_b"))
@@ -532,19 +556,42 @@ object Dedup {
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("edit_dist") >= 0)
       .select("t_a", "t_b", "edit_dist")
-    // identical texts are distance-0 near-dups of each other
-    val selfText = texts.select(col("t").as("t_a"), col("t").as("t_b"),
-      lit(0).as("edit_dist"))
-    selfText.unionByName(crossText)
-      .join(rows.toDF("id_1", "t_a"), "t_a")
-      .join(rows.toDF("id_2", "t_b"), "t_b")
-      // within a same-text group keep each unordered id pair once; for
-      // t_a < t_b every (id_1, id_2) combo appears exactly once already
-      .filter(when(col("t_a") === col("t_b"), col("id_1") < col("id_2"))
-        .otherwise(lit(true)))
-      .select(least(col("id_1"), col("id_2")).as("id_a"),
-        greatest(col("id_1"), col("id_2")).as("id_b"),
+  }
+
+  /** Fuzzy near-dup pairs in STAR form — the scale contract of the
+    * fuzzy family. [[fuzzyPairs]] emits every id pair inside every
+    * duplicate group, which is quadratic in group depth: a corpus with
+    * d copies of one string emits d·(d−1)/2 rows — measured at 468M
+    * output rows (33× wall for 10× data) on the 10× gate, and
+    * unbounded on a boilerplate-heavy 100 TB corpus. The information
+    * content is NOT quadratic: this form carries the same duplicate
+    * structure in O(ids + distinct text pairs) rows as a star per
+    * duplicate group —
+    *   - (rep(t), id, 0) for every id whose text t has a smaller-id
+    *     twin (rep(t) = lowest id holding t): the exact-duplicate
+    *     membership, one row per duplicate id;
+    *   - (rep(t_a), rep(t_b), dist) for every distinct text pair
+    *     within `maxDist`: the fuzzy bridges, one row per TEXT pair
+    *     (the candidate join is inverted-index-bounded, never n²).
+    * The full pair set of [[fuzzyPairs]] is recoverable as the join
+    * closure over the stars; downstream canonicalization (keep the
+    * lowest id per component) consumes this form directly.
+    */
+  def fuzzyStarPairs(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val reps = rows.groupBy("t").agg(min(col("id")).as("rep"))
+    val members = rows.join(reps, "t")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0).as("edit_dist"))
+    val bridges = fuzzyTextPairs(rows, maxDist)
+      .join(reps.select(col("t").as("t_a"), col("rep").as("rep_a")), "t_a")
+      .join(reps.select(col("t").as("t_b"), col("rep").as("rep_b")), "t_b")
+      .select(least(col("rep_a"), col("rep_b")).as("id_a"),
+        greatest(col("rep_a"), col("rep_b")).as("id_b"),
         col("edit_dist"))
+    members.unionByName(bridges)
   }
 
   /** Winnowing-fingerprint near-dup pairs: documents sharing at least

@@ -366,6 +366,32 @@ object TrainingQueries {
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lastDirMemo(lshMemo, s, d)(
       Dedup.minhashLsh(Tables.documents(s, d), minEstSim = 0.25))
+  // the shipped-config kNN graph (k = 5, nprobe = 4 over the trained
+  // cells) and its mutual restriction, memoized per (session, sfDir).
+  // Similarity.knnGraph already memoizes the CACHED frame through
+  // PlanMemo, but a memo HIT still costs ~0.3-0.4 s per call: the plan
+  // must be re-CONSTRUCTED to be compared (probeAssign + assign each run
+  // a collectUpTo driver action against the centroid frame, then
+  // sameResult canonicalizes two 16x64-literal trees). Nine queries pay
+  // that tax per bench pass — the round-7 graph-family regression was
+  // mostly THIS, not candidate volume. Keying the finished frame by
+  // (session, sfDir) makes the repeated lookup a map read.
+  private val knnGraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def knnGraph5x4(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(knnGraphMemo, s, d)(
+      Similarity.knnGraph(Tables.embeddings(s, d), trainedCents(s, d),
+        k = 5, nprobe = 4))
+  // the mutual (reciprocated-edge) restriction three queries build on:
+  // the intersect is two shuffles of the edge list — shared state, not
+  // per-query work, exactly like the closure memos above
+  private val mutualKnnMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def mutualKnnEdges(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(mutualKnnMemo, s, d) {
+      val g = knnGraph5x4(s, d).select(col("src"), col("dst"))
+      g.intersect(g.select(col("dst").as("src"), col("src").as("dst")))
+    }
   // ... and its transitive closure, the second expensive funnel stage
   // (iterative star contraction): computed once, read by dd_cluster and
   // dd_canonical
@@ -504,8 +530,8 @@ object TrainingQueries {
         "graph_label_prop", "graph_kcore", "graph_triangles",
         "graph_ppr", "graph_degree_dist", "graph_linkpred"),
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        Similarity.knnGraph(e, trainedCents(s, d), k = 5, nprobe = 4).count()
+        knnGraph5x4(s, d).count()
+        mutualKnnEdges(s, d).count()
         ()
       }))
 
@@ -752,12 +778,8 @@ object TrainingQueries {
     // approximate k-NN graph: every vector probes its 4 nearest of the
     // trained k=16 cells (the shipped ann_ivf config) and ranks the
     // members top-5; directed, rank filter rides WindowGroupLimit
-    "ann_knn_graph" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
-      Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-        .orderBy("src", "rnk")
-    }),
+    "ann_knn_graph" -> ((s, d) =>
+      knnGraph5x4(s, d).orderBy("src", "rnk")),
     // DSIR importance resampling (Xie et al. 2023): hashed
     // unigram+bigram bag scored target('en')-vs-raw with add-one
     // smoothing, Gumbel top-k sample without replacement
@@ -767,24 +789,16 @@ object TrainingQueries {
         .orderBy("rnk")),
     // PageRank centrality over the same kNN graph: prototypicality /
     // hub scoring; 5 power iterations through the CC checkpoint seam
-    "graph_pagerank" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
+    "graph_pagerank" -> ((s, d) =>
       PageRankOp.pageRank(
-        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-          .select(col("src"), col("dst")))
-    }),
+        knnGraph5x4(s, d).select(col("src"), col("dst")))),
     // label-propagation communities over the same kNN graph: dense-
     // region clustering (topic-ish groups for balanced sampling) — CC
     // would glue everything reachable; LPA splits along sparse cuts.
     // 5 synchronous integer-only rounds, smallest-label tie-break
-    "graph_label_prop" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
+    "graph_label_prop" -> ((s, d) =>
       LabelProp.labelPropagate(
-        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-          .select(col("src"), col("dst")))
-    }),
+        knnGraph5x4(s, d).select(col("src"), col("dst")))),
     // k-core backbone of the MUTUAL-kNN graph (edges kept only when
     // reciprocated — the standard hubness-reducing construction; the
     // raw symmetrized kNN graph has uniform degree ≥ 5, which makes
@@ -792,59 +806,34 @@ object TrainingQueries {
     // Spark-side fixpoint (loud-fail past 12 rounds); the oracle
     // unrolls all 12 — post-convergence rounds are identity, so both
     // engines land on the identical core
-    "graph_kcore" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
-      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-        .select(col("src"), col("dst"))
-      KCore.kCore(
-        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))),
-        k = 2, maxRounds = 12)
-    }),
+    "graph_kcore" -> ((s, d) =>
+      KCore.kCore(mutualKnnEdges(s, d), k = 2, maxRounds = 12)),
     // personalized PageRank: restart to the label-0 seed set — the
     // corpus-expansion primitive (seed a curated handful, rank the
     // whole graph by multi-hop similarity to it); unreachable nodes
     // hold exactly 0.0 on both engines
-    "graph_ppr" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
+    "graph_ppr" -> ((s, d) =>
       PageRankOp.personalizedPageRank(
-        Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-          .select(col("src"), col("dst")),
-        e.filter(col("label") === 0).select(col("vec_id").as("node")))
-    }),
+        knnGraph5x4(s, d).select(col("src"), col("dst")),
+        Tables.embeddings(s, d).filter(col("label") === 0)
+          .select(col("vec_id").as("node")))),
     // triangle counts + local clustering coefficient over the mutual
     // graph: degree-ordered orientation (compact-forward) bounds the
     // wedge fan-out — the O(m^1.5) form that survives hubs at scale
-    "graph_triangles" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
-      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-        .select(col("src"), col("dst"))
-      Triangles.triangleStats(
-        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
-    }),
+    "graph_triangles" -> ((s, d) =>
+      Triangles.triangleStats(mutualKnnEdges(s, d))),
     // common-neighbor link prediction over the mutual graph: non-edge
     // pairs sharing neighbors, neighborhood-Jaccard ranked — the
     // densification / retrieval-expansion candidates the stored k missed
-    "graph_linkpred" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
-      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-        .select(col("src"), col("dst"))
-      LinkPred.commonNeighborPairs(
-        g.intersect(g.select(col("dst").as("src"), col("src").as("dst"))))
-    }),
+    "graph_linkpred" -> ((s, d) =>
+      LinkPred.commonNeighborPairs(mutualKnnEdges(s, d))),
     // degree distribution of the symmetrized kNN graph + mean degree —
     // the one-glance hubness/connectivity profile read before tuning k
     // or thresholding mutual edges; reuses the memoized graph, then
     // node-grain → degree-grain frames only
     "graph_degree_dist" -> ((s, d) => {
       val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
-      val e = Tables.embeddings(s, d)
-      val cents = trainedCents(s, d)
-      val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 4)
-        .select(col("src"), col("dst"))
+      val g = knnGraph5x4(s, d).select(col("src"), col("dst"))
       val edges = g
         .union(g.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -879,9 +868,14 @@ object TrainingQueries {
     }),
     // unsampled: the (first-token, length-band) composite block bounds
     // per-block size even over the small synthetic first-word vocab
+    // STAR form (round 8): the gate's fuzzy row emits one row per
+    // duplicate id + one per distinct fuzzy text pair — linear in the
+    // corpus — instead of every id pair in every duplicate group
+    // (quadratic in group depth: 468M rows at sf1). The all-pairs
+    // fuzzyPairs stays spec-pinned (DedupSpec) as the small-scale form.
     "dd_fuzzy" -> ((s, d) =>
-      Dedup.fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 3)
-        .orderBy("id_a", "id_b")),
+      Dedup.fuzzyStarPairs(Tables.part(s, d), "p_partkey", "p_name",
+        maxDist = 3).orderBy("id_a", "id_b")),
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.assets(Tables.documents(s, d)))
@@ -2487,10 +2481,17 @@ object TrainingQueries {
     "dd_fuzzy" ->
       """WITH keyed AS (
         |  SELECT p_partkey AS id, p_name AS t, string_split(p_name, ' ')[1] AS blk
-        |  FROM part)
-        |SELECT a.id AS id_a, b.id AS id_b,
+        |  FROM part),
+        |reps AS (SELECT t, min(id) AS rep FROM keyed GROUP BY t),
+        |texts AS (SELECT DISTINCT t, blk FROM keyed)
+        |SELECT r.rep AS id_a, k.id AS id_b, CAST(0 AS INT) AS edit_dist
+        |FROM keyed k JOIN reps r ON k.t = r.t WHERE k.id <> r.rep
+        |UNION ALL
+        |SELECT least(ra.rep, rb.rep) AS id_a,
+        |       greatest(ra.rep, rb.rep) AS id_b,
         |       CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
-        |FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
+        |FROM texts a JOIN texts b ON a.blk = b.blk AND a.t < b.t
+        |JOIN reps ra ON a.t = ra.t JOIN reps rb ON b.t = rb.t
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     // The oracle PREDICTS what the JDK decoders must return: the asset
@@ -2998,9 +2999,17 @@ object TrainingQueries {
         |  SELECT dst AS src, src AS dst FROM graph),
         |deg AS MATERIALIZED (
         |  SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |-- mirror of the operator's maxCenterDeg = 256 hub cut
+        |-- (LinkPred.commonNeighborPairs): centers above it emit no
+        |-- wedges; true degrees still feed the score below. A no-op on
+        |-- this mutual-kNN graph (deg <= 5) but kept in lock-step so
+        |-- operator and oracle cannot drift on hubby graphs.
+        |hubcut AS (
+        |  SELECT s.src, s.dst FROM sym s
+        |  JOIN deg d ON d.src = s.src AND d.deg <= 256),
         |w AS MATERIALIZED (
         |  SELECT e1.dst AS node_a, e2.dst AS node_b
-        |  FROM sym e1 JOIN sym e2
+        |  FROM hubcut e1 JOIN hubcut e2
         |    ON e1.src = e2.src AND e1.dst < e2.dst),
         |cn AS MATERIALIZED (
         |  SELECT node_a, node_b, count(*) AS common FROM w GROUP BY 1, 2),

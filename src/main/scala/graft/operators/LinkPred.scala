@@ -42,12 +42,21 @@ object LinkPred {
     require(topK >= 1, s"commonNeighborPairs: topK $topK")
     require(maxCenterDeg >= 1, s"commonNeighborPairs: maxCenterDeg $maxCenterDeg")
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+    // sym feeds FIVE consumers below (both wedge sides, the anti-join
+    // probe, and deg which itself is read three times): materialize both
+    // once through the same cluster-aware seam as PageRank/KCore, or
+    // every consumer re-runs the symmetrize-distinct shuffle AND the
+    // caller's upstream edge derivation
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val sym = dir
+    val sym = truncate(dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .filter(col("src") =!= col("dst"))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("src") =!= col("dst")))
+    val deg = truncate(sym.groupBy("src").agg(count(lit(1)).as("deg")))
     // hub cut BEFORE the self-join: only sub-threshold centers enumerate
     // wedges (deg² bound); scores below still use true degrees
     val capped = sym.join(

@@ -28,12 +28,19 @@ object Triangles {
     *         0.0 for degree < 2
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // sym/deg/oriented each feed multiple joins below: materialize once
+    // through the same cluster-aware seam as PageRank/KCore instead of
+    // re-running the symmetrize shuffle per consumer
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val sym = dir
+    val sym = truncate(dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .filter(col("src") =!= col("dst"))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("src") =!= col("dst")))
+    val deg = truncate(sym.groupBy("src").agg(count(lit(1)).as("deg")))
 
     // total-order orientation key (deg, id): each undirected edge kept
     // exactly once, pointing at the larger endpoint
@@ -41,10 +48,10 @@ object Triangles {
       .join(deg, Seq("src"))
       .join(
         deg.select(col("src").as("dst"), col("deg").as("ddeg")), Seq("dst"))
-    val oriented = withDeg
+    val oriented = truncate(withDeg
       .filter(col("deg") < col("ddeg") ||
         (col("deg") === col("ddeg") && col("src") < col("dst")))
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")))
 
     // wedge a→b, b→c closed by a→c; orientation makes (a,b,c) unique
     val tri = oriented.as("ab")

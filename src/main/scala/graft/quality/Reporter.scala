@@ -37,6 +37,13 @@ final class SmtpReporter(
     socketFactory: (String, Int) => Socket = new Socket(_, _))
   extends Reporter {
 
+  // `from` is config-sourced and written verbatim into both the MAIL
+  // FROM envelope and the From header — the same CRLF-injection surface
+  // as the recipients, validated with the same rule at construction so
+  // a bad config fails at wiring time, not first send
+  require(from.contains("@") && !from.exists("\r\n<>".contains(_)),
+    s"SmtpReporter: malformed from address '$from'")
+
   override def send(subject: String, recipients: Seq[String],
                     htmlBody: String): Unit = {
     require(recipients.nonEmpty, "SmtpReporter: no recipients")

@@ -41,7 +41,10 @@ SELFTEST = "--selftest" in sys.argv
 #   oracle_rows, err}})
 JSON_OUT = None
 if "--json" in sys.argv:
-    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    i = sys.argv.index("--json")
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        sys.exit("usage: --json <path> (missing output path)")
+    JSON_OUT = sys.argv[i + 1]
 ONLY = [a for a in sys.argv[3:]
         if not a.startswith("--") and a != JSON_OUT]
 
@@ -121,7 +124,9 @@ def frame_hash(df):
 # DuckDB instead: column names, exact row count, and a full-width
 # order-independent aggregate checksum (sum + bit_xor of hash(row)) over
 # ALL columns of both sides. Weaker than the driver's ordered hash only
-# in row ORDER — acceptable for the self-imposed large-SF gate; the
+# in row ORDER (column order is sorted-name on BOTH paths — the driver
+# itself sorts columns by name before hashing, so that is not an extra
+# weakening) — acceptable for the self-imposed large-SF gate; the
 # driver's sf0.01 gate below threshold keeps the exact comparator.
 BIG_ROWS = 2_000_000
 
@@ -145,6 +150,10 @@ def compare_big(name, sql, con, res_dir, n_mine):
     except Exception as e:
         RECORDS[name] = record(err=f"oracle error: {e}")
         return f"FAIL {name}: oracle error: {e}"
+    # sorted-name compare, matching the exact comparator below threshold
+    # (normalize() reindexes both frames to sorted column order before
+    # comparing — the driver contract); column ORDER is intentionally
+    # not part of either path
     if sorted(cols) != sorted(ocols):
         RECORDS[name] = record(sr=n_mine, err="column mismatch")
         return f"FAIL {name}: columns spark={sorted(cols)} oracle={sorted(ocols)}"
@@ -162,7 +171,7 @@ def compare_big(name, sql, con, res_dir, n_mine):
         return f"FAIL {name}: aggregate row-hash checksum differs"
     RECORDS[name] = record(True, True, True, a[0], b[0])
     return (f"PASS {name} ({a[0]} rows) "
-            f"[big-frame: unordered duckdb checksum]")
+            f"[big-frame: unordered duckdb checksum, sorted-name columns]")
 
 
 def compare(name, sql, con):
