@@ -743,6 +743,29 @@ object Similarity {
         .otherwise(acc.getField("cid")))
   }
 
+  /** The interpreted-HOF literal-path encoder, kept ONLY as the parity
+    * oracle for [[PqCodes]] (same fold order, same decimal rounding,
+    * same tie-break and raise; SimilaritySpec asserts bit-identical
+    * codes over the corpus).
+    */
+  private[functions] def pqEncodeHof(embeddings: DataFrame,
+                                     centroids: DataFrame,
+                                     m: Int = 8): DataFrame = {
+    val ceiling = literalCentroidCeiling(embeddings.sparkSession)
+    val cents = collectUpTo(centroids, ceiling, "pqEncode")
+      .getOrElse(sys.error("pqEncodeHof: codebook above literal ceiling"))
+    require(cents.map(_._2.length).distinct.size == 1, "pq: ragged codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codes = array((0 until m).map { s =>
+      val subCents: Seq[(Int, Seq[Double])] =
+        cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
+      subCode(typedLit(subCents), s, sub)
+    }: _*)
+    embeddings.withColumn("codes", codes)
+  }
+
   def pqEncode(embeddings: DataFrame, centroids: DataFrame,
                m: Int = 8): DataFrame = {
     val ceiling = literalCentroidCeiling(embeddings.sparkSession)
@@ -751,13 +774,12 @@ object Similarity {
         require(cents.map(_._2.length).distinct.size == 1, "pq: ragged codebook")
         val dim = cents.head._2.length
         require(dim % m == 0, s"pqEncode: dim $dim not divisible by m=$m")
-        val sub = dim / m
-        val codes = array((0 until m).map { s =>
-          val subCents: Seq[(Int, Seq[Double])] =
-            cents.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) }
-          subCode(typedLit(subCents), s, sub)
-        }: _*)
-        embeddings.withColumn("codes", codes)
+        // one fused native pass over all m subspaces ([[PqCodes]] — the
+        // codegen'd twin of the per-subspace HOF argmin folds, parity-
+        // pinned in SimilaritySpec); the HOF form below survives on the
+        // broadcast path where the codebook exceeds the literal ceiling
+        embeddings.withColumn("codes",
+          PqCodes.pqCodes(col("embedding"), cents, m))
       case None =>
         // broadcast-struct path (see assign): the codebook aggregates to
         // one row holding m pre-sliced sub-codebooks — sliced ONCE in the

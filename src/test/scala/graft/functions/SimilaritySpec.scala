@@ -114,6 +114,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(odd == Map(1L -> None, 2L -> Some(5.0)))
   }
 
+  test("PqCodes is bit-identical to the HOF sub-code folds; raise parity") {
+    import spark.implicits._
+    val cents = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val fast = Similarity.pqEncode(emb, cents, m = 8)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Similarity.pqEncodeHof(emb, cents, m = 8)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fast.nonEmpty && fast == hof,
+      s"native/HOF code divergence: ${fast.toSeq.diff(hof.toSeq).take(3)}")
+    // a dim-mismatched embedding raises the fail-loudly error in both
+    // forms instead of emitting a garbage code
+    val bad = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val eFast = intercept[Exception](
+      Similarity.pqEncode(bad, cents, m = 8).collect())
+    assert(eFast.getMessage.contains("no codebook match"), eFast.getMessage)
+    val eHof = intercept[Exception](
+      Similarity.pqEncodeHof(bad, cents, m = 8).collect())
+    assert(eHof.getMessage.contains("no codebook match"), eHof.getMessage)
+  }
+
   test("appendIndex: untouched cells byte-stable; search covers both waves") {
     import java.nio.file.{Files, Path}
     val cents = emb.filter(col("vec_id").between(1, 16))
