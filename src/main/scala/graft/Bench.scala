@@ -127,6 +127,17 @@ object Bench {
       if (ordered.exists(kv => consumers(kv._1)))
         timeFill(name)(thunk(spark, sfDir))
     }
+    // Host-speed calibration: a fixed, self-contained, data-independent
+    // probe (CPU-bound hash-reduce over a generated range) timed as the
+    // min of 3 runs. Cross-round warm-total comparisons divide by this
+    // to cancel ambient host drift (~10% day-to-day on this builder —
+    // round 7 spent an adjudication cycle attributing exactly that).
+    val calibration = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect() // xor: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val cold = fillLines.toSeq ++ pass("cold") // fills remaining caches, codegen, page cache
     val warm1 = pass("warm1")
     val warm2 = pass("warm2")
@@ -148,7 +159,7 @@ object Bench {
       .mkString("{", ",", "}")
     val exclJson = excluded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"errors":$errJson,"cold_total_sec":$coldTotal,"cold_queries":${jmap(cold.map(c => c._1 -> c._2))},"excluded":$exclJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"errors":$errJson,"cold_total_sec":$coldTotal,"cold_queries":${jmap(cold.map(c => c._1 -> c._2))},"excluded":$exclJson,"__calibration":$calibration,"sf":${jstr(sfDir)}}"""
     try {
       Files.writeString(Paths.get(outFile), json + "\n")
       System.err.println(s"[bench] wrote $outFile")

@@ -317,23 +317,26 @@ object Similarity {
     */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val ceiling = literalCentroidCeiling(embeddings.sparkSession)
-    val withNorm = embeddings
-      .withColumn("__nrm", norm(col("embedding"))) // once per row, not per centroid
-    val out = collectUpTo(centroids, ceiling, "assign") match {
+    collectUpTo(centroids, ceiling, "assign") match {
       case Some(collected) =>
+        // native fused argmax ([[NearestCell]] — norm computed inside
+        // the same primitive loop); bit-identical to the HOF fold on
+        // the broadcast path below, parity-pinned in SimilaritySpec
         val cents: Seq[(Int, Seq[Double], Double)] = collected.map {
           case (cid, v) =>
             (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
         }
-        withNorm.withColumn("centroid_id", bestCentroid(typedLit(cents)))
+        embeddings.withColumn("centroid_id",
+          CellProbe.nearestCell(col("embedding"), cents))
       case None =>
-        crossBroadcast(withNorm, centStructRow(centroids))
+        // schema-preserving: input columns pass through untouched
+        // (callers carry label/text/etc.), plus the assigned centroid_id
+        crossBroadcast(
+            embeddings.withColumn("__nrm", norm(col("embedding"))),
+            centStructRow(centroids))
           .withColumn("centroid_id", bestCentroid(col("__cents")))
-          .drop("__cents")
+          .drop("__cents", "__nrm")
     }
-    // schema-preserving: input columns pass through untouched (callers
-    // carry label/text/etc.), plus the assigned centroid_id
-    out.drop("__nrm")
   }
 
   // The assignment scan is identical for every query against the same
@@ -591,17 +594,21 @@ object Similarity {
           .cast("int")).otherwise(cid))
     val out = collectUpTo(centroids, ceiling, "probeAssign") match {
       case Some(collected) =>
+        // native fused top-nprobe ([[ProbeCells]] — same nulls-first
+        // mismatch semantics as the struct sort, parity-pinned)
         val cents: Seq[(Int, Seq[Double], Double)] = collected.map {
           case (cid, v) =>
             (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
         }
-        withNorm.withColumn("centroid_id", explode(probeIds(typedLit(cents))))
+        embeddings.withColumn("centroid_id",
+          explode(CellProbe.probeCells(col("embedding"), cents, nprobe)))
       case None =>
         crossBroadcast(withNorm, centStructRow(centroids))
           .withColumn("centroid_id", explode(probeIds(col("__cents"))))
           .drop("__cents")
+          .drop("__nrm")
     }
-    out.drop("__nrm")
+    out
   }
 
   /** Approximate k-NN graph over the whole corpus — the neighbor-graph

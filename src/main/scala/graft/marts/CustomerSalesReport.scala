@@ -120,6 +120,13 @@ object CustomerSalesReport {
   def build(customers: DataFrame, products: DataFrame, sales: DataFrame,
             supplierPerformance: DataFrame, clock: RunClock,
             tiers: TierMode = TierMode.Approx): DataFrame = {
+    // Deliberately NOT materialized (round-8 A/B, PLANS.md): the two
+    // textual fact passes below (per-customer agg + join-back) share
+    // their shuffle exchanges at runtime — Catalyst's ReusedExchange
+    // dedupes the expensive lineitem⨝orders subtree — so the lazy form
+    // runs ONE physical fact derivation (0.96 s warm at sf0.1), while
+    // an explicit checkpoint/localCheckpoint seam measured 4.3 s (the
+    // eager materialization forfeits both exchange reuse and AQE).
     val expAddSalesData =
       expAdd(customers, products, sales, supplierPerformance, clock)
 

@@ -266,14 +266,19 @@ class SimilaritySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq,
       // ADC ranking exercises the recon path (literal vs broadcast LUT)
       Similarity.pqTopK(emb, centroids, q, k = 10)
-        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      // multi-probe exercises ProbeCells vs the struct-sort HOF
+      Similarity.probeAssign(emb, centroids, nprobe = 4)
+        .select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
     try {
-      val (litAssign, litCodes, litRank) = run() // C=16 ≤ default ceiling
+      val (litAssign, litCodes, litRank, litProbe) = run() // C=16 ≤ default ceiling
       spark.conf.set(key, "1") // force the broadcast path
-      val (bcAssign, bcCodes, bcRank) = run()
+      val (bcAssign, bcCodes, bcRank, bcProbe) = run()
       assert(bcAssign == litAssign, "assignments must be bit-identical")
       assert(bcCodes == litCodes, "PQ codes must be bit-identical")
       assert(bcRank == litRank, "ADC rankings must be bit-identical")
+      assert(bcProbe == litProbe, "probe sets must be bit-identical")
       // path selection is observable in the plan: the broadcast form
       // joins (constant-key BroadcastHashJoin), the literal form must not
       val bcPlan = Similarity.assign(emb, centroids)

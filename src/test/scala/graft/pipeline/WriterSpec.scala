@@ -130,6 +130,92 @@ class WriterSpec extends AnyFunSuite {
     }
   }
 
+  test("crash window: deleteKeysPartitioned leftover survives a crash, idempotent re-run heals") {
+    // The documented crash window (Layers.scala scaladoc): a crash
+    // between the dynamic overwrite and the emptied-directory cleanup
+    // leaves the emptied partition's OLD files on disk — every
+    // forgotten row silently resurrected on the next read. Defense (1)
+    // is the contract under test: re-running the same delete re-finds
+    // those rows and clears the directory. The spec reconstructs the
+    // exact post-crash disk state (overwrite done, cleanup not).
+    val root = java.nio.file.Files.createTempDirectory("graft_crash")
+    try {
+      val dest = root.toString + "/t"
+      Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 2))
+        .toDF("k", "v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dest)
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(3L, 4L).toDF("k"), "p")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dest, "p=2")), "clean run clears p=2")
+      // reconstruct the crash state: p=2's pre-delete files back on disk
+      // (the overwrite never touched them; only the cleanup removes them)
+      Seq((3L, "c", 2), (4L, "d", 2)).toDF("k", "v", "p")
+        .write.mode("append").partitionBy("p").parquet(dest)
+      val resurrected = spark.read.parquet(dest)
+        .select("k").as[Long].collect().toSet
+      assert(resurrected == Set(1L, 2L, 3L, 4L),
+        s"the crash window must be observable before the re-run: $resurrected")
+      // the recommended recovery: re-run the SAME delete — idempotent
+      LayerWriter.deleteKeysPartitioned(spark, dest, "k",
+        Seq(3L, 4L).toDF("k"), "p")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dest, "p=2")),
+        "re-run must clear the leftover directory")
+      val healed = spark.read.parquet(dest)
+        .select("k", "v", "p").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(healed == Set((1L, "a", 1), (2L, "b", 1)), s"got $healed")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("crash window: mergeInto's swap leaves the merged data in __tmp; rename completes it") {
+    // mergeInto's delete+rename swap is best-effort (Layers.scala
+    // scaladoc): a crash between the two steps leaves dest MISSING and
+    // the full merged result in <dest>__tmp. The documented recovery is
+    // completing the rename — assert the tmp contents ARE the complete
+    // merged state, not a partial write.
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash")
+    try {
+      val dest = root.toString + "/t"
+      LayerWriter.mergeInto(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest,
+        keys = Seq("k"), preserved = Seq.empty)
+      LayerWriter.mergeInto(spark,
+        Seq((2L, "B"), (3L, "c")).toDF("k", "v"), dest,
+        keys = Seq("k"), preserved = Seq.empty)
+      val expected = spark.read.parquet(dest)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(expected == Set((1L, "a"), (2L, "B"), (3L, "c")))
+      // reconstruct the crash state: merged data only under __tmp
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val tmp = new org.apache.hadoop.fs.Path(dest + "__tmp")
+      assert(fs.rename(destPath, tmp))
+      assert(!fs.exists(destPath) && fs.exists(tmp),
+        "post-crash state: dest missing, __tmp holds the merge")
+      // the documented recovery: complete the rename
+      assert(fs.rename(tmp, destPath))
+      val recovered = spark.read.parquet(dest)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(recovered == expected,
+        s"__tmp must hold the COMPLETE merged state: $recovered")
+    } finally {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("deleteKeysPartitioned erases rows in the NULL partition too") {
     val root = java.nio.file.Files.createTempDirectory("graft_forget_null")
     try {
