@@ -10,8 +10,12 @@ object Verify {
     }
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing names restrict the dump (local iteration only;
-    // the driver always runs the full inventory)
-    val only = args.drop(2).toSet
+    // the driver always runs the full inventory). --skip-existing is the
+    // watchdog-resume mode (tools/localverify.py): a query whose output
+    // dir already holds a _SUCCESS marker is not re-run, so a relaunch
+    // after a stalled/killed JVM continues instead of starting over.
+    val skipExisting = args.drop(2).contains("--skip-existing")
+    val only = args.drop(2).filterNot(_ == "--skip-existing").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Single source of truth for session config: the correctness gate must
     // run under exactly the environment GraftSession defines (UTC, AQE,
@@ -29,6 +33,9 @@ object Verify {
     }
     val picked = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .filter { case (name, _) =>
+        !(skipExisting &&
+          new java.io.File(s"$outDir/$name/_SUCCESS").exists()) }
     picked.keys.foreach { name =>
       deleteRec(new java.io.File(s"$outDir/$name"))
     }

@@ -77,12 +77,12 @@ object PageRank {
       .limit(1).count() > 0
 
     var pr = nodes.select(col("node"), invN.as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = withDeg
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(decSum(col("pr") / col("deg")).as("m"))
-      pr = truncate(if (hasDangling) {
+      val next = if (hasDangling) {
         val dangling = pr
           .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
           .agg(coalesce(decSum(col("pr")), lit(0.0)).as("dang"))
@@ -96,7 +96,15 @@ object PageRank {
           .select(col("node"),
             round12(lit(teleport) * invN + lit(damping) *
               coalesce(col("m"), lit(0.0))).as("pr"))
-      })
+      }
+      // Truncation cadence: the dangling path references pr TWICE per
+      // round (sums + dangling mass) — untruncated lineage doubles per
+      // round, so it checkpoints every round. The fast path references
+      // pr exactly once — lineage grows LINEARLY — so an eager
+      // materialization every round is pure scheduler latency; every
+      // 4th round bounds both plan depth and job count. Checkpointing
+      // never changes values, only where the plan is cut.
+      pr = if (hasDangling || i % 4 == 0) truncate(next) else next
     }
     pr.select(col("node"),
         round(col("pr").cast(Acc), 9).cast("double").as("pr"))
@@ -147,14 +155,14 @@ object PageRank {
       .select(col("node"), coalesce(col("sw"), lit(0.0)).as("sw")))
 
     var pr = nodesW.select(col("node"), col("sw").as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = withDeg
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(decSum(col("pr") / col("deg")).as("m"))
       // same empty-dangling fast path as pageRank: (teleport +
       // damping·0.0)·sw ≡ teleport·sw bit-for-bit
-      pr = truncate(if (hasDangling) {
+      val next = if (hasDangling) {
         val dangling = pr
           .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
           .agg(coalesce(decSum(col("pr")), lit(0.0)).as("dang"))
@@ -168,7 +176,9 @@ object PageRank {
           .select(col("node"),
             round12(lit(teleport) * col("sw")
               + lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-      })
+      }
+      // same truncation cadence as pageRank (see there)
+      pr = if (hasDangling || i % 4 == 0) truncate(next) else next
     }
     pr.select(col("node"),
         round(col("pr").cast(Acc), 9).cast("double").as("pr"))

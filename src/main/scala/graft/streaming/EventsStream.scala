@@ -573,6 +573,13 @@ object EventsStream {
         dropDir.resolve(s"wave_$mod.parquet"))
     }
     def runIncarnation(): Unit = {
+      // Trigger.AvailableNow: process everything present at start, then
+      // terminate GRACEFULLY — no external stop() at all. This both
+      // models the incarnation semantics exactly (a bounded run that
+      // "dies" after its data) and avoids the processAllAvailable→stop
+      // interrupt race, which at sf1 reproducibly leaked every local
+      // scheduler core (two hung gate runs, each parked forever on the
+      // NEXT 1-task write job with an idle JVM — see PLANS.md round 8).
       val q = spark.readStream.schema(sales.schema)
         .parquet(dropDir.toString)
         .writeStream
@@ -580,8 +587,9 @@ object EventsStream {
         .option("path", sink)
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
     }
     try {
       drop(0)

@@ -24,7 +24,7 @@ Usage:
 import datetime
 import decimal
 import hashlib
-import json, os, subprocess, sys
+import json, os, subprocess, sys, time
 
 import duckdb
 import numpy as np
@@ -52,16 +52,68 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Stall watchdog: a rare Spark-local task-kill race (seen once at sf1,
+# after a streaming-query stop) can leak every scheduler core, leaving
+# the next write job parked forever with an idle JVM. Detect "no new
+# completed query dir for STALL_SECS", kill the process group, and
+# relaunch Verify with --skip-existing so it resumes from the completed
+# set instead of starting over.
+STALL_SECS = int(os.environ.get("GRAFT_VERIFY_STALL_SECS", "900"))
+MAX_ATTEMPTS = 3
+
+
+def _done_count():
+    try:
+        return sum(1 for n in os.listdir(OUT_DIR)
+                   if os.path.exists(os.path.join(OUT_DIR, n, "_SUCCESS")))
+    except FileNotFoundError:
+        return 0
+
+
 def run_spark():
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     names = " ".join(ONLY)
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}']
-    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
-                       text=True)
-    sys.stdout.write(r.stdout[-4000:])
-    if r.returncode != 0:
-        sys.stderr.write(r.stderr[-4000:])
-        sys.exit(1)
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        resume = " --skip-existing" if attempt > 1 else ""
+        cmd = ["sbt", "-batch",
+               f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}{resume}']
+        p = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, text=True,
+                             start_new_session=True)
+        last_done, last_progress = _done_count(), time.time()
+        out_tail = []
+        import threading
+
+        def pump():
+            for line in p.stdout:
+                out_tail.append(line)
+                del out_tail[:-200]
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        stalled = False
+        while p.poll() is None:
+            time.sleep(15)
+            done = _done_count()
+            if done != last_done:
+                last_done, last_progress = done, time.time()
+            elif time.time() - last_progress > STALL_SECS:
+                sys.stderr.write(
+                    f"[watchdog] no completed query for {STALL_SECS}s "
+                    f"({done} done) — killing attempt {attempt}\n")
+                os.killpg(os.getpgid(p.pid), 9)
+                stalled = True
+                break
+        p.wait()
+        sys.stdout.write("".join(out_tail[-60:]))
+        if not stalled and p.returncode == 0:
+            return
+        if not stalled and p.returncode != 0:
+            sys.stderr.write(f"[verify] sbt exited rc={p.returncode}\n")
+            sys.exit(1)
+    sys.stderr.write(f"[watchdog] still stalled after {MAX_ATTEMPTS} "
+                     "attempts\n")
+    sys.exit(1)
 
 
 def normalize(df):

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Round routine: the per-round gate + bench sequence, so scale
+# regressions surface the round they land (VERDICT r7 "Next round" #4).
+#
+#   tools/round.sh            # sf0.01 gate + sf0.1 bench (quick loop)
+#   tools/round.sh --sf1      # ALSO regenerate testdata_sf1, run the
+#                             # 10x gate and the sf1 bench
+#
+# Artifacts land in the repo root: CORRECTNESS_local.json,
+# bench_out.json (sf0.1), CORRECTNESS_sf1.json, bench_sf1.json.
+# Compare bench totals across rounds via the __calibration line
+# (fixed CPU probe): normalized = value * (cal_ref / cal_run).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+XMX="${GRAFT_XMX:-48g}"
+
+echo "== sbt test =="
+sbt -batch test
+
+echo "== sf0.01 correctness gate =="
+python3 tools/localverify.py /root/testdata/sf0.01 /tmp/graft_round_verify \
+  --json CORRECTNESS_local.json
+
+echo "== sf0.1 bench =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+  GRAFT_XMX="$XMX" tools/runmain.sh graft.Bench
+
+if [[ "${1:-}" == "--sf1" ]]; then
+  echo "== regenerate testdata_sf1 (deterministic 10x) =="
+  rm -rf testdata_sf1
+  SPARK_GRAFT_CPUS="$CPUS" GRAFT_XMX="$XMX" \
+    tools/runmain.sh graft.ScaleUp /root/testdata/sf0.1 \
+    "$(pwd)/testdata_sf1" 10
+
+  echo "== sf1 correctness gate (10x) =="
+  python3 tools/localverify.py "$(pwd)/testdata_sf1" /tmp/graft_round_sf1 \
+    --json CORRECTNESS_sf1.json
+
+  echo "== sf1 bench =="
+  SPARK_GRAFT_SF_DIR="$(pwd)/testdata_sf1" SPARK_GRAFT_CPUS="$CPUS" \
+    GRAFT_XMX="$XMX" SPARK_GRAFT_BENCH_OUT="$(pwd)/bench_sf1.json" \
+    tools/runmain.sh graft.Bench
+fi
+
+echo "== round routine complete =="
