@@ -18,7 +18,8 @@ last being the gate the driver actually applies:
 
 Usage:
 
-    python3 tools/localverify.py [sfdir] [outdir] [--skip-spark] [only ...]
+    python3 tools/localverify.py [sfdir] [outdir] [--skip-spark]
+        [--json out.json] [--workers N] [only ...]
     python3 tools/localverify.py --selftest
 """
 import datetime
@@ -45,8 +46,22 @@ if "--json" in sys.argv:
     if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
         sys.exit("usage: --json <path> (missing output path)")
     JSON_OUT = sys.argv[i + 1]
+# --workers N: fan the DuckDB compare out over N child processes
+# (round-robin name slices, partial JSONs merged by the parent). The
+# compare is CPU-bound per query — oracle SQL + Python canonical
+# serialization — so at sf1 a single process takes hours while the
+# machine idles; 4 workers cut the 197-row gate to ~25 min. The Spark
+# phase still runs ONCE, in the parent, before the fan-out.
+WORKERS = 1
+_workers_tok = None
+if "--workers" in sys.argv:
+    i = sys.argv.index("--workers")
+    if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+        sys.exit("usage: --workers <N> (missing worker count)")
+    _workers_tok = sys.argv[i + 1]
+    WORKERS = max(1, int(_workers_tok))
 ONLY = [a for a in sys.argv[3:]
-        if not a.startswith("--") and a != JSON_OUT]
+        if not a.startswith("--") and a != JSON_OUT and a != _workers_tok]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -312,6 +327,57 @@ def selftest():
     print("SELFTEST PASS: decimal-vs-double caught, dates unified")
 
 
+def fan_out(oracles):
+    """Parent side of --workers: re-exec self over round-robin name
+    slices (children inherit --skip-spark — the Spark phase already ran
+    — and write partial JSONs the parent merges into JSON_OUT)."""
+    names = sorted(n for n in oracles if not ONLY or n in ONLY)
+    slices = [names[i::WORKERS] for i in range(WORKERS)]
+    procs, parts = [], []
+    for i, sl in enumerate(slices):
+        if not sl:
+            continue
+        part = f"{OUT_DIR}/__part_{i}.json"
+        parts.append(part)
+        cmd = [sys.executable, os.path.abspath(__file__), SF_DIR, OUT_DIR,
+               "--skip-spark", "--json", part] + sl
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    failures = 0
+    for p in procs:
+        out, _ = p.communicate()
+        for line in out.splitlines():
+            # suppress the children's own artifact-write notices; every
+            # PASS/FAIL/ROWS line streams through verbatim
+            if line.startswith("wrote "):
+                continue
+            print(line)
+            failures += line.startswith("FAIL")
+    for part in parts:
+        try:
+            with open(part) as f:
+                RECORDS.update(json.load(f))
+            os.remove(part)
+        except FileNotFoundError:
+            sys.stderr.write(f"[workers] missing partial {part} — a "
+                             "worker died before writing it\n")
+            failures += 1
+    if not ONLY:
+        con = duckdb.connect()
+        for name in sorted(os.listdir(OUT_DIR)):
+            p = os.path.join(OUT_DIR, name)
+            if os.path.isdir(p) and name not in oracles:
+                n = len(con.execute(
+                    f"SELECT 1 FROM read_parquet('{p}/*.parquet')"
+                ).fetchall())
+                print(f"ROWS {name}: {n} rows (no oracle)")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(RECORDS, f, indent=0, sort_keys=True)
+        print(f"wrote {JSON_OUT} ({len(RECORDS)} records)")
+    sys.exit(1 if failures else 0)
+
+
 def main():
     if SELFTEST:
         selftest()
@@ -320,6 +386,9 @@ def main():
         run_spark()
     with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    if WORKERS > 1:
+        fan_out(oracles)
+        return
     con = duckdb.connect()
     # An in-memory DuckDB has NO temp directory, so blocking operators
     # (hash join/agg over the unrolled graph CTE chains at large SF)
@@ -343,13 +412,17 @@ def main():
         msg = compare(name, sql, con)
         print(msg)
         failures += msg.startswith("FAIL")
-    # queries without an oracle: rows-only
-    for name in sorted(os.listdir(OUT_DIR)):
-        p = os.path.join(OUT_DIR, name)
-        if os.path.isdir(p) and name not in oracles:
-            n = len(con.execute(
-                f"SELECT 1 FROM read_parquet('{p}/*.parquet')").fetchall())
-            print(f"ROWS {name}: {n} rows (no oracle)")
+    # queries without an oracle: rows-only (skipped under a name
+    # restriction — a --workers child would otherwise print this block
+    # once PER WORKER; the fan-out parent prints it instead)
+    if not ONLY:
+        for name in sorted(os.listdir(OUT_DIR)):
+            p = os.path.join(OUT_DIR, name)
+            if os.path.isdir(p) and name not in oracles:
+                n = len(con.execute(
+                    f"SELECT 1 FROM read_parquet('{p}/*.parquet')"
+                ).fetchall())
+                print(f"ROWS {name}: {n} rows (no oracle)")
     if JSON_OUT:
         with open(JSON_OUT, "w") as f:
             json.dump(RECORDS, f, indent=0, sort_keys=True)

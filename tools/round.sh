@@ -21,7 +21,7 @@ sbt -batch test
 
 echo "== sf0.01 correctness gate =="
 python3 tools/localverify.py /root/testdata/sf0.01 /tmp/graft_round_verify \
-  --json CORRECTNESS_local.json
+  --json CORRECTNESS_local.json --workers 4
 
 echo "== sf0.1 bench =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
@@ -35,8 +35,10 @@ if [[ "${1:-}" == "--sf1" ]]; then
     "$(pwd)/testdata_sf1" 10
 
   echo "== sf1 correctness gate (10x) =="
+  # 4 compare workers: the sf1 DuckDB+canonicalization phase is CPU-bound
+  # per query (hours single-process, ~25 min fanned out)
   python3 tools/localverify.py "$(pwd)/testdata_sf1" /tmp/graft_round_sf1 \
-    --json CORRECTNESS_sf1.json
+    --json CORRECTNESS_sf1.json --workers 4
 
   echo "== sf1 bench =="
   SPARK_GRAFT_SF_DIR="$(pwd)/testdata_sf1" SPARK_GRAFT_CPUS="$CPUS" \
