@@ -341,18 +341,38 @@ def fan_out(oracles):
         parts.append(part)
         cmd = [sys.executable, os.path.abspath(__file__), SF_DIR, OUT_DIR,
                "--skip-spark", "--json", part] + sl
+        # split the DuckDB budget so N concurrently-spilling children
+        # stay under the machine (observed 4-worker peak: ~86 GB)
+        env = dict(os.environ,
+                   GRAFT_DUCKDB_MEM=os.environ.get(
+                       "GRAFT_DUCKDB_MEM", f"{max(20, 100 // WORKERS)}GB"))
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                      stderr=subprocess.STDOUT, text=True))
-    failures = 0
-    for p in procs:
-        out, _ = p.communicate()
-        for line in out.splitlines():
+                                      stderr=subprocess.STDOUT, text=True,
+                                      env=env))
+    # Stream every child's lines as they arrive (live progress, and a
+    # child can never block on a full pipe): one pump thread per child.
+    import threading
+    lock = threading.Lock()
+    fail_count = [0]
+
+    def pump(p):
+        for line in p.stdout:
+            line = line.rstrip("\n")
             # suppress the children's own artifact-write notices; every
             # PASS/FAIL/ROWS line streams through verbatim
             if line.startswith("wrote "):
                 continue
-            print(line)
-            failures += line.startswith("FAIL")
+            with lock:
+                print(line, flush=True)
+                fail_count[0] += line.startswith("FAIL")
+    pumps = [threading.Thread(target=pump, args=(p,)) for p in procs]
+    for t in pumps:
+        t.start()
+    for p in procs:
+        p.wait()
+    for t in pumps:
+        t.join()
+    failures = fail_count[0]
     for part in parts:
         try:
             with open(part) as f:
@@ -393,10 +413,17 @@ def main():
     # An in-memory DuckDB has NO temp directory, so blocking operators
     # (hash join/agg over the unrolled graph CTE chains at large SF)
     # cannot spill and die with "Out of Memory Error". Point temp at
-    # disk and cap memory below the machine so the OS survives.
-    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='80GB'")
+    # disk and cap memory below the machine so the OS survives. The dir
+    # is PER-PROCESS: concurrent --workers children sharing one temp dir
+    # collide on DuckDB's unqualified temp file names ("Could not read
+    # enough bytes from duckdb_temp_storage-2.tmp" — observed when two
+    # workers spilled simultaneously). Memory is capped per worker so N
+    # concurrent spilling children stay under the machine.
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCKDB_MEM", "80GB"))
     for t in TABLES:
         # single-file testdata (driver sfs) vs directory-of-parts
         # (graft.ScaleUp output): glob the parts when it's a directory
