@@ -436,8 +436,16 @@ def main():
     for name, sql in sorted(oracles.items()):
         if ONLY and name not in ONLY:
             continue
-        msg = compare(name, sql, con)
-        print(msg)
+        try:
+            msg = compare(name, sql, con)
+        except Exception as e:
+            # a row-level crash (e.g. DuckDB IO error when the disk
+            # fills mid-spill) must cost ONE row, not the whole
+            # process — under --workers a dead child loses its entire
+            # slice's records
+            RECORDS[name] = record(err=f"comparator crash: {e}")
+            msg = f"FAIL {name}: comparator crash: {e}"
+        print(msg, flush=True)
         failures += msg.startswith("FAIL")
     # queries without an oracle: rows-only (skipped under a name
     # restriction — a --workers child would otherwise print this block
