@@ -382,6 +382,39 @@ def fan_out(oracles):
             sys.stderr.write(f"[workers] missing partial {part} — a "
                              "worker died before writing it\n")
             failures += 1
+    # Infra-shaped failures (disk-full / OOM) happen when several
+    # workers spill a heavy oracle CTE at once — the graph/dd families
+    # sit adjacent in sorted order, so round-robin slices reach them
+    # SIMULTANEOUSLY. Those are not correctness verdicts: re-run them
+    # serially with the whole memory budget before writing the artifact.
+    infra = [n for n, r in RECORDS.items() if r.get("err") and
+             ("No space left" in r["err"] or "Out of Memory" in r["err"])]
+    if infra:
+        print(f"[workers] re-running {len(infra)} infra-failed rows "
+              "serially with the full budget: " + " ".join(sorted(infra)),
+              flush=True)
+        part = f"{OUT_DIR}/__redo.json"
+        cmd = [sys.executable, os.path.abspath(__file__), SF_DIR, OUT_DIR,
+               "--skip-spark", "--json", part] + sorted(infra)
+        env = dict(os.environ)
+        env.pop("GRAFT_DUCKDB_MEM", None)
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, text=True, env=env)
+        for line in p.stdout:
+            line = line.rstrip("\n")
+            if not line.startswith("wrote "):
+                print(line, flush=True)
+        p.wait()
+        try:
+            with open(part) as f:
+                RECORDS.update(json.load(f))
+            os.remove(part)
+        except FileNotFoundError:
+            sys.stderr.write("[workers] serial re-run died before "
+                             "writing its partial\n")
+        failures = sum(1 for r in RECORDS.values()
+                       if not (r.get("rows_match") and r.get("schema_match")
+                               and r.get("hash_match")))
     if not ONLY:
         con = duckdb.connect()
         for name in sorted(os.listdir(OUT_DIR)):
