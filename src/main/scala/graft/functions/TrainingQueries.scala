@@ -422,7 +422,11 @@ object TrainingQueries {
       val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
         .select((col("asset_id") + 1000000).as("asset_id"),
           col("hash_hi"), col("hash_lo")))
-      val pairs = Multimodal.phashPairs(aug)
+      // star edges, not all pairs: components are provably identical
+      // (members sit at hamming 0 from their rep) and the edge count is
+      // linear in corpus depth instead of quadratic in duplicate-group
+      // depth — see Multimodal.phashStarPairs
+      val pairs = Multimodal.phashStarPairs(aug)
         .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
       aug.select(col("asset_id"))
         .join(Dedup.connectedComponents(pairs)
@@ -964,8 +968,13 @@ object TrainingQueries {
     }),
     // banded image near-dup pairs (hamming ≤ 3, pigeonhole-exact): the
     // corpus has no natural re-crawls, so every 30th image is injected
-    // as a verbatim copy on both engines — those pairs MUST surface at
-    // hamming 0, alongside any natural near-collisions
+    // as a verbatim copy on both engines — those MUST surface as
+    // hamming-0 membership rows, alongside any natural near-collisions.
+    // CONTRACT (round 8): the gate row emits the linear STAR form
+    // (phashStarPairs — exact-hash membership under the lowest-id rep +
+    // one bridge per distinct near hash pair); the all-pairs form
+    // (phashPairs, quadratic in duplicate-group depth — 1.5M rows at
+    // sf1, 93% hamming-0) stays spec-pinned as the small-scale variant
     "mm_phash_pairs" -> ((s, d) => {
       val ph = Multimodal
         .imagePHash(Multimodal.assets(Tables.documents(s, d)))
@@ -973,7 +982,7 @@ object TrainingQueries {
       val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
         .select((col("asset_id") + 1000000).as("asset_id"),
           col("hash_hi"), col("hash_lo")))
-      Multimodal.phashPairs(aug).orderBy("asset_a", "asset_b")
+      Multimodal.phashStarPairs(aug).orderBy("asset_a", "asset_b")
     }),
     // composed curation pipeline (quality → dedup → near-dup → split)
     "ts_curation" -> ((s, d) =>
@@ -2509,22 +2518,37 @@ object TrainingQueries {
     "mm_phash" -> (phashCtes +
       """SELECT asset_id, width, height, mean_gray, hash_hi, hash_lo
         |FROM ph ORDER BY asset_id""".stripMargin),
-    // phash-pair twin: brute hamming over ALL hash pairs — the band
-    // join's pigeonhole guarantee (4 16-bit bands, <= 3 differing bits
-    // => >= 1 band untouched) makes the banded Spark plan EXACT, so
-    // the brute twin is the equivalence proof, not an approximation
+    // phash-STAR twin (round-8 contract): exact-hash membership under
+    // the lowest-id rep + brute hamming over DISTINCT hash pairs. The
+    // band join's pigeonhole guarantee (4 16-bit bands, <= 3 differing
+    // bits => >= 1 band untouched) makes the banded Spark bridge plan
+    // EXACT, so the brute-over-reps twin is the equivalence proof, not
+    // an approximation
     "mm_phash_pairs" -> (phashCtes +
       """, aug AS (
         |  SELECT asset_id, hash_hi, hash_lo FROM ph
         |  UNION ALL
         |  SELECT asset_id + 1000000, hash_hi, hash_lo FROM ph
-        |  WHERE asset_id % 30 = 0)
-        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-        |       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
-        |          + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
-        |FROM aug a JOIN aug b ON a.asset_id < b.asset_id
-        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
-        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |  WHERE asset_id % 30 = 0),
+        |reps AS (
+        |  SELECT hash_hi, hash_lo, min(asset_id) AS rep
+        |  FROM aug GROUP BY hash_hi, hash_lo),
+        |members AS (
+        |  SELECT r.rep AS asset_a, a.asset_id AS asset_b,
+        |         CAST(0 AS INT) AS hamming
+        |  FROM aug a JOIN reps r
+        |    ON a.hash_hi = r.hash_hi AND a.hash_lo = r.hash_lo
+        |  WHERE a.asset_id <> r.rep),
+        |bridges AS (
+        |  SELECT a.rep AS asset_a, b.rep AS asset_b,
+        |         CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+        |            + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT)
+        |           AS hamming
+        |  FROM reps a JOIN reps b ON a.rep < b.rep
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
+        |SELECT * FROM (SELECT * FROM members
+        |               UNION ALL SELECT * FROM bridges)
         |ORDER BY asset_a, asset_b""".stripMargin),
     // phash-cluster twin: the pair set above closed by the recursive
     // min-reachable CTE (like dd_cluster), every image labeled via the

@@ -158,6 +158,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("phashStarPairs: join closure equals the all-pairs form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // same fixture shape as the banded-vs-brute test: deep exact-hash
+    // groups (repeated (dims, seed)) plus natural near-collisions
+    val assets = (0 until 60).map(i => Multimodal.Asset(i.toLong, "image",
+      Multimodal.BmpCodec.encode(1 + i % 4, 1 + i % 3, (i % 10).toLong),
+      "s")).toDS()
+    val hashes = Multimodal.imagePHash(assets).toDF()
+      .select("asset_id", "hash_hi", "hash_lo")
+    val full = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val star = Multimodal.phashStarPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(star.subsetOf(full),
+      "every star row IS a true pair (membership at 0, bridges at d>=1)")
+    assert(star.size < full.size, "fixture must exercise group depth")
+    // closure equivalence: connected components over the stars equal
+    // components over all pairs — the star form carries the same
+    // duplicate structure
+    def labels(pairs: Set[(Long, Long, Int)]) = {
+      val edges = pairs.toSeq.map { case (a, b, _) => (a, b) }
+        .toDF("src", "dst")
+      Dedup.connectedComponents(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(labels(star) == labels(full),
+      "star closure must reproduce the all-pairs components")
+    // hamming values on bridges are true distances (spot re-check)
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    star.foreach { case (a, b, d) =>
+      val da = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      assert(da == d, s"star pair ($a,$b) carries hamming $d, true $da")
+    }
+  }
+
   test("audioFingerprint: identical payloads equal, seeds differ, audio only") {
     import spark.implicits._
     val assets = Seq(
