@@ -37,9 +37,9 @@ object SparkEntry {
           stale.foreach(_._2.unpersist(blocking = false))
           (d, CustomerSalesReport.customerAmounts(
             Entities.customers(s, d), Entities.products(s, d),
-            Entities.sales(s, d),
+            Entities.salesCached(s, d),
             SupplierPerformance.build(Entities.suppliers(s, d),
-              Entities.products(s, d), Entities.sales(s, d), clock),
+              Entities.products(s, d), Entities.salesCached(s, d), clock),
             clock).cache())
       })._2
   }
@@ -58,24 +58,24 @@ object SparkEntry {
     "m_supplier_performance" -> ((s, d) =>
       SupplierPerformance.build(
         Entities.suppliers(s, d), Entities.products(s, d),
-        Entities.sales(s, d), clock)
+        Entities.salesCached(s, d), clock)
         .orderBy("SUPPLIER_ID")),
     "m_product_performance" -> ((s, d) =>
       ProductPerformance.build(
-        Entities.products(s, d), Entities.sales(s, d), clock)
+        Entities.products(s, d), Entities.salesCached(s, d), clock)
         .orderBy("PRODUCT_ID")),
     "m_customer_metrics" -> ((s, d) =>
       CustomerMetrics.build(
         Entities.customers(s, d), Entities.products(s, d),
-        Entities.sales(s, d), clock)
+        Entities.salesCached(s, d), clock)
         .orderBy("CUSTOMER_ID")),
     "m_customer_sales_report" -> ((s, d) =>
       CustomerSalesReport.build(
         Entities.customers(s, d), Entities.products(s, d),
-        Entities.sales(s, d),
+        Entities.salesCached(s, d),
         SupplierPerformance.build(
           Entities.suppliers(s, d), Entities.products(s, d),
-          Entities.sales(s, d), clock),
+          Entities.salesCached(s, d), clock),
         clock,
         // oracle twin: DuckDB quantile_cont matches exact percentiles only
         CustomerSalesReport.TierMode.Exact)
@@ -219,7 +219,7 @@ object SparkEntry {
     // per-mode OLS trend over the same daily units series q_ewma
     // smooths: closed form over exact BIGINT/DECIMAL moments
     "q_regression" -> ((s, d) =>
-      operators.Analytics.dailySalesTrend(sources.Entities.sales(s, d))),
+      operators.Analytics.dailySalesTrend(sources.Entities.salesCached(s, d))),
     // chi-squared independence + Cramér's V over q_mutual_info's
     // contingency table (same /64 FP-exact banding)
     "q_chi2" -> ((s, d) =>
@@ -260,23 +260,23 @@ object SparkEntry {
       operators.Analytics.paretoAbc(sources.Tables.orders(s, d))),
     // Holt's linear smoothing (level+trend) over the q_ewma daily series
     "q_holt" -> ((s, d) =>
-      operators.Analytics.dailySalesHolt(sources.Entities.sales(s, d))),
+      operators.Analytics.dailySalesHolt(sources.Entities.salesCached(s, d))),
     // one-sided CUSUM drift localization over the same daily series
     "q_cusum" -> ((s, d) =>
-      operators.Analytics.dailySalesCusum(sources.Entities.sales(s, d))),
+      operators.Analytics.dailySalesCusum(sources.Entities.salesCached(s, d))),
     // day-of-week seasonality profile (Monday-based on both engines)
     "q_seasonal" -> ((s, d) =>
       operators.Analytics.dailySalesSeasonality(
-        sources.Entities.sales(s, d))),
+        sources.Entities.salesCached(s, d))),
     // running EWMA over per-mode daily revenue: the e=αx+(1−α)e
     // recursion as a per-key prefix fold — bit-identical doubles on
     // both engines (no pow(), no FP reassociation)
     "q_ewma" -> ((s, d) =>
-      operators.Analytics.dailySalesEwma(sources.Entities.sales(s, d))),
+      operators.Analytics.dailySalesEwma(sources.Entities.salesCached(s, d))),
     // EWMA-forecast anomaly flags: per-mode daily units z-scored
     // against the one-step forecast residual deviation, |r| > 3σ
     "q_anomaly" -> ((s, d) =>
-      operators.Analytics.dailySalesAnomaly(sources.Entities.sales(s, d))),
+      operators.Analytics.dailySalesAnomaly(sources.Entities.salesCached(s, d))),
     // streaming CDC apply: three update waves foreachBatch-MERGEd into
     // a stored dimension; stream-order semantics (last wave wins)
     "st_upsert" -> ((s, d) =>
@@ -345,7 +345,7 @@ object SparkEntry {
     // rather than dropping the row (Ingest scaladoc + spec). ETL
     // replay, Bench-excluded.
     "src_badrecords" -> ((s, d) => {
-      val sales = sources.Entities.sales(s, d)
+      val sales = sources.Entities.salesCached(s, d)
         .filter(col("sale_id") % 97 === 0)
       val root = java.nio.file.Files.createTempDirectory("graft_badcsv")
       val stage = root.resolve("stage")
@@ -488,7 +488,7 @@ object SparkEntry {
     // explicit GROUPING SETS with grouping() indicators — the general
     // form cube/rollup specialize; same SQL text runs on both engines
     "q_grouping_sets" -> ((s, d) => {
-      sources.Entities.sales(s, d).createOrReplaceTempView("sales_gs")
+      sources.Entities.salesCached(s, d).createOrReplaceTempView("sales_gs")
       s.sql(groupingSetsSql("sales_gs"))
     }),
     "q_window_frames" -> ((s, d) => {
@@ -553,7 +553,7 @@ object SparkEntry {
 
     // ── pivot: payment-mode counts as columns ────────────────────────
     "q_pivot" -> ((s, d) =>
-      sources.Entities.sales(s, d)
+      sources.Entities.salesCached(s, d)
         .groupBy("order_status")
         .pivot("payment_mode",
           Seq("Credit Card", "Debit Card", "UPI", "Cash on Delivery"))
@@ -566,7 +566,7 @@ object SparkEntry {
     //    round-trip — Dataset.unpivot plans a single Expand over the
     //    wide frame (no join, no shuffle beyond the source pivot's) ────
     "q_unpivot" -> ((s, d) => {
-      val wide = sources.Entities.sales(s, d)
+      val wide = sources.Entities.salesCached(s, d)
         .groupBy("order_status")
         .pivot("payment_mode",
           Seq("Credit Card", "Debit Card", "UPI", "Cash on Delivery"))

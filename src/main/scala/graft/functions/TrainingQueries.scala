@@ -537,7 +537,16 @@ object TrainingQueries {
         knnGraph5x4(s, d).count()
         mutualKnnEdges(s, d).count()
         ()
-      }))
+      }),
+    // the conformed sales fact (lineitem⨝orders) every mart / daily-
+    // series / pivot consumer re-derives — one memo fill per session
+    ("__sales_conform_fill",
+      Set("m_customer_metrics", "m_customer_sales_report",
+        "m_product_performance", "m_supplier_performance",
+        "m_csr_approx_tiers", "m_csr_inplan_tiers", "q_regression",
+        "q_holt", "q_cusum", "q_seasonal", "q_ewma", "q_anomaly",
+        "q_grouping_sets", "q_pivot", "q_unpivot"),
+      (s, d) => { graft.sources.Entities.salesCached(s, d).count(); () }))
 
   def queries: Map[String, Q] = Map(
     "ts_quality" -> ((s, d) =>

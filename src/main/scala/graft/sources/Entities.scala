@@ -68,6 +68,19 @@ object Entities {
           .cast("string").as("supplier_id"))
   }
 
+  /** [[sales]] routed through the session [[graft.core.PlanMemo]]: the
+    * conformed fact is the one genuinely shuffle-shaped entity
+    * derivation (lineitem⨝orders), and a query stream — a bench pass,
+    * an interactive session, a reporting fan-out — re-pays that join on
+    * every call through the plain derivation. One cached fill per
+    * (session, sfDir) serves every mart/analytics consumer; same
+    * session-reuse discipline as the kNN-graph and curation memos, and
+    * the query-stream analogue of the pipeline's conform-once seam
+    * ([[graft.pipeline.MetaMorphPipeline]] conformSources).
+    */
+  def salesCached(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.PlanMemo.cached("entities.sales", sales(spark, sfDir))
+
   /** sales(sale_id, customer_id, product_id, sale_date, quantity,
     * discount, shipping_cost, order_status, payment_mode).
     * Discount is a percentage 0–17 (reference stores percent,

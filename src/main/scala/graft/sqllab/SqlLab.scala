@@ -77,7 +77,7 @@ object SqlLab {
       val suppliers = Entities.suppliers(spark, sfDir)
       val customers = Entities.customers(spark, sfDir)
       val products = Entities.products(spark, sfDir)
-      val sales = Entities.sales(spark, sfDir)
+      val sales = Entities.salesCached(spark, sfDir)
       suppliers.createOrReplaceTempView("suppliers")
       customers.createOrReplaceTempView("customers")
       products.createOrReplaceTempView("products")

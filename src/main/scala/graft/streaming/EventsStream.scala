@@ -38,6 +38,25 @@ object EventsStream {
         .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
   }
 
+  /** Start a stateful stream with `spark.sql.shuffle.partitions` pinned
+    * to 8 for the duration of the `start()` call, restoring the session
+    * default immediately. A stateful query pins its state-store count
+    * per stream from that conf at its first micro-batch, and on local
+    * mode the per-batch HDFS-backed snapshot cost scales with store
+    * COUNT, not data ([[clickPurchaseStreaming]]'s original measurement
+    * — this generalizes its inline pattern to every stateful demo
+    * stream). 8 stores is plenty for a single-file source; a production
+    * deployment sizes this to the topic's key cardinality. Results are
+    * partitioning-independent: aggregation/dedup semantics do not
+    * depend on how keys are distributed over stores.
+    */
+  private def startAt8[A](spark: SparkSession)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try start finally spark.conf.set(key, prev)
+  }
+
   /** Batch twin: hourly tumbling counts/sums per event_type. */
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events
@@ -82,11 +101,11 @@ object EventsStream {
       tableStream(spark, sfDir, "events", schema))
     val agg = slidingAggBatch(
       events.withWatermark("ts", "10 minutes"))
-    val q = agg.writeStream
+    val q = startAt8(spark)(agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -109,11 +128,11 @@ object EventsStream {
         Money.round2(Money.moneySum(col("value"))).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val q = agg.writeStream
+    val q = startAt8(spark)(agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -247,11 +266,11 @@ object EventsStream {
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
-    val q = agg.writeStream
+    val q = startAt8(spark)(agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -371,24 +390,14 @@ object EventsStream {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
-    // State-store count is pinned per stream at its FIRST micro-batch
-    // from spark.sql.shuffle.partitions; a stream-stream join keeps 4
-    // store instances per partition (two sides × key/index), and on
-    // local mode the per-batch HDFS-backed snapshot cost scales with
-    // store count, not data. 8 partitions is plenty for a single-file
-    // demo stream; a production deployment sizes this to the topic's
-    // key cardinality. The conf is restored immediately — batch queries
-    // in the session keep the session default.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    val q =
-      try joined.writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      finally spark.conf.set(key, prev)
+    // A stream-stream join keeps 4 store instances per partition (two
+    // sides × key/index), making it the hottest beneficiary of the
+    // shared 8-store start seam.
+    val q = startAt8(spark)(joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -528,11 +537,11 @@ object EventsStream {
           Money.round2(Money.moneySum(col("value"))).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n_events"), col("sum_value"))
-      val q = agg.writeStream
+      val q = startAt8(spark)(agg.writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(queryName)
-        .start()
+        .start())
       try {
         q.processAllAvailable() // watermark now max(wave1) − 10 min
         drop("wave2", events.filter(col("ts") < lit(cut))) // weeks late
@@ -630,12 +639,12 @@ object EventsStream {
     val docs = tableStream(spark, sfDir, "documents", schema)
       .withColumn("ts",
         (lit(1704067200L) + col("doc_id")).cast("timestamp"))
-    val q = dedupStream(docs).select("fp")
+    val q = startAt8(spark)(dedupStream(docs).select("fp")
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
