@@ -300,6 +300,15 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseStreaming(s, d,
         s"graft_cpjoin_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // LEFT-OUTER stream-stream interval join: matched rows == the inner
+    // join; unmatched clicks null-pad once the watermark passes their
+    // match window (state EVICTION, the semantics the inner join never
+    // exercises). Oracle = batch left join with the null-pad set gated
+    // by the empirically-pinned terminal-watermark predicate.
+    "st_left_join" -> ((s, d) =>
+      streaming.EventsStream.clickPurchaseLeftStreaming(s, d,
+        s"graft_cpleft_${streamCounter.incrementAndGet()}")
+        .orderBy("click_id", "purchase_id")),
     // schema evolution across corpus waves: wave 1 written with the
     // original column set, wave 2 with a column the schema grew
     // mid-corpus; a mergeSchema read serves the union with NULLs where
@@ -717,6 +726,39 @@ object SparkEntry {
         | AND purchase_ts >= click_ts
         | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // left-outer twin: matched rows emit unconditionally; a null-pad
+    // row emits iff the click is unmatched AND its match window closed
+    // before the terminal watermark. Spark facts pinned by
+    // ProfLeftJoin --micro: wm = floor_ms(min of the two stream maxes)
+    // - 10 min (event-time stats are ms-floored), and eviction carries
+    // a 1 ms safety margin — click_ts + 1h + 1ms <= wm, compared at µs
+    // precision. NULLS FIRST matches Spark's asc default.
+    "st_left_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |             ts AS purchase_ts, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT date_trunc('milliseconds',
+        |                least((SELECT max(click_ts) FROM c),
+        |                      (SELECT max(purchase_ts) FROM p)))
+        |              - INTERVAL 10 MINUTE AS wm)
+        |SELECT c.user_id, click_id, click_ts,
+        |       purchase_id, purchase_ts, purchase_value
+        |FROM c JOIN p ON c.user_id = p.p_user_id
+        | AND purchase_ts >= click_ts
+        | AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+        |UNION ALL
+        |SELECT c.user_id, click_id, click_ts, NULL, NULL, NULL
+        |FROM c CROSS JOIN wm
+        |WHERE NOT EXISTS (
+        |        SELECT 1 FROM p
+        |        WHERE p.p_user_id = c.user_id
+        |          AND purchase_ts >= click_ts
+        |          AND purchase_ts <= click_ts + INTERVAL 1 HOUR)
+        |  AND click_ts + INTERVAL 1 HOUR + INTERVAL 1 MILLISECOND
+        |        <= wm.wm
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     // bad-records twin: clean per-mode aggregates from the uncorrupted
     // slice; exactly the three injected lines are the corrupt remainder
     "src_badrecords" -> (graft.sources.OracleCtes.withEntities("sales") +

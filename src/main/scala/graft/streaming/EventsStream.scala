@@ -137,6 +137,52 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** CHAINED stateful streaming aggregation (two stateful operators in
+    * ONE streaming query — the multi-stateful-operator capability Spark
+    * gained in 3.4): hourly tumbling counts per event_type feed a daily
+    * rollup (sum / max / n_hours) downstream IN THE SAME QUERY, with
+    * one watermark driving both state stores. Before 3.4 this required
+    * two queries bridged by a sink; chained, the intermediate hourly
+    * grain never leaves the executors. The time column handed to the
+    * outer window is `window_time(w)` (= w.end − 1 event-time tick),
+    * so an hour ending exactly at midnight rolls into the PRECEDING
+    * day. Emission cascade on a fully-available source (pinned
+    * empirically, `ProfChained`): terminal watermark
+    * wm = floor_ms(max ts) − 10 min; the inner agg finalizes hours with
+    * hour_end <= wm (same predicate as [[st_late_drop]]'s oracle), the
+    * outer agg — in the SAME terminal batch, chained late-filtering
+    * uses the previous-batch watermark — finalizes days with
+    * day_end <= wm, whose hours are by then all finalized. The oracle
+    * states exactly that: daily rollups of complete days, gated on
+    * day_end <= wm.
+    */
+  def dailyOfHourlyStreaming(spark: SparkSession, sfDir: String,
+                             queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = graft.sources.Tables.microTs(
+      tableStream(spark, sfDir, "events", schema))
+    val hourly = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val daily = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("d"),
+        col("event_type"))
+      .agg(sum("n_events").as("n_events"),
+        max("n_events").as("max_hourly"),
+        count(lit(1)).as("n_hours"))
+      .select(col("d.start").as("day_start"), col("event_type"),
+        col("n_events"), col("max_hourly"), col("n_hours"))
+    val q = startAt8(spark)(daily.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming CSV-drop ingest: the reference's daily sales file drop
     * (`gs://meta-morph-flow/<yyyymmdd>/sales_<yyyymmdd>.csv`,
     * `ingestion_tasks.py:269-273`) as a file-source stream — new files
@@ -393,6 +439,61 @@ object EventsStream {
     // A stream-stream join keeps 4 store instances per partition (two
     // sides × key/index), making it the hottest beneficiary of the
     // shared 8-store start seam.
+    val q = startAt8(spark)(joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** LEFT-OUTER watermarked stream-stream interval join (§2.13): the
+    * attribution report that must also show the clicks that converted to
+    * NOTHING. Matched rows stream out exactly as in the inner join
+    * ([[clickPurchaseStreaming]]); a click with no same-user purchase in
+    * the hour after it emits ONE null-padded row — but only once the
+    * watermark passes the end of its match window, because until then a
+    * matching purchase could still arrive. That state EVICTION is what
+    * makes outer-join semantics decidable on an unbounded stream, and it
+    * is the part an inner join never exercises: the store must hold each
+    * unmatched left row for exactly watermark + band and then emit, not
+    * drop, it. On a fully-available source the terminal watermark is
+    * floor_ms(min(max click_ts, max purchase_ts)) − 10 min (global
+    * watermark =
+    * min over the two inputs; event-time stats track milliseconds, so
+    * the µs component of the max is floored first), and the eviction
+    * predicate carries Spark's 1 ms safety margin (StreamingJoinHelper
+    * subtracts one from the state-value watermark): a click null-pads
+    * iff it is unmatched AND `click_ts + 1h + 1ms <= wm` at full µs
+    * precision. All three facts pinned empirically by
+    * `ProfLeftJoin --micro` (clicks whose window end lands exactly ON
+    * the watermark, 1 µs past it, 1 µs / 1 ms before it; sentinel
+    * max-ts with sub-ms components for the floor); the oracle states
+    * the predicate literally.
+    */
+  def clickPurchaseLeftStreaming(spark: SparkSession, sfDir: String,
+                                 queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def stream(): DataFrame = graft.sources.Tables.microTs(
+      tableStream(spark, sfDir, "events", schema))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
     val q = startAt8(spark)(joined.writeStream
       .outputMode(OutputMode.Append())
       .format("memory")

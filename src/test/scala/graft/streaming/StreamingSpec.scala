@@ -28,6 +28,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.filter(col("purchase_ts") < col("click_ts")).isEmpty)
   }
 
+  test("left-outer stream-stream join: inner rows + watermark-gated null pads") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val inner = EventsStream.clickPurchaseBatch(events)
+    val stream = EventsStream.clickPurchaseLeftStreaming(spark, TestSpark.sf,
+      "spec_cpleft").cache()
+    val matched = stream.filter(col("purchase_id").isNotNull)
+    // the matched slice IS the inner join — outer-ness adds rows, never
+    // changes them
+    assert(matched.count() == inner.count())
+    assert(matched.except(inner).isEmpty && inner.except(matched).isEmpty)
+    // null pads: every one is a genuinely unmatched click whose match
+    // window closed before the terminal watermark (predicate pinned by
+    // ProfLeftJoin --micro: wm = floor_ms(min of stream maxes) - 10min,
+    // eviction at click_ts + 1h + 1ms <= wm)
+    val pads = stream.filter(col("purchase_id").isNull).cache()
+    assert(pads.count() > 0, "corpus must exercise the eviction path")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val unmatched = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_anti")
+    val maxClick = clicks.agg(max("click_ts")).collect()(0).getTimestamp(0)
+    val maxPurch = purchases.agg(max("purchase_ts")).collect()(0)
+      .getTimestamp(0)
+    val wmMs = math.min(maxClick.getTime, maxPurch.getTime) - 600000L
+    val expected = unmatched.filter(
+      unix_micros(col("click_ts")) + 3600000000L + 1000L <= wmMs * 1000L)
+    assert(pads.select("click_id").except(expected.select("click_id")).isEmpty
+      && expected.select("click_id").except(pads.select("click_id")).isEmpty,
+      "null-pad set == unmatched clicks evicted by the terminal watermark")
+  }
+
   test("stream-static enrichment equals the batch twin, stateless plan") {
     val batch = EventsStream.enrichBatch(
       Tables.events(spark, TestSpark.sf), Tables.customer(spark, TestSpark.sf))
