@@ -309,6 +309,14 @@ object SparkEntry {
       streaming.EventsStream.clickPurchaseLeftStreaming(s, d,
         s"graft_cpleft_${streamCounter.incrementAndGet()}")
         .orderBy("click_id", "purchase_id")),
+    // CHAINED stateful aggregation (Spark 3.4+ multi-stateful-operator):
+    // hourly window agg feeding a daily rollup in ONE streaming query;
+    // emitted set == complete days gated on day_end <= terminal
+    // watermark (ProfChained pins stream ≡ batch-gated exactly)
+    "st_chained" -> ((s, d) =>
+      streaming.EventsStream.dailyOfHourlyStreaming(s, d,
+        s"graft_chained_${streamCounter.incrementAndGet()}")
+        .orderBy("day_start", "event_type")),
     // schema evolution across corpus waves: wave 1 written with the
     // original column set, wave 2 with a column the schema grew
     // mid-corpus; a mergeSchema read serves the union with NULLs where
@@ -759,6 +767,27 @@ object SparkEntry {
         |  AND click_ts + INTERVAL 1 HOUR + INTERVAL 1 MILLISECOND
         |        <= wm.wm
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    // chained twin: daily rollup of hourly counts, finalized once the
+    // terminal watermark (ms-floored max ts - delay) passes the day
+    // end — the same <= eviction predicate as st_late_drop, applied to
+    // the OUTER of two chained stateful aggregations. DuckDB SUM(BIGINT)
+    // returns HUGEINT; cast back so the schema matches Spark's longs.
+    "st_chained" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |                  event_type, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |mx AS (SELECT date_trunc('milliseconds', max(ts))
+        |              - INTERVAL 10 MINUTE AS wm FROM events),
+        |d AS (SELECT date_trunc('day', hour_start) AS day_start,
+        |             event_type,
+        |             CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |             CAST(MAX(n_events) AS BIGINT) AS max_hourly,
+        |             count(*) AS n_hours
+        |      FROM h GROUP BY 1, 2)
+        |SELECT day_start, event_type, n_events, max_hourly, n_hours
+        |FROM d CROSS JOIN mx
+        |WHERE day_start + INTERVAL 1 DAY <= wm
+        |ORDER BY day_start, event_type""".stripMargin,
     // bad-records twin: clean per-mode aggregates from the uncorrupted
     // slice; exactly the three injected lines are the corrupt remainder
     "src_badrecords" -> (graft.sources.OracleCtes.withEntities("sales") +

@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
       "null-pad set == unmatched clicks evicted by the terminal watermark")
   }
 
+  test("chained stateful aggs: daily-of-hourly equals the gated batch rollup") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val stream = EventsStream.dailyOfHourlyStreaming(spark, TestSpark.sf,
+      "spec_chained").cache()
+    assert(stream.count() > 0)
+    // batch twin: daily rollup of hourly counts, gated on
+    // day_end <= terminal watermark (floor_ms(max ts) - 10 min)
+    val maxTs = events.agg(max("ts")).collect()(0).getTimestamp(0)
+    val wmMs = maxTs.getTime - 600000L
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val gated = hourly
+      .groupBy(window(col("w.start"), "1 day").as("d"), col("event_type"))
+      .agg(sum("n_events").as("n_events"),
+        max("n_events").as("max_hourly"), count(lit(1)).as("n_hours"))
+      .filter(unix_micros(col("d.end")) <= wmMs * 1000L)
+      .select(col("d.start").as("day_start"), col("event_type"),
+        col("n_events"), col("max_hourly"), col("n_hours"))
+    assert(stream.exceptAll(gated).isEmpty && gated.exceptAll(stream).isEmpty,
+      "chained streaming output == batch daily rollup of complete days")
+    // the incomplete tail day is withheld, not emitted partially
+    val lastEmitted = stream.agg(max("day_start")).collect()(0)
+      .getTimestamp(0)
+    assert(lastEmitted.getTime + 86400000L <= wmMs)
+  }
+
   test("stream-static enrichment equals the batch twin, stateless plan") {
     val batch = EventsStream.enrichBatch(
       Tables.events(spark, TestSpark.sf), Tables.customer(spark, TestSpark.sf))
