@@ -195,6 +195,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime") {
+    // The other half of the skew story: Salting.twoPhaseAgg handles
+    // aggregation skew STATICALLY; for join skew the engine's posture
+    // is AQE's OptimizeSkewedJoin — at runtime, a sort-merge join
+    // partition that dwarfs the median is split into slices, each
+    // joined against a replicated copy of the other side, so one hot
+    // key cannot serialize a 1000-executor stage behind one reducer.
+    // The session config ships with skewJoin enabled; this pins that a
+    // manufactured hot key actually triggers the rewrite (thresholds
+    // lowered to fixture scale — on a cluster the defaults arm at
+    // 256 MB partitions) rather than trusting the conf name.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "-1") // broadcast would dodge the skew entirely
+      conf.set(keys(1), "32k")
+      conf.set(keys(2), "16k")
+      // one hot key carrying ~200k rows vs a uniform 32-key tail
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 196800, lit(0L)).otherwise(col("id") % 32)
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 33).select(col("id").as("k"),
+        (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS DataFrame's queryExecution (count()
+      // would build its own, leaving this plan isFinalPlan=false)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skewed"), // "AQEShuffleRead … skewed"
+        s"OptimizeSkewedJoin did not fire on the hot partition:\n" +
+          plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("winnow evaluates the normalize regex once per document") {
     // winnow references its normalized-text column from both the
     // sequence bound and the per-position hash lambda; if Catalyst

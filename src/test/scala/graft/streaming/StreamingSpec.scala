@@ -104,6 +104,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.filter(col("c_name").isNotNull).count() > 0)
   }
 
+  test("stateful streaming is state-store-provider agnostic (RocksDB)") {
+    // the 100 TB posture behind this pin: the default HDFS-backed store
+    // keeps every key's state on the executor HEAP, so key cardinality
+    // is bounded by executor memory; the in-box RocksDB provider spills
+    // state to local disk and is the production config for large keyed
+    // state. Results must be IDENTICAL — the provider is a storage
+    // choice, not a semantics choice — so any stateful computation here
+    // can ship with either, switched by one session conf.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val default = EventsStream.hourlyAggStreaming(spark, TestSpark.sf,
+      "spec_store_hdfs").collect().map(_.toString).sorted
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val rocks = EventsStream.hourlyAggStreaming(spark, TestSpark.sf,
+        "spec_store_rocks").collect().map(_.toString).sorted
+      assert(rocks.length == default.length && rocks.sameElements(default),
+        "RocksDB-backed state store must reproduce the default exactly")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionizer agrees with the batch sessionizer") {
     val events = Tables.events(spark, TestSpark.sf)
     val batch = EventsStream.sessionizeBatch(events)
