@@ -62,10 +62,13 @@ object Bench {
   // snapshot store per invocation — the same class.
   // st_restart re-writes the sales fact as two parquet waves and runs
   // two full query incarnations per invocation — st_csv_drop's class.
+  // k8_skipping commits the orders table twice into a fresh snapshot
+  // store (range-laid-out, with stats) per invocation — k7's class.
   val excluded: Set[String] = Set("pipeline_backfill", "st_csv_drop",
     "st_restart", "st_late_drop", "st_upsert", "k4_merge_partitioned",
-    "k6_forget", "k7_timetravel", "ann_index_append", "src_orc_roundtrip",
-    "src_schema_evolution", "src_badrecords", "q_bucketed_join")
+    "k6_forget", "k7_timetravel", "k8_skipping", "ann_index_append",
+    "src_orc_roundtrip", "src_schema_evolution", "src_badrecords",
+    "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -555,6 +555,40 @@ object CoverageQueries {
         root)
     }),
 
+    // Manifest data skipping end-to-end: orders committed as two
+    // range-laid-out appends with o_orderdate stats, then a one-year
+    // range read served through readWhere — whole files whose recorded
+    // [min,max] envelope misses the range never enter the scan
+    // (SnapshotSpec proves files are actually skipped and that Z-order
+    // layouts prune on every stats dimension at once); this row proves
+    // the skipping is answer-invisible against the layout-blind oracle.
+    // An ETL replay — Bench-excluded.
+    "k8_skipping" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft_skip")
+      val dest = root.resolve("t").toString
+      graft.pipeline.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(6, col("od")),
+        dest, statsCols = Seq("od"))
+      graft.pipeline.SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .repartitionByRange(6, col("od")),
+        dest, statsCols = Seq("od"))
+      val pruned = graft.pipeline.SnapshotTable.readWhere(s, dest, "od",
+        java.sql.Date.valueOf("1995-01-01"),
+        java.sql.Date.valueOf("1995-12-31"))
+      graft.core.Scratch.materializeAndDelete(
+        pruned
+          .groupBy(date_trunc("month", col("od")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            Money.round2(Money.moneySum(col("price"))).as("total_price"))
+          .orderBy("month"),
+        root)
+    }),
+
     // Right-to-erasure replay: orders written month-partitioned to a
     // scratch store, then every order of the deletion-queue customers
     // (custkey ≡ 0 mod 97) is forgotten via deleteKeysPartitioned —
@@ -639,6 +673,19 @@ object CoverageQueries {
         |       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
         |FROM o WHERE o_orderkey % 3 = 2
         |ORDER BY version""".stripMargin,
+    // the file-skipping read must equal the layout-blind range filter —
+    // stats can only remove files the predicate rejects wholesale
+    "k8_skipping" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od,
+        |                  CAST(o_totalprice AS DOUBLE) AS price
+        |           FROM orders)
+        |SELECT CAST(date_trunc('month', od) AS DATE) AS month,
+        |       count(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |         AS total_price
+        |FROM o
+        |WHERE od >= DATE '1995-01-01' AND od <= DATE '1995-12-31'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     // the store after the forget must equal a plain anti-join of the
     // original — partition-scoped rewrite is invisible to the answer
     "k6_forget" ->

@@ -44,6 +44,9 @@ object SnapshotTable {
   private def manifestPath(dir: String, v: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(dir), s"v$v.txt")
 
+  private def statsPath(dir: String, v: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(dir), s"v$v.stats.tsv")
+
   /** Committed versions, ascending (empty for a fresh table). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
@@ -70,8 +73,22 @@ object SnapshotTable {
     * version's files in the new manifest; `false` is a logical
     * overwrite (new manifest lists only this commit's files — the old
     * ones stay on disk for history). Returns the new version number.
+    *
+    * `statsCols` opts the commit into DATA SKIPPING (Iceberg's manifest
+    * column stats / Delta's per-file minValues-maxValues, reduced to
+    * the piece a scan prunes on): after the data write, ONE
+    * commit-sized pass over the new files collects each file's min/max
+    * per stats column, appended to the parent's stats so the manifest
+    * knows every live file's envelope. [[readWhere]] then drops whole
+    * files whose envelope cannot intersect a range predicate BEFORE the
+    * scan is planned — at 100 TB, with a layout that keeps files tight
+    * in the filter dimensions ([[graft.operators.ZOrder]]), this is the
+    * difference between listing-and-skipping and reading the table.
+    * Files committed without stats are kept conservatively, so stats
+    * are always an optimization, never a correctness input.
     */
-  def commit(df: DataFrame, dir: String, append: Boolean = true): Int = {
+  def commit(df: DataFrame, dir: String, append: Boolean = true,
+             statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = prev.lastOption.getOrElse(0) + 1
@@ -82,10 +99,89 @@ object SnapshotTable {
       else Seq.empty
     val lines = (parent :+ dataDir).mkString("\n")
     val f = fs(spark, dir)
+    val parentStats =
+      if (append && prev.nonEmpty) readStats(spark, dir, prev.last)
+      else Seq.empty
+    val newStats =
+      if (statsCols.isEmpty) Seq.empty
+      else collectFileStats(spark, dataDir, statsCols)
+    val stats = parentStats ++ newStats
+    if (stats.nonEmpty) {
+      val out = f.create(statsPath(dir, v), false)
+      try out.write(stats.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val out = f.create(manifestPath(dir, v), false)
     try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     v
+  }
+
+  /** One aggregation over the JUST-WRITTEN commit directory: per file,
+    * min/max of each stats column. Commit-sized work (never touches
+    * parent data). TSV lines `fileKey \t col \t min \t max` with
+    * percent-encoded fields; fileKey = `v<N>/<fileName>` — the last two
+    * path segments, stable across URI-scheme differences between
+    * `input_file_name()` and later directory listings. An all-NULL
+    * column in a file renders the `\N` marker → no usable envelope →
+    * the file is kept conservatively at prune time.
+    */
+  private def collectFileStats(spark: SparkSession, dataDir: String,
+                               statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toIndexedSeq.flatMap { r =>
+      val segs = r.getAs[String]("__file").split('/')
+      val key = segs.takeRight(2).mkString("/")
+      statsCols.map { c =>
+        val mn = r.getAs[Any](s"__min_$c")
+        val mx = r.getAs[Any](s"__max_$c")
+        val render = (x: Any) => if (x == null) "\\N" else enc(x.toString)
+        s"${enc(key)}\t${enc(c)}\t${render(mn)}\t${render(mx)}"
+      }
+    }
+  }
+
+  private def readStats(spark: SparkSession, dir: String,
+                        v: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = statsPath(dir, v)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toIndexedSeq
+        .filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  /** Parsed stats of one version: fileKey -> col -> (min, max) as the
+    * stored strings; `None` bound = the `\N` all-null marker.
+    */
+  private def statsMap(spark: SparkSession, dir: String, v: Int)
+      : Map[String, Map[String, (Option[String], Option[String])]] = {
+    val dec = (s: String) =>
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    readStats(spark, dir, v).flatMap { line =>
+      line.split('\t') match {
+        case Array(k, c, mn, mx) =>
+          Some((dec(k), dec(c),
+            if (mn == "\\N") None else Some(dec(mn)),
+            if (mx == "\\N") None else Some(dec(mx))))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
   }
 
   /** O(1)-metadata rollback: commit a NEW version whose manifest is a
@@ -100,6 +196,14 @@ object SnapshotTable {
     val v = vs.last + 1
     val lines = readManifest(spark, dir, toVersion).mkString("\n")
     val f = fs(spark, dir)
+    // stats travel with the manifest they describe
+    val stats = readStats(spark, dir, toVersion)
+    if (stats.nonEmpty) {
+      val so = f.create(statsPath(dir, v), false)
+      try so.write(stats.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally so.close()
+    }
     val out = f.create(manifestPath(dir, v), false)
     try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -118,6 +222,84 @@ object SnapshotTable {
       s"SnapshotTable.read: version $v not in ${vs.mkString(",")}")
     val paths = readManifest(spark, dir, v)
     spark.read.parquet(paths: _*)
+  }
+
+  /** Type-faithful comparison of two stored stat strings under the
+    * column's Spark type. Dates (`yyyy-MM-dd`) and same-rendering
+    * timestamps compare correctly as strings; numerics go through exact
+    * decimal parsing so "9" < "10" and double renderings round-trip.
+    */
+  private def cmpStat(dt: org.apache.spark.sql.types.DataType,
+                      a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        BigInt(a).compare(BigInt(b))
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
+      case TimestampType | TimestampNTZType =>
+        java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
+      case _ => a.compareTo(b) // StringType, DateType (ISO renders)
+    }
+  }
+
+  /** File-skipping decision for a version and a closed range predicate
+    * `lo <= column <= hi`: lists the version's files and partitions
+    * them into (kept, skipped) by their stats envelopes. A file is
+    * skipped ONLY when it has a complete recorded envelope that
+    * provably cannot intersect the range — no stats, or an all-null
+    * bound, keeps the file. Exposed (not private) so specs and
+    * operations tooling can report skipping effectiveness; readers use
+    * [[readWhere]].
+    */
+  def pruneFiles(spark: SparkSession, dir: String, column: String,
+                 lo: Any, hi: Any, version: Int = -1)
+      : (Seq[String], Seq[String]) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"SnapshotTable.pruneFiles: no versions at $dir")
+    val v = if (version == -1) vs.last else version
+    require(vs.contains(v),
+      s"SnapshotTable.pruneFiles: version $v not in ${vs.mkString(",")}")
+    val f = fs(spark, dir)
+    val files = readManifest(spark, dir, v).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      f.listStatus(p).toIndexedSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val dt = read(spark, dir, v).schema(column).dataType
+    val stats = statsMap(spark, dir, v)
+    val (loS, hiS) = (lo.toString, hi.toString)
+    val (kept, skipped) = files.partition { p =>
+      val key = s"${p.getParent.getName}/${p.getName}"
+      stats.get(key).flatMap(_.get(column)) match {
+        case Some((Some(mn), Some(mx))) =>
+          // keep iff [mn, mx] intersects [lo, hi]
+          cmpStat(dt, mx, loS) >= 0 && cmpStat(dt, mn, hiS) <= 0
+        case _ => true // no stats / all-null bound: conservative keep
+      }
+    }
+    (kept.map(_.toString), skipped.map(_.toString))
+  }
+
+  /** Range read with manifest data skipping: semantically IDENTICAL to
+    * `read(...).filter(lo <= column && column <= hi)` — stats only
+    * remove files the filter would reject wholesale — but the skipped
+    * files never enter the scan's file index at all. With a
+    * range/Z-order layout committed via `statsCols`, a selective range
+    * predicate reads a handful of files out of a 100 TB table; the
+    * residual filter still applies row-level inside kept files.
+    */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+                lo: Any, hi: Any, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneFiles(spark, dir, column, lo, hi, version)
+    if (kept.isEmpty)
+      // provably-empty result: Catalyst folds filter(false) to an empty
+      // relation, so not even the kept-file listing is scanned
+      read(spark, dir, version).filter(lit(false))
+    else spark.read.parquet(kept: _*)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Version expiry + vacuum — the GC a long-lived store needs (without
@@ -144,7 +326,10 @@ object SnapshotTable {
     val f = fs(spark, dir)
     // referenced BY SURVIVORS, computed before any deletion
     val referenced = live.flatMap(readManifest(spark, dir, _)).toSet
-    dead.foreach(v => f.delete(manifestPath(dir, v), false))
+    dead.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(statsPath(dir, v), false) // no-op when absent
+    }
     val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
     val removed =
       if (!f.exists(dataRoot)) Seq.empty[String]
@@ -164,8 +349,10 @@ object SnapshotTable {
     * repartition — at scale, run it per partition-predicate slice the
     * same way the real formats compact bin-packed file groups.
     */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Int = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+              statsCols: Seq[String] = Nil): Int = {
     require(numFiles >= 1, s"SnapshotTable.compact: numFiles $numFiles")
-    commit(read(spark, dir).repartition(numFiles), dir, append = false)
+    commit(read(spark, dir).repartition(numFiles), dir, append = false,
+      statsCols = statsCols)
   }
 }
