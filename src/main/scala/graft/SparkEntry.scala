@@ -341,6 +341,16 @@ object SparkEntry {
           .orderBy("o_orderkey"),
         root)
     }),
+    // ARBITRARY stateful processing with EVENT-TIME TIMEOUT
+    // (flatMapGroupsWithState + EventTimeTimeout): per-user sessions
+    // closed by a successor gap emit in-line ('gap'); sessions with no
+    // successor emit when the watermark passes last+gap ('timeout');
+    // still-open sessions are withheld. Oracle = batch sessionization
+    // gated by the ProfAbandon-pinned terminal-watermark predicate.
+    "st_abandoned" -> ((s, d) =>
+      streaming.EventsStream.abandonedStreaming(s, d,
+        s"graft_abandon_${streamCounter.incrementAndGet()}")
+        .orderBy("user_id", "session_start")),
     // streaming exact dedup (dropDuplicatesWithinWatermark — bounded
     // state): surviving fingerprint set must equal batch DISTINCT
     "st_dedup" -> ((s, d) =>
@@ -452,6 +462,17 @@ object SparkEntry {
       sources.Tables.registerAll(s, d)
       s.sql(correlatedSql)
     }),
+    // recursive CTE month series (identical text on both engines)
+    "sql_recursive_months" -> ((s, d) => {
+      sources.Tables.registerAll(s, d)
+      s.sql(recursiveMonthsSql)
+    }),
+    // KMV/Theta distinct-overlap sketch: exact vs estimated
+    // union/intersection of per-type active-user audiences; the DuckDB
+    // twin re-derives the identical sketch relationally
+    "q_kmv_overlap" -> ((s, d) =>
+      functions.KmvOverlap.audienceOverlap(sources.Tables.events(s, d))
+        .orderBy("type_a", "type_b")),
 
     // ── range join: orders falling inside 14-day promo windows drawn
     //    from every 100th order (banded bucketing, no nested loop) ─────
@@ -706,6 +727,38 @@ object SparkEntry {
     * customer's average, plus a NOT-EXISTS guard — correlated scalar and
     * existential subqueries in one statement.
     */
+  /** Gap-filled monthly order counts via a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE`, SPARK-24497) — the calendar-dimension idiom: the
+    * recursion generates every month between the corpus' min and max
+    * order month (carrying `hi` through the recursion instead of a
+    * scalar subquery, which keeps the recursive term join-free), and a
+    * left join zero-fills the months with no orders — the series shape
+    * BI tools need (a plain GROUP BY silently skips empty months; the
+    * corpus really has them, so the row proves the fill). One text, two
+    * engines: DuckDB runs the IDENTICAL string. The recursion is
+    * bounded by the month span (~100 rows), driver-free, and the only
+    * corpus-scale work is the month-grain aggregate — recursion depth
+    * never scales with data volume.
+    */
+  private val recursiveMonthsSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT CAST(year(min(o_orderdate)) * 12 + month(min(o_orderdate)) - 1 AS INT) AS lo,
+      |         CAST(year(max(o_orderdate)) * 12 + month(max(o_orderdate)) - 1 AS INT) AS hi
+      |  FROM orders
+      |),
+      |mi(i, hi) AS (
+      |  SELECT lo, hi FROM b
+      |  UNION ALL
+      |  SELECT i + 1, hi FROM mi WHERE i < hi
+      |),
+      |m AS (SELECT make_date(CAST(floor(i / 12) AS INT), CAST(i % 12 AS INT) + 1, 1) AS month_start FROM mi),
+      |o AS (SELECT make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS mo,
+      |             count(*) AS n_orders
+      |      FROM orders GROUP BY 1)
+      |SELECT m.month_start AS month_start, CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+      |FROM m LEFT JOIN o ON m.month_start = o.mo
+      |ORDER BY month_start""".stripMargin
+
   private val correlatedSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
@@ -718,6 +771,68 @@ object SparkEntry {
 
   private def baseOracles: Map[String, String] = Map(
     "q_correlated_subquery" -> correlatedSql,
+    "sql_recursive_months" -> recursiveMonthsSql,
+    // KMV twin: the engine's bounded-state sketch re-derived
+    // relationally (rank window over distinct hashes); estimator
+    // arithmetic mirrored operand-for-operand (ints → double, one
+    // mult, one divide — no libm, no decimal round, raw doubles are
+    // bit-portable)
+    "q_kmv_overlap" ->
+      """WITH mem AS (
+        |  SELECT event_type, user_id
+        |  FROM events GROUP BY 1, 2 HAVING count(*) >= 14),
+        |hh AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM mem),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM hh),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 128),
+        |n AS (SELECT event_type, count(*) AS n_exact FROM mem GROUP BY 1),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |       FROM n a JOIN n b ON a.event_type < b.event_type),
+        |u0 AS (
+        |  SELECT pr.ta, pr.tb, sk.h FROM pr JOIN sk ON sk.event_type = pr.ta
+        |  UNION
+        |  SELECT pr.ta, pr.tb, sk.h FROM pr JOIN sk ON sk.event_type = pr.tb),
+        |ur AS (SELECT ta, tb, h,
+        |              row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+        |              count(*) OVER (PARTITION BY ta, tb) AS usz
+        |       FROM u0),
+        |m AS (SELECT * FROM ur WHERE rn <= 128),
+        |mi AS (SELECT m.ta, m.tb, count(*) AS i_cnt
+        |       FROM m JOIN sk a ON a.event_type = m.ta AND a.h = m.h
+        |              JOIN sk b ON b.event_type = m.tb AND b.h = m.h
+        |       GROUP BY 1, 2),
+        |ms AS (SELECT ta, tb, count(*) AS m_size, max(usz) AS usz,
+        |              max(h) AS theta
+        |       FROM m GROUP BY 1, 2),
+        |nin AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |               count(*) AS n_inter
+        |        FROM mem a JOIN mem b ON a.user_id = b.user_id
+        |                            AND a.event_type < b.event_type
+        |        GROUP BY 1, 2),
+        |est AS (
+        |  SELECT ms.ta, ms.tb,
+        |         na.n_exact AS n_a, nb.n_exact AS n_b,
+        |         coalesce(nin.n_inter, 0) AS n_inter,
+        |         CAST(ms.m_size AS INT) AS m_size,
+        |         CASE WHEN ms.usz >= 128
+        |              THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                     / CAST(ms.theta AS DOUBLE)
+        |              ELSE CAST(ms.usz AS DOUBLE) END AS est_union,
+        |         CAST(coalesce(mi.i_cnt, 0) AS DOUBLE)
+        |           / CAST(ms.m_size AS DOUBLE) AS est_jaccard
+        |  FROM ms
+        |  JOIN n na ON na.event_type = ms.ta
+        |  JOIN n nb ON nb.event_type = ms.tb
+        |  LEFT JOIN mi ON mi.ta = ms.ta AND mi.tb = ms.tb
+        |  LEFT JOIN nin ON nin.ta = ms.ta AND nin.tb = ms.tb)
+        |SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+        |       n_a + n_b - n_inter AS n_union, n_inter, m_size,
+        |       est_union, est_jaccard * est_union AS est_inter, est_jaccard
+        |FROM est ORDER BY type_a, type_b""".stripMargin,
     "st_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS n_events,
@@ -857,6 +972,32 @@ object SparkEntry {
          |FROM orders
          |GROUP BY o_orderpriority, o_orderstatus
          |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // abandoned-session twin: q_sessionize's islands, with the
+    // emission set gated by the pinned timeout predicate — non-last
+    // sessions always emit ('gap'), each user's last session emits iff
+    // its ms-floored end + gap lies STRICTLY before the ms-floored
+    // terminal watermark ('timeout'), still-open sessions are withheld
+    "st_abandoned" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |g AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM f),
+        |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+        |s AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |             min(ts_us) AS start_us, max(ts_us) AS end_us
+        |      FROM h GROUP BY 1, 2),
+        |w AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM e),
+        |x AS (SELECT s.*, max(session_idx) OVER (PARTITION BY user_id) AS last_idx, w.wm_ms
+        |      FROM s, w)
+        |SELECT user_id,
+        |       make_timestamp(start_us) AS session_start,
+        |       make_timestamp(end_us) AS session_end,
+        |       n_events, n_purchases,
+        |       CASE WHEN session_idx < last_idx THEN 'gap' ELSE 'timeout' END AS end_reason
+        |FROM x
+        |WHERE session_idx < last_idx
+        |   OR end_us // 1000 + 1800000 < wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

@@ -580,6 +580,132 @@ object EventsStream {
     * tests: the batch twin is the source of truth for totals.
     */
 
+  final case class AbEv(user_id: Long, event_id: Long, tsUs: Long,
+                        event_type: String, ts: java.sql.Timestamp)
+  final case class AbandonState(startUs: Long, lastUs: Long,
+                                n: Long, nPurchase: Long)
+  final case class AbandonOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              n_purchases: Long, end_reason: String)
+
+  /** Arbitrary-stateful session close-out with EVENT-TIME TIMEOUT
+    * (`flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout`) —
+    * the piece of the stateful API surface [[sessionizeStateful]] does
+    * not exercise: a per-user session that sees no further events is
+    * closed by the WATERMARK, not by a successor event. This is the
+    * abandoned-cart/abandoned-browse primitive: emit each user session
+    * with its purchase count and HOW it ended —
+    *
+    *  - `'gap'`:     a later event arrived more than `gapMinutes` after
+    *                 the session's last event (closed in-line, like the
+    *                 batch sessionizer);
+    *  - `'timeout'`: no successor arrived and the event-time watermark
+    *                 passed `last event + gap` — the state store drops
+    *                 the key and the session emits exactly once.
+    *
+    * A session neither closed by a gap nor passed by the watermark stays
+    * in state and does NOT emit (on an unbounded stream it is still
+    * open; the oracle mirrors that withholding).
+    *
+    * Timeout bookkeeping is in MILLISECONDS (the `GroupState` API's
+    * unit): the timeout registers at `floorDiv(lastUs, 1000) + gapMs`,
+    * and Spark fires it when the event-time watermark moves STRICTLY
+    * past that instant. All three boundary facts pinned empirically by
+    * `ProfAbandon --micro` (sessions ending at ±1 ms / ±500 µs around
+    * `wm − gap`, sentinel maxes with sub-ms components): a session
+    * whose registered timeout lands exactly ON the terminal watermark
+    * does NOT fire (`timeoutTimestamp < watermark`, strict), the
+    * registered instant is the ms-FLOOR of the last event's µs
+    * timestamp, and the terminal watermark is `floor_ms(max ts) −
+    * delay` (the max's sub-ms component is floored away before the
+    * delay subtraction). The oracle states the resulting predicate
+    * literally: emit-by-timeout iff
+    * `last_us // 1000 + gap_ms < max_us // 1000 − delay_ms`.
+    *
+    * Complete-source contract (how the gate runs it): all events arrive
+    * in ONE data micro-batch (file source, ≤ 1000 files), so the
+    * in-batch iterator sees every event of a user at once (sorted by
+    * (ts, event_id) in the function — Spark does not order the group
+    * iterator) and the terminal no-data micro-batch
+    * (`noDataMicroBatches`, on by default) delivers the timeouts. Under
+    * that contract streaming output is deterministic and equals the
+    * batch sessionization gated by the terminal watermark — which is
+    * exactly what the DuckDB oracle states.
+    */
+  def abandonedSessions(events: org.apache.spark.sql.Dataset[AbEv],
+                        gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[AbandonOut] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    implicit val stEnc: org.apache.spark.sql.Encoder[AbandonState] =
+      org.apache.spark.sql.Encoders.product[AbandonState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[AbandonOut] =
+      org.apache.spark.sql.Encoders.product[AbandonOut]
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[AbandonState, AbandonOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[AbEv], state: GroupState[AbandonState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(AbandonOut(userId, st.startUs, st.lastUs,
+              st.n, st.nPurchase, "timeout"))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.tsUs, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[AbandonOut]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val p = if (e.event_type == "purchase") 1L else 0L
+              if (st == null) st = AbandonState(e.tsUs, e.tsUs, 1, p)
+              else if (e.tsUs - st.lastUs > gapUs) {
+                out += AbandonOut(userId, st.startUs, st.lastUs,
+                  st.n, st.nPurchase, "gap")
+                st = AbandonState(e.tsUs, e.tsUs, 1, p)
+              } else st = AbandonState(st.startUs, e.tsUs,
+                st.n + 1, st.nPurchase + p)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.lastUs, 1000L) + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** [[abandonedSessions]] over the events table as a file-source
+    * stream: watermarked µs-normalized events → the stateful close-out
+    * → append-mode memory sink, drained synchronously. Emits closed
+    * sessions only (gap- or timeout-ended); still-open sessions stay in
+    * state, exactly as they would on an unbounded stream.
+    */
+  def abandonedStreaming(spark: SparkSession, sfDir: String,
+                         queryName: String, gapMinutes: Int = 30,
+                         delay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = graft.sources.Tables.microTs(
+      tableStream(spark, sfDir, "events", schema))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsUs"), col("event_type"), col("ts"))
+      .as[AbEv]
+    val out = abandonedSessions(events, gapMinutes)
+      .select(col("user_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"), col("n_purchases"), col("end_reason"))
+    val q = startAt8(spark)(out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.functions.Dedup.exact]]: keep the FIRST document seen per
     * normalized-content fingerprint, forgetting fingerprints once the

@@ -151,6 +151,78 @@ class StreamingSpec extends AnyFunSuite {
       "closed sessions identical; open tail sessions withheld by state")
   }
 
+  test("abandoned sessions: gap/timeout boundary emissions are exact") {
+    // ProfAbandon --micro's fixture, asserted: gap 30 min, delay 10 min,
+    // sentinel max 12:00:00.000 → terminal wm 11:50:00.000 → a lone
+    // session emits by timeout iff floor_ms(last) < 11:20:00.000
+    // (strict; timeoutTs == wm does NOT fire).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("spec_abandon").toString
+    val rows = Seq(
+      (100L, ts("2024-01-01 11:20:00.000"), 1L, "view"),    // == boundary: held
+      (101L, ts("2024-01-01 11:19:59.999"), 2L, "view"),    // 1ms inside: timeout
+      (102L, ts("2024-01-01 11:20:00.001"), 3L, "view"),    // outside: held
+      (103L, ts("2024-01-01 11:20:00.000500"), 4L, "view"), // floors to u1: held
+      (104L, ts("2024-01-01 11:19:59.999500"), 5L, "view"), // floors to u2: timeout
+      (105L, ts("2024-01-01 10:00:00.000"), 6L, "purchase"),// well past: timeout
+      // gap-split user: first session closes by GAP in-batch (carrying
+      // the purchase), second by timeout
+      (200L, ts("2024-01-01 09:00:00.000"), 7L, "purchase"),
+      (201L, ts("2024-01-01 09:40:00.000"), 7L, "view"),
+      // still-open user (within gap of the watermark): withheld
+      (210L, ts("2024-01-01 11:55:00.000"), 8L, "view"),
+      // sentinel pinning the terminal watermark; itself withheld
+      (220L, ts("2024-01-01 12:00:00.000"), 99L, "view"))
+    rows.map { case (e, t, u, k) => (e, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = EventsStream.abandonedStreaming(spark, dir, "spec_abandon")
+      .select("user_id", "end_reason", "n_purchases")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((2L, "timeout", 0L), (5L, "timeout", 0L),
+      (6L, "timeout", 1L), (7L, "gap", 1L), (7L, "timeout", 0L)))
+  }
+
+  test("abandoned streaming equals batch sessions gated by the terminal watermark") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val gapUs = 30L * 60 * 1000000
+    val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val wmMs = events.agg(max(unix_micros(col("ts")))).head.getLong(0) /
+      1000L - 600000L
+    val expected = sess
+      .withColumn("last_idx",
+        max("session_idx").over(Window.partitionBy("user_id")))
+      .withColumn("end_reason",
+        when(col("session_idx") < col("last_idx"), "gap").otherwise("timeout"))
+      .filter(col("session_idx") < col("last_idx") ||
+        floor(col("end_us") / 1000L).cast("long") + 1800000L < wmMs)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("n_purchases"), col("end_reason"))
+    val got = EventsStream.abandonedStreaming(spark, TestSpark.sf,
+      "spec_abandon_sf").cache()
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // both end reasons actually occur in the corpus — the gate row
+    // exercises both paths, not just the trivial gap one
+    assert(got.select("end_reason").distinct().count() == 2)
+  }
+
   test("sliding windows: each event lands in exactly window/slide windows") {
     import spark.implicits._
     // one event at 10:07 → 60/15 windows starting 09:15, 09:30, 09:45,
