@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.TestSpark
 import graft.sources.Tables
 

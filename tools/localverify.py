@@ -77,6 +77,42 @@ STALL_SECS = int(os.environ.get("GRAFT_VERIFY_STALL_SECS", "900"))
 MAX_ATTEMPTS = 3
 
 
+def _pg_cpu_jiffies(pgid):
+    """Sum utime+stime jiffies over every process in the group — the
+    busy-vs-hung discriminator for the watchdog. The one observed
+    leak leaves the JVM CPU-IDLE (all scheduler cores parked), so a
+    stall with real CPU burn is just a long query, not the hang; killing
+    it would loop resume-from-scratch until MAX_ATTEMPTS and fail a
+    healthy gate (plausible at sf1+, where single heavy queries can
+    legitimately exceed STALL_SECS)."""
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                rest = f.read().rsplit(b") ", 1)[1].split()
+            if int(rest[2]) != pgid:  # field 5 (pgrp); rest starts at 3
+                continue
+            total += int(rest[11]) + int(rest[12])  # utime+stime (f14,15)
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+def _pg_cpu_busy(pgid, window=3.0, min_core_frac=0.25):
+    """True when the process group burns > min_core_frac of one core
+    over `window` seconds."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+    except (ValueError, OSError):
+        hz = 100
+    before = _pg_cpu_jiffies(pgid)
+    time.sleep(window)
+    delta = _pg_cpu_jiffies(pgid) - before
+    return delta > min_core_frac * hz * window
+
+
 def _done_count():
     try:
         return sum(1 for n in os.listdir(OUT_DIR)
@@ -113,9 +149,19 @@ def run_spark():
             if done != last_done:
                 last_done, last_progress = done, time.time()
             elif time.time() - last_progress > STALL_SECS:
+                # kill only a CPU-IDLE group: the known hang parks every
+                # scheduler core; a busy JVM is a long query — let it run
+                if _pg_cpu_busy(os.getpgid(p.pid)):
+                    sys.stderr.write(
+                        f"[watchdog] {int(time.time() - last_progress)}s "
+                        f"without a completed query but the JVM is "
+                        f"CPU-busy — long query, not a stall; waiting\n")
+                    last_progress = time.time()
+                    continue
                 sys.stderr.write(
                     f"[watchdog] no completed query for {STALL_SECS}s "
-                    f"({done} done) — killing attempt {attempt}\n")
+                    f"and JVM is CPU-idle ({done} done) — killing "
+                    f"attempt {attempt}\n")
                 os.killpg(os.getpgid(p.pid), 9)
                 stalled = True
                 break

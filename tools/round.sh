@@ -16,6 +16,9 @@ cd "$(dirname "$0")/.."
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 XMX="${GRAFT_XMX:-48g}"
 
+echo "== install commit guard (Test/compile pre-commit hook) =="
+tools/install-hooks.sh
+
 echo "== sbt test =="
 sbt -batch test
 
