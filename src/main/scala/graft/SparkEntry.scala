@@ -782,7 +782,10 @@ object SparkEntry {
         |  SELECT event_type, user_id
         |  FROM events GROUP BY 1, 2 HAVING count(*) >= 14),
         |hh AS (
-        |  SELECT event_type,
+        |  -- DISTINCT: the engine's sketch buffer is a hash SET, so a
+        |  -- 48-bit md5-prefix collision between two user_ids must
+        |  -- collapse here too, or theta/m_size diverge engine vs oracle
+        |  SELECT DISTINCT event_type,
         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
         |  FROM mem),
         |r AS (SELECT event_type, h,

@@ -409,6 +409,40 @@ object TrainingQueries {
     lastDirMemo(storedCcMemo, s, d)(
       Dedup.connectedComponents(lshPairs(s, d).filter(
         col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)))
+  // Shared decode passes for the multimodal family (round 9): the GIF /
+  // WAV / BMP decode chains dominate each mm_* query's cost, and
+  // several queries consume the SAME decoded product — frame energies
+  // feed mm_videoprint + mm_keyframes + mm_scenes, window energies feed
+  // mm_audioprint + mm_segments, image hashes feed mm_phash +
+  // mm_phash_pairs + the cluster labeling. Decoding per query measured
+  // N× the one real pass (the phashStarPairs one-decode finding,
+  // Multimodal.scala, extended family-wide); memoizing the finished
+  // frame per (session, sfDir) makes every later consumer a map read.
+  // All three frames are asset-linear and tiny (≤ 5 frames/clip, ≤ 63
+  // windows/track, one hash row/image), so the cache pin is bounded.
+  private val videoEnergyMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def videoEnergies(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(videoEnergyMemo, s, d)(
+      Multimodal.videoFrameEnergies(
+        Multimodal.assets(Tables.documents(s, d))).toDF())
+  private val audioWindowMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def audioWindows(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.AudioWindows] = {
+    import s.implicits._
+    lastDirMemo(audioWindowMemo, s, d)(
+      Multimodal.audioWindowEnergies(
+        Multimodal.assets(Tables.documents(s, d))).toDF())
+      .as[Multimodal.AudioWindows]
+  }
+  private val imageHashMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def imageHashes(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(imageHashMemo, s, d)(
+      Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
+        .toDF())
+
   // the image near-dup labeling (phash decode → banded pairs → star
   // contraction): the visual corpus' dedup index — amortized exactly
   // like the text closure above
@@ -416,9 +450,7 @@ object TrainingQueries {
     SparkSession, (String, DataFrame)]
   private def phashClusterLabels(s: SparkSession, d: String): DataFrame =
     lastDirMemo(phashCcMemo, s, d) {
-      val ph = Multimodal
-        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
-        .toDF().select("asset_id", "hash_hi", "hash_lo")
+      val ph = imageHashes(s, d).select("asset_id", "hash_hi", "hash_lo")
       val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
         .select((col("asset_id") + 1000000).as("asset_id"),
           col("hash_hi"), col("hash_lo")))
@@ -897,21 +929,17 @@ object TrainingQueries {
     // the image-dedup primitive; the oracle re-derives every sampled
     // byte from the BMP generator's closed form, so the whole decode →
     // NN-sample → threshold → pack chain is falsifiable bit-for-bit
-    "mm_phash" -> ((s, d) =>
-      Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
-        .toDF().orderBy("asset_id")),
+    "mm_phash" -> ((s, d) => imageHashes(s, d).orderBy("asset_id")),
     // audio energy fingerprints over the decoded PCM — the WAV member
     // of the perceptual family; the oracle re-derives every sample
     // from the generator's closed form, falsifying the decode path
     "mm_audioprint" -> ((s, d) =>
-      Multimodal.audioFingerprint(
-        Multimodal.assets(Tables.documents(s, d)))
+      Multimodal.audioFingerprintOf(audioWindows(s, d))
         .toDF().orderBy("asset_id")),
     // VAD-style silence segmentation over the same decoded window
     // energies: maximal voiced/silent runs → per-utterance segments
     "mm_segments" -> ((s, d) =>
-      Multimodal.audioSegments(
-        Multimodal.assets(Tables.documents(s, d)))
+      Multimodal.audioSegmentsOf(audioWindows(s, d))
         .toDF().orderBy("asset_id", "seg_idx")),
     // image near-dup CLUSTERS: the banded phash pair graph (same
     // augmented fixture as mm_phash_pairs) closed into components by
@@ -926,9 +954,7 @@ object TrainingQueries {
     // container parse, LZW, palette lookup all falsified by the
     // closed-form oracle; keyframe pick / temporal near-dup primitive
     "mm_videoprint" -> ((s, d) =>
-      Multimodal.videoFrameEnergies(
-        Multimodal.assets(Tables.documents(s, d)))
-        .toDF().orderBy("asset_id", "frame_idx")),
+      videoEnergies(s, d).orderBy("asset_id", "frame_idx")),
     // keyframe selection: the argmax-energy frame per clip (ties → the
     // EARLIEST frame) — the frame a caption/embedding model would get;
     // rank-1 rides WindowGroupLimit like every top-1 in the engine
@@ -936,9 +962,7 @@ object TrainingQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("asset_id")
         .orderBy(desc("frame_energy"), asc("frame_idx"))
-      Multimodal.videoFrameEnergies(
-          Multimodal.assets(Tables.documents(s, d)))
-        .toDF()
+      videoEnergies(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("asset_id"), col("n_frames"), col("frame_idx"),
@@ -952,8 +976,7 @@ object TrainingQueries {
     // are one scene. The temporal counterpart of mm_segments' silence
     // split: keyframes pick a frame, scenes partition the clip.
     "mm_scenes" -> ((s, d) => {
-      val en = Multimodal.videoFrameEnergies(
-        Multimodal.assets(Tables.documents(s, d))).toDF()
+      val en = videoEnergies(s, d)
       val byFrame = org.apache.spark.sql.expressions.Window
         .partitionBy("asset_id").orderBy("frame_idx")
       val dd = en
@@ -985,9 +1008,7 @@ object TrainingQueries {
     // (phashPairs, quadratic in duplicate-group depth — 1.5M rows at
     // sf1, 93% hamming-0) stays spec-pinned as the small-scale variant
     "mm_phash_pairs" -> ((s, d) => {
-      val ph = Multimodal
-        .imagePHash(Multimodal.assets(Tables.documents(s, d)))
-        .toDF().select("asset_id", "hash_hi", "hash_lo")
+      val ph = imageHashes(s, d).select("asset_id", "hash_hi", "hash_lo")
       val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
         .select((col("asset_id") + 1000000).as("asset_id"),
           col("hash_hi"), col("hash_lo")))

@@ -144,7 +144,22 @@ object SnapshotTable {
       statsCols.map { c =>
         val mn = r.getAs[Any](s"__min_$c")
         val mx = r.getAs[Any](s"__max_$c")
-        val render = (x: Any) => if (x == null) "\\N" else enc(x.toString)
+        // Timestamps render as epoch MICROSECONDS (not Timestamp
+        // .toString): the local-zone rendering is not order-preserving
+        // across DST folds or across writer JVMs in different zones, so
+        // an envelope written that way could invert and prune a live
+        // file. Epoch micros are zone-free and compare numerically.
+        val render = (x: Any) => x match {
+          case null => "\\N"
+          case t: java.sql.Timestamp =>
+            (t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L).toString
+          case i: java.time.Instant =>
+            (i.getEpochSecond * 1000000L + i.getNano.toLong / 1000L).toString
+          case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: pin to UTC
+            (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              t.getNano.toLong / 1000L).toString
+          case other => enc(other.toString)
+        }
         s"${enc(key)}\t${enc(c)}\t${render(mn)}\t${render(mx)}"
       }
     }
@@ -225,9 +240,15 @@ object SnapshotTable {
   }
 
   /** Type-faithful comparison of two stored stat strings under the
-    * column's Spark type. Dates (`yyyy-MM-dd`) and same-rendering
-    * timestamps compare correctly as strings; numerics go through exact
-    * decimal parsing so "9" < "10" and double renderings round-trip.
+    * column's Spark type. Numerics go through exact decimal parsing so
+    * "9" < "10" and double renderings round-trip; timestamps compare as
+    * epoch micros; strings compare in Spark's own order — UTF8String is
+    * ordered by UNSIGNED UTF-8 bytes (= code-point order), whereas
+    * java.lang.String.compareTo is UTF-16 code-UNIT order, and the two
+    * disagree for strings mixing supplementary-plane characters with
+    * U+E000–U+FFFF. Pruning with the wrong order would silently drop
+    * files whose envelope does intersect the predicate, breaking the
+    * "stats are never a correctness input" contract.
     */
   private def cmpStat(dt: org.apache.spark.sql.types.DataType,
                       a: String, b: String): Int = {
@@ -239,10 +260,30 @@ object SnapshotTable {
         java.lang.Double.compare(a.toDouble, b.toDouble)
       case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
       case TimestampType | TimestampNTZType =>
-        java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
-      case _ => a.compareTo(b) // StringType, DateType (ISO renders)
+        java.lang.Long.compare(tsMicros(a), tsMicros(b))
+      case DateType => a.compareTo(b) // ISO yyyy-MM-dd is order-preserving
+      case _ => // StringType: unsigned UTF-8 bytes = Spark's binary order
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
+
+  /** Timestamp stat string → epoch micros. New-format stats are plain
+    * longs; pruneFiles' predicate bounds (and any stats TSV written
+    * before the epoch-micros change) arrive as `Timestamp.toString`
+    * renders, parsed here in the JVM default zone — same zone the
+    * caller's Timestamp literal lives in, so bound-vs-bound comparisons
+    * stay consistent on one host.
+    */
+  private def tsMicros(s: String): Long =
+    if (s.nonEmpty && s.forall(c => c.isDigit || c == '-') &&
+        (s.length > 1 || s.head != '-'))
+      s.toLong
+    else {
+      val t = java.sql.Timestamp.valueOf(s)
+      t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
+    }
 
   /** File-skipping decision for a version and a closed range predicate
     * `lo <= column <= hi`: lists the version's files and partitions
@@ -269,7 +310,18 @@ object SnapshotTable {
     }
     val dt = read(spark, dir, v).schema(column).dataType
     val stats = statsMap(spark, dir, v)
-    val (loS, hiS) = (lo.toString, hi.toString)
+    // render predicate bounds the same way stats are stored
+    val boundStr = (x: Any) => x match {
+      case t: java.sql.Timestamp =>
+        (t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L).toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano.toLong / 1000L).toString
+      case t: java.time.LocalDateTime =>
+        (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano.toLong / 1000L).toString
+      case other => other.toString
+    }
+    val (loS, hiS) = (boundStr(lo), boundStr(hi))
     val (kept, skipped) = files.partition { p =>
       val key = s"${p.getParent.getName}/${p.getName}"
       stats.get(key).flatMap(_.get(column)) match {

@@ -219,6 +219,64 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("string stats prune in Spark's UTF-8 binary order, not UTF-16") {
+    withDir { dest =>
+      // Spark computes min/max in UTF8String (code-point) order, so for
+      // {U+E000, U+1F600, U+F000} the stored envelope is
+      // [U+E000, U+1F600]. java.lang.String.compareTo (UTF-16 code
+      // units) would put the surrogate-pair max U+1F600 (D83D DE00)
+      // BELOW the lo bound U+F000 and skip the file — silently dropping
+      // the U+F000 row. cmpStat must use unsigned UTF-8 bytes.
+      val rows = Seq("", new String(Character.toChars(0x1F600)),
+        "").toDF("s").coalesce(1)
+      SnapshotTable.commit(rows, dest, statsCols = Seq("s"))
+      val q = SnapshotTable.readWhere(spark, dest, "s", "", "")
+      assert(q.count() == 1, "UTF-16 envelope compare would drop this row")
+      val full = SnapshotTable.read(spark, dest)
+        .filter(col("s") >= "" && col("s") <= "")
+      assert(q.exceptAll(full).isEmpty && full.exceptAll(q).isEmpty)
+    }
+  }
+
+  test("timestamp stats are zone-free epoch micros; DST fold cannot invert an envelope") {
+    val oldTz = java.util.TimeZone.getDefault
+    try {
+      // under America/New_York, the 2024-11-03 01:30 wall time occurs
+      // TWICE (05:30Z and 06:30Z); Timestamp.toString renders both
+      // identically, so a toString-rendered envelope is not
+      // order-preserving. Epoch-micros stats stay monotone.
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      withDir { dest =>
+        val base = java.time.Instant.parse("2024-11-03T04:00:00Z")
+        val ts = (0 until 16).map(h =>
+          Tuple1(java.sql.Timestamp.from(base.plusSeconds(h * 1800L))))
+        val df = ts.toDF("t").repartitionByRange(4, col("t"))
+        SnapshotTable.commit(df, dest, statsCols = Seq("t"))
+        // stats must be stored numerically (epoch micros), not renders
+        val statsTsv = files(dest, "_manifests").collect {
+          case (p, bytes) if p.endsWith("v1.stats.tsv") =>
+            new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+        }.head
+        assert(statsTsv.linesIterator.forall { l =>
+          val Array(_, _, mn, mx) = l.split('\t')
+          mn.forall(_.isDigit) && mx.forall(_.isDigit)
+        }, s"timestamp stats must be epoch micros, got:\n$statsTsv")
+        // a range pinned across the fold prunes exactly
+        val lo = java.sql.Timestamp.from(base.plusSeconds(5 * 1800L))
+        val hi = java.sql.Timestamp.from(base.plusSeconds(8 * 1800L))
+        val (kept, skipped) =
+          SnapshotTable.pruneFiles(spark, dest, "t", lo, hi)
+        assert(skipped.nonEmpty, "range layout must skip timestamp files")
+        val q = SnapshotTable.readWhere(spark, dest, "t", lo, hi)
+        val full = SnapshotTable.read(spark, dest)
+          .filter(col("t") >= lit(lo) && col("t") <= lit(hi))
+        assert(q.count() == 4 &&
+          q.exceptAll(full).isEmpty && full.exceptAll(q).isEmpty)
+      }
+    } finally java.util.TimeZone.setDefault(oldTz)
+  }
+
   test("reads of missing tables and unknown versions fail loudly") {
     withDir { dest =>
       intercept[IllegalArgumentException](SnapshotTable.read(spark, dest))
