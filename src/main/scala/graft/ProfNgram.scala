@@ -63,12 +63,55 @@ object ProfNgram {
     t("grouped candidate pairs") {
       println("[prof]   candidate pairs: " + common.count())
     }
-    t("full ngramJaccard") {
-      println("[prof]   result pairs: " +
-        Dedup.ngramJaccard(docs, 3, 0.5, 1000).count())
+    // exact dictionary encoding: transient long ids for shingles so the
+    // self-join + pair groupBy shuffle longs instead of ~20-char strings
+    val dict = ds.select("shingle").distinct()
+      .withColumn("sid", monotonically_increasing_id())
+    val enc = ds.join(dict, "shingle").select("doc_id", "sid")
+      .persist()
+    t("dict-encode postings") { enc.count() }
+    val ea = enc.toDF("doc_a", "sid")
+    val eb = enc.toDF("doc_b", "sid")
+    t("sid self-join + group") {
+      println("[prof]   pairs: " + ea.join(eb, "sid")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1))).count())
     }
-    t("full ngramJaccard again") {
-      Dedup.ngramJaccard(docs, 3, 0.5, 1000).count()
+    t("sid self-join + group again") {
+      ea.join(eb, "sid").filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1))).count()
+    }
+
+    // prefix-filtered candidate volume at both the gate's threshold
+    // (0.2, TrainingQueries dd_ngram_jaccard) and a selective one
+    for (t0 <- Seq(0.2, 0.5)) {
+      val w = org.apache.spark.sql.expressions.Window
+      val dfT = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val ranked = ds.join(dfT, "shingle")
+        .select(col("doc_id"), col("shingle"),
+          row_number().over(
+            w.partitionBy("doc_id").orderBy(col("df"), col("shingle"))).as("pos"),
+          count(lit(1)).over(w.partitionBy("doc_id")).as("sz"))
+      val prefix = ranked.filter(col("pos") <=
+        col("sz") - ceil(lit(t0) * col("sz") - lit(1e-9)) + 1)
+      t(s"prefix postings t=$t0") {
+        println("[prof]   prefix rows: " + prefix.count())
+      }
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")),
+          "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      t(s"prefix candidates t=$t0") {
+        println("[prof]   candidate pairs: " + cand.count())
+      }
+      t(s"full ngramJaccard t=$t0") {
+        println("[prof]   result pairs: " +
+          Dedup.ngramJaccard(docs, 3, t0, 1000).count())
+      }
+      t(s"full ngramJaccard t=$t0 again") {
+        Dedup.ngramJaccard(docs, 3, t0, 1000).count()
+      }
     }
     spark.stop()
   }

@@ -65,19 +65,35 @@ object PlanMemo {
     h
   }
 
-  def cached(tag: String, df: DataFrame): DataFrame = {
+  def cached(tag: String, df: DataFrame): DataFrame =
+    cachedAs(tag, df)(df)
+
+  /** [[cached]] with the memo KEY decoupled from the cached FRAME: the
+    * lookup matches on `key`'s plan, but a miss caches (and a hit
+    * returns) `build`'s frame. For operators whose cached product
+    * contains a NONDETERMINISTIC expression (e.g. a transient
+    * `monotonically_increasing_id` dictionary id): nondeterministic
+    * expressions never compare `sameResult`, so keying the memo on the
+    * product plan itself would miss on every call and re-pay the cache
+    * fill per invocation (the round-7 graph-family regression's
+    * signature) while stacking duplicate persisted copies into the LRU.
+    * Keying on the deterministic INPUT plan makes the repeat call a
+    * map read. `build` is by-name — a hit never constructs the product
+    * plan at all.
+    */
+  def cachedAs(tag: String, key: DataFrame)(build: => DataFrame): DataFrame = {
     memo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val plan = df.queryExecution.analyzed
+    val plan = key.queryExecution.analyzed
     val fp = fileFingerprint(plan)
-    var out: DataFrame = df
-    memo.compute((df.sparkSession, tag), (_, prev) => {
+    var out: DataFrame = null
+    memo.compute((key.sparkSession, tag), (_, prev) => {
       val entries = Option(prev).getOrElse(Nil)
       entries.find(e => e._2 == fp && e._1.sameResult(plan)) match {
         case Some(hit) =>
           out = hit._3
           hit :: entries.filterNot(_ eq hit) // move-to-front LRU
         case None =>
-          val (keep, evict) = ((plan, fp, df.cache()) :: entries).splitAt(MaxPerTag)
+          val (keep, evict) = ((plan, fp, build.cache()) :: entries).splitAt(MaxPerTag)
           evict.foreach(_._3.unpersist(blocking = false))
           out = keep.head._3
           keep

@@ -153,6 +153,40 @@ object KmvOverlap {
   import org.apache.spark.sql.{DataFrame, functions => F}
   import F._
 
+  /** The shared Theta-style estimator arithmetic: given a frame with
+    * two sketch columns `ska`/`skb` (sorted KMV hash arrays over the
+    * same 48-bit hash space), appends
+    *
+    *   - `m_size`      — size of the merged (union) sketch, capped at k
+    *   - `est_union`   — (k−1)·2⁴⁸/θ when the union sketch is full,
+    *                     else the exact member count
+    *   - `est_jaccard` — both-sides fraction of the union sketch
+    *   - `est_inter`   — est_jaccard · est_union
+    *
+    * Every double op is +,·,/ over integer-exact operands (the
+    * bit-portability contract the DuckDB twins mirror). Exposed so any
+    * two PERSISTED sketches — different tables, different days,
+    * different pipelines — can be composed without re-reading data:
+    * the set-algebra capability that distinguishes KMV/Theta from HLL.
+    */
+  def withEstimates(df: DataFrame, k: Int): DataFrame = {
+    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
+    df.withColumn("mg", merged)
+      .withColumn("m", slice(col("mg"), 1, k))
+      .withColumn("m_size", least(size(col("mg")), lit(k)))
+      .withColumn("est_union",
+        when(size(col("mg")) >= k,
+          (lit((k - 1).toDouble) * lit(281474976710656.0))
+            / element_at(col("m"), -1).cast("double"))
+          .otherwise(size(col("mg")).cast("double")))
+      .withColumn("i_cnt", size(filter(col("m"),
+        x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+      .withColumn("est_jaccard",
+        col("i_cnt").cast("double") / col("m_size").cast("double"))
+      .withColumn("est_inter", col("est_jaccard") * col("est_union"))
+      .drop("mg", "m", "i_cnt")
+  }
+
   def audienceOverlap(events: DataFrame, k: Int = 128,
                       minEvents: Int = 14): DataFrame = {
     val members = events.groupBy(col("event_type"), col("user_id"))
@@ -180,23 +214,9 @@ object KmvOverlap {
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_inter"))
-    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
-    val est = pairs
+    val est = withEstimates(pairs
       .join(inter, Seq("type_a", "type_b"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .withColumn("mg", merged)
-      .withColumn("m", slice(col("mg"), 1, k))
-      .withColumn("m_size", least(size(col("mg")), lit(k)))
-      .withColumn("est_union",
-        when(size(col("mg")) >= k,
-          (lit((k - 1).toDouble) * lit(281474976710656.0))
-            / element_at(col("m"), -1).cast("double"))
-          .otherwise(size(col("mg")).cast("double")))
-      .withColumn("i_cnt", size(filter(col("m"),
-        x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
-      .withColumn("est_jaccard",
-        col("i_cnt").cast("double") / col("m_size").cast("double"))
-      .withColumn("est_inter", col("est_jaccard") * col("est_union"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L))), k)
     est.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
       (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
       col("n_inter"), col("m_size"), col("est_union"), col("est_inter"),

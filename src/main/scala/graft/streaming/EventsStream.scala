@@ -39,21 +39,28 @@ object EventsStream {
   }
 
   /** Start a stateful stream with `spark.sql.shuffle.partitions` pinned
-    * to 8 for the duration of the `start()` call, restoring the session
+    * low for the duration of the `start()` call, restoring the session
     * default immediately. A stateful query pins its state-store count
     * per stream from that conf at its first micro-batch, and on local
     * mode the per-batch HDFS-backed snapshot cost scales with store
-    * COUNT, not data ([[clickPurchaseStreaming]]'s original measurement
-    * — this generalizes its inline pattern to every stateful demo
-    * stream). 8 stores is plenty for a single-file source; a production
-    * deployment sizes this to the topic's key cardinality. Results are
-    * partitioning-independent: aggregation/dedup semantics do not
-    * depend on how keys are distributed over stores.
+    * COUNT, not data ([[clickPurchaseStreaming]]'s original
+    * measurement, generalized to every stateful demo stream). The
+    * round-9 sweep (ProfStream, sf0.1) measured the fixed cost at
+    * 8/4/2/1 stores with IDENTICAL emitted sets: the hourly agg ran
+    * 1.49→1.16 s and the interval join 3.84→2.53 s from 8 to 2 stores,
+    * with 1 store no better than 2 — so 2 is the default. A production
+    * deployment sizes this to the topic's key cardinality via
+    * `spark.sql.graft.streamShufflePartitions`; results are
+    * partitioning-independent (aggregation/dedup/join semantics do not
+    * depend on how keys are distributed over stores — the sweep's
+    * constant row counts are the proof).
     */
   private def startAt8[A](spark: SparkSession)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val n = spark.conf.getOption("spark.sql.graft.streamShufflePartitions")
+      .getOrElse("2")
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, n)
     try start finally spark.conf.set(key, prev)
   }
 

@@ -42,6 +42,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard prefix filter is exact vs the exhaustive join") {
+    import org.apache.spark.sql.functions._
+    // real corpus slice — enough shingle-df spread for prefixes to
+    // actually prune — checked at the gate's threshold (0.2) and a
+    // high-selectivity one (0.5)
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .limit(300)
+    val ds = Dedup.docShingles(corpus, 3, 1000)
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    for (t <- Seq(0.2, 0.5)) {
+      val exhaustive = ds.toDF("doc_a", "shingle")
+        .join(ds.toDF("doc_b", "shingle"), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.toDF("doc_a", "size_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "size_b"), "doc_b")
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+      // dict-encoded default: transient long shingle ids, same output
+      val encoded = Dedup.ngramJaccard(corpus, 3, t, 1000)
+      assert(encoded.exceptAll(exhaustive).isEmpty &&
+        exhaustive.exceptAll(encoded).isEmpty,
+        s"dict-encoded join must equal the string-keyed join at t=$t")
+      // prefix-filtered variant: exact pruning, same output
+      val prefixed = Dedup.ngramJaccardPrefix(corpus, 3, t, 1000)
+      assert(prefixed.exceptAll(exhaustive).isEmpty &&
+        exhaustive.exceptAll(prefixed).isEmpty,
+        s"prefix-filtered join must equal the exhaustive join at t=$t")
+    }
+  }
+
   test("minhash LSH surfaces the duplicate pair with est 1.0") {
     val pairs = Dedup.minhashLsh(docs, minEstSim = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
