@@ -53,6 +53,19 @@ object ScaleUp {
     * byte-identical to the source). */
   private val ALPHA = "aeiourstln"
 
+  /** Second, DISJOINT common-letter alphabet for replicas ≥ 10 (the
+    * round-8 verdict's sf3 stretch needs factor 30 > |ALPHA|): replica
+    * r composes rotation `r % 10` of [[ALPHA]] with rotation `r / 10`
+    * of BETA, giving 100 distinct text bijections. Replicas 0–9 have
+    * BETA rotation 0 (identity), so every previously generated scale-up
+    * (sf0.3, sf1) is BYTE-IDENTICAL under the extended scheme — the
+    * existing artifacts stay comparable. Same duplicate-risk class as
+    * the single-alphabet design: two replicas sharing an ALPHA rotation
+    * collapse only for texts containing NO BETA letter (m c d p g b h
+    * f w k — vanishingly unlikely for sentence-length English-like
+    * text, exactly as a text with no ALPHA letter always collapsed). */
+  private val BETA = "mcdpgbhfwk"
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: graft.ScaleUp <srcDir> <dstDir> [factor]")
     val src = args(0)
@@ -82,11 +95,11 @@ object ScaleUp {
     //    replicas — corrupt referential integrity with no error;
     //  - factor > embedding dim: the cyclic slice in scaleEmbeddings
     //    produces malformed vectors.
-    require(factor >= 1 && factor <= ALPHA.length,
-      s"ScaleUp: factor $factor outside [1, ${ALPHA.length}] — the " +
-        "letter-rotation alphabet provides only " +
-        s"${ALPHA.length} distinct text bijections; a larger factor " +
-        "would silently reuse the identity rotation")
+    require(factor >= 1 && factor <= ALPHA.length * BETA.length,
+      s"ScaleUp: factor $factor outside [1, ${ALPHA.length * BETA.length}]" +
+        " — the composed ALPHA×BETA rotation family provides only " +
+        s"${ALPHA.length * BETA.length} distinct text bijections; a " +
+        "larger factor would silently reuse the identity rotation")
     val keyCols = Seq(
       "customer" -> "c_custkey", "part" -> "p_partkey",
       "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
@@ -144,12 +157,26 @@ object ScaleUp {
   /** Per-replica bijective letter rotation of `text` (length-preserving,
     * so `n_chars` stays truthful). */
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame = {
+    // re-checked here (not only in writeAll): factor 101 would fold
+    // replica 100 back onto the identity bijection SILENTLY
+    require(factor >= 1 && factor <= ALPHA.length * BETA.length,
+      s"ScaleUp.scaleDocuments: factor $factor outside " +
+        s"[1, ${ALPHA.length * BETA.length}] distinct text bijections")
     val rep = scaleKeys(df, factor, Seq("doc_id"))
       .withColumn("__r", (col("doc_id") / lit(STRIDE)).cast("int"))
     val rotated = (1 until factor).foldLeft(
       when(col("__r") === 0, col("text"))) { (acc, r) =>
-      val to = ALPHA.drop(r % ALPHA.length) + ALPHA.take(r % ALPHA.length)
-      acc.when(col("__r") === r, translate(col("text"), ALPHA, to))
+      // replica r = ALPHA rotation (r % 10) composed with BETA rotation
+      // (r / 10); both translates in one pass over the concatenated
+      // alphabets (disjoint, so composition = one character map).
+      // r < 10 keeps BETA at identity — byte-identical to the original
+      // single-alphabet scheme for every previously generated factor.
+      val ra = r % ALPHA.length
+      val rb = r / ALPHA.length
+      val toA = ALPHA.drop(ra) + ALPHA.take(ra)
+      val toB = BETA.drop(rb) + BETA.take(rb)
+      acc.when(col("__r") === r,
+        translate(col("text"), ALPHA + BETA, toA + toB))
     }
     rep.withColumn("text", rotated).drop("__r")
   }

@@ -37,15 +37,28 @@ object Scratch {
     } finally parts.close()
   }
 
-  /** Pin a SMALL-BY-CONTRACT result into memory, then delete the temp
-    * tree it reads from. The collect is bounded by the caller's contract
-    * (a top-k result, a dimension snapshot) — never a corpus-sized
-    * frame; the returned frame is a local-relation twin with the same
-    * schema, safe to use after the tree is gone.
+  /** Materialize a result off its temp tree, then delete the tree.
+    *
+    * EXECUTOR-side pinning via `localCheckpoint(eager = true)`: the
+    * plan's partitions compute and persist as blocks (spillable
+    * MEMORY_AND_DISK), lineage is truncated, and the tree can go. The
+    * original implementation collect()ed the rows into a driver
+    * LocalRelation — corpus-sized results (the full-sales replays are
+    * 6M rows at sf1) then re-serialized INTO the next job's task (an
+    * 822 MB task binary), which is exactly the driver-side scaling
+    * failure this engine is designed to avoid; at 8 GiB driver heap it
+    * OOMed the dispatcher and wedged the sf1 gate. Partition-local
+    * ordering survives checkpointing and every consumer either
+    * re-sorts or writes through `coalesce(1)` (partition-id order), so
+    * results are unchanged.
+    *
+    * Local-mode caveat (documented, not load-bearing here): a
+    * localCheckpoint cannot recompute if an executor dies — fine on
+    * local[n]; a multi-node deployment would use `checkpoint()` against
+    * the cluster's checkpoint dir for the same seam.
     */
   def materializeAndDelete(df: DataFrame, root: Path): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    val out = df.sparkSession.createDataFrame(rows, df.schema)
+    val out = df.localCheckpoint(eager = true)
     deleteRecursively(root)
     out
   }

@@ -234,10 +234,20 @@ object EventsStream {
     }
     try {
       drop(0)
+      // PARQUET sink, not a memory sink: the replay's output is the
+      // full sales fact, and a memory sink parks every row on the
+      // DRIVER — queries over it then re-serialize the rows into task
+      // binaries (measured 205 MB/task at sf1, the same driver-bound
+      // scaling failure materializeAndDelete's collect had). The sink
+      // keeps rows executor-side; the consumer below pins them off the
+      // scratch tree. (queryName is retained for the stream's UI name.)
+      val sink = root.resolve("sink").toString
       val q = csvDropStream(spark, dropDir.toString, sales.schema)
         .writeStream
         .outputMode(OutputMode.Append())
-        .format("memory")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
         .queryName(queryName)
         .start()
       try {
@@ -245,16 +255,20 @@ object EventsStream {
         drop(1); drop(2)        // late arrivals: new files mid-stream
         q.processAllAvailable()
       } finally q.stop()
+      // the CSV tree (a full copy of the sales fact) and the sink must
+      // not accumulate across gate runs
+      graft.core.Scratch.materializeAndDelete(
+        spark.read.schema(sales.schema).parquet(sink), root)
     } finally {
       sales.unpersist(blocking = false)
-      // the memory-sink table owns the rows now — the CSV tree (a full
-      // copy of the sales fact) must not accumulate across gate runs
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
-    spark.table(queryName)
   }
 
   /** Batch sessionizer: sessions split on gaps > gapMinutes, windowed

@@ -121,6 +121,40 @@ class RaptorSpec extends AnyFunSuite {
     assert(shuffled == a)
   }
 
+  test("keyOverlapSketch: exact degradation when k covers the key sets") {
+    // source 1..40, target 21..60 → 20 shared keys; with k = 128 ≥ all
+    // cardinalities the sketch holds every hash and the estimators must
+    // DEGRADE TO EXACT counts (the KmvSketch contract)
+    val src = (1 to 40).map(i => (i, s"n$i", i.toDouble))
+    val tgt = (21 to 60).map(i => (i, s"n$i", i.toDouble))
+    val r = Raptor.keyOverlapSketch(frame(src: _*), frame(tgt: _*),
+      Seq("id")).collect()(0)
+    assert(r.getAs[Long]("n_src") == 40 && r.getAs[Long]("n_tgt") == 40)
+    assert(r.getAs[Long]("n_union") == 60 && r.getAs[Long]("n_inter") == 20)
+    assert(r.getAs[Int]("m_size") == 60)
+    assert(r.getAs[Double]("est_union") == 60.0,
+      "undersized union sketch estimates exactly")
+    assert(r.getAs[Double]("est_jaccard") == 20.0 / 60.0)
+    assert(r.getAs[Double]("est_inter") == (20.0 / 60.0) * 60.0)
+  }
+
+  test("keyOverlapSketch: estimation path engages when keys exceed k") {
+    // 500 vs 500 keys with 250 shared — k=32 forces the θ estimator;
+    // the estimate must land within a loose 3σ-ish band of truth while
+    // the exact columns stay exact (they come from the real key sets)
+    val src = (1 to 500).map(i => (i, s"n$i", i.toDouble))
+    val tgt = (251 to 750).map(i => (i, s"n$i", i.toDouble))
+    val r = Raptor.keyOverlapSketch(frame(src: _*), frame(tgt: _*),
+      Seq("id"), k = 32).collect()(0)
+    assert(r.getAs[Long]("n_union") == 750 && r.getAs[Long]("n_inter") == 250)
+    assert(r.getAs[Int]("m_size") == 32)
+    val estU = r.getAs[Double]("est_union")
+    assert(estU > 750 * 0.45 && estU < 750 * 2.2,
+      s"union estimate $estU wildly off 750 (k=32 ⇒ ~18% rel. error per σ)")
+    val estJ = r.getAs[Double]("est_jaccard")
+    assert(estJ > 0.0 && estJ < 1.0)
+  }
+
   test("summary percentage uses exact half-up rendering") {
     // 1 mismatch out of 3 common = 33.33%
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))

@@ -15,6 +15,10 @@ cd "$(dirname "$0")/.."
 
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 XMX="${GRAFT_XMX:-48g}"
+# Verify runs the whole 200+-query suite in ONE JVM whose heap also
+# holds local-mode executor storage (all the session memos); at sf1 the
+# 8g default OOMed once the round-9 shared-decode caches landed.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}"
 
 echo "== install commit guard (Test/compile pre-commit hook) =="
 tools/install-hooks.sh

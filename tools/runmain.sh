@@ -13,6 +13,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -Xmx"$XMX" $ADD_OPENS \
+# GRAFT_JAVA_OPTS: optional extra JVM flags (e.g. a -Dspark.* conf for
+# an A/B run — SparkConf absorbs spark.-prefixed system properties)
+exec java -Xmx"$XMX" $ADD_OPENS ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
