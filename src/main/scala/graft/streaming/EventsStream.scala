@@ -374,9 +374,22 @@ object EventsStream {
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     val destDir = root.resolve("dim").toString
-    def drop(mod: Int): Unit =
+    // ONE file per wave (the restartReplay/csvDropReplay drop pattern),
+    // NOT a multi-file append: the file source's listing thread can fire
+    // mid-commit and see a PREFIX of a multi-file wave, splitting the
+    // wave across two micro-batches — the second sub-batch then
+    // overwrites its users even when its (ts, event_id) winners are
+    // lower, silently breaking the wave-major contract the oracle
+    // states. Latent until sf1 (9-file waves + slower commits) flagged
+    // it: 11k/15k users diverged in the round-9 gate. A single renamed
+    // file is atomic to the listing.
+    def drop(mod: Int): Unit = {
+      val stage = root.resolve(s"stage_$mod")
       ev.filter(col("event_id") % 3 === mod)
-        .write.mode("append").parquet(dropDir.toString)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      graft.core.Scratch.moveSinglePart(stage, ".parquet",
+        dropDir.resolve(s"wave_$mod.parquet"))
+    }
     drop(0)
     val q = spark.readStream.schema(ev.schema).parquet(dropDir.toString)
       .writeStream
