@@ -47,9 +47,13 @@ object EventsStream {
     * measurement, generalized to every stateful demo stream). The
     * round-9 sweep (ProfStream, sf0.1) measured the fixed cost at
     * 8/4/2/1 stores with IDENTICAL emitted sets: the hourly agg ran
-    * 1.49→1.16 s and the interval join 3.84→2.53 s from 8 to 2 stores,
-    * with 1 store no better than 2 — so 2 is the default. A production
-    * deployment sizes this to the topic's key cardinality via
+    * 1.49→1.16 s and the interval join 3.84→2.53 s from 8 to 2 stores.
+    * At sf1 the trade inverts for the heavy stateful queries — the
+    * session/abandoned family wants parallelism more than it fears
+    * store constants (st_session 5.4 s at 2 stores vs 3.8 s at 4; 8 ≈ 4)
+    * — so 4 is the default: within noise of 2 at sf0.1, ~30% better at
+    * sf1. A production deployment sizes this to the topic's key
+    * cardinality via
     * `spark.sql.graft.streamShufflePartitions`; results are
     * partitioning-independent (aggregation/dedup/join semantics do not
     * depend on how keys are distributed over stores — the sweep's
@@ -58,7 +62,7 @@ object EventsStream {
   private def startAt8[A](spark: SparkSession)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val n = spark.conf.getOption("spark.sql.graft.streamShufflePartitions")
-      .getOrElse("2")
+      .getOrElse("4")
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)
     try start finally spark.conf.set(key, prev)
