@@ -271,13 +271,20 @@ object Dedup {
     * Emits pairs (a < b) with jaccard ≥ threshold.
     *
     * The join runs over DICTIONARY-ENCODED postings: shingles map to
-    * transient long ids (`monotonically_increasing_id` over the
-    * distinct-shingle frame — exact, no hash-collision caveat; the ids
-    * never reach the output), so the self-join and the (doc_a, doc_b)
-    * pair aggregation shuffle 8-byte longs instead of multi-word
-    * strings. Measured at sf1: the hot join+group stage dropped 3.4 →
-    * 2.1 s warm at identical output; at 100 TB the saved shuffle bytes
-    * are proportionally larger (shingle text ~20-40 B vs 8 B).
+    * transient long ids via salted `xxhash64` — a PURE function of the
+    * shingle text, so the encoding is recompute-stable by construction
+    * (an earlier `monotonically_increasing_id` dictionary could hand
+    * the self-join's two branches DIFFERENT ids if the memoized dict
+    * frame was evicted and recomputed with a different reduce-side
+    * fetch order — silently wrong n_common). One vocab-sized aggregate
+    * guards the ≈V²/2⁶⁵ collision case by re-salting; the ids never
+    * reach the output. The self-join and the (doc_a, doc_b) pair
+    * aggregation shuffle 8-byte longs instead of multi-word strings —
+    * measured at sf1: hot join+group stage 3.4 → 2.1 s warm at
+    * identical output; at 100 TB the saved shuffle bytes are
+    * proportionally larger (shingle text ~20-40 B vs 8 B). Hashing
+    * also deletes the dict-assignment shuffle join the id scheme
+    * needed: the encode is now a map-only projection.
     *
     * Candidate volume here is Σ df² over the capped vocabulary — on
     * corpora with a Zipfian shingle distribution and a high `maxDf`,
@@ -289,16 +296,20 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 1000): DataFrame = {
-    // memo KEYED on the deterministic postings plan: the encoded frame
-    // contains monotonically_increasing_id, which never matches
-    // sameResult — keying on the product plan would re-pay the encode
-    // fill on every call (cachedAs Scaladoc)
+    // memo keyed by tag: the collision-check aggregate below is a
+    // driver action run during plan CONSTRUCTION — keying on the
+    // product plan would re-pay it on every call (cachedAs Scaladoc)
     val ds = graft.core.PlanMemo.cached("dedup.dfShingles",
       docShingles(docs, n, maxDf))
     val enc = graft.core.PlanMemo.cachedAs("dedup.encShingles", ds) {
-      val dict = ds.select("shingle").distinct()
-        .withColumn("sid", monotonically_increasing_id())
-      ds.join(dict, "shingle").select("doc_id", "sid")
+      val salt = Iterator.range(0, 5).find { s =>
+        val r = ds.agg(
+          countDistinct(col("shingle")).as("v"),
+          countDistinct(xxhash64(col("shingle"), lit(s))).as("h")).head()
+        r.getLong(0) == r.getLong(1)
+      }.getOrElse(sys.error(
+        "ngramJaccard: xxhash64 sid collision persisted across 5 salts"))
+      ds.select(col("doc_id"), xxhash64(col("shingle"), lit(salt)).as("sid"))
     }
     val sizes = enc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = enc.toDF("doc_a", "sid")
@@ -307,11 +318,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
-    // sizes is doc-grain (tiny next to the pair frame) — broadcast both
-    // probes so the candidate-pair frame never re-shuffles by doc id
+    // sizes is doc-grain (tiny next to the pair frame) — broadcasting
+    // both probes keeps the candidate-pair frame from re-shuffling by
+    // doc id. But a PER-DOCUMENT table is only broadcastable while the
+    // corpus is: gate on the doc scan's plan-stats size (file-size
+    // based, no action) so a billion-doc corpus degrades to the
+    // shuffle join instead of OOMing the driver. ~8 GB of source docs
+    // ≈ ≥16M docs ≈ ~256 MB of (id, count) rows — the usual broadcast
+    // ceiling.
+    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hint: DataFrame => DataFrame =
+      if (docBytes < (8L << 30)) broadcast(_) else identity
     common
-      .join(broadcast(sizes.toDF("doc_a", "size_a")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "size_b")), "doc_b")
+      .join(hint(sizes.toDF("doc_a", "size_a")), "doc_a")
+      .join(hint(sizes.toDF("doc_b", "size_b")), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))

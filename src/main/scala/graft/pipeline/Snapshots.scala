@@ -152,7 +152,7 @@ object SnapshotTable {
         val render = (x: Any) => x match {
           case null => "\\N"
           case t: java.sql.Timestamp =>
-            (t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L).toString
+            (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L).toString
           case i: java.time.Instant =>
             (i.getEpochSecond * 1000000L + i.getNano.toLong / 1000L).toString
           case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: pin to UTC
@@ -282,7 +282,7 @@ object SnapshotTable {
       s.toLong
     else {
       val t = java.sql.Timestamp.valueOf(s)
-      t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
     }
 
   /** File-skipping decision for a version and a closed range predicate
@@ -313,7 +313,7 @@ object SnapshotTable {
     // render predicate bounds the same way stats are stored
     val boundStr = (x: Any) => x match {
       case t: java.sql.Timestamp =>
-        (t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L).toString
+        (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L).toString
       case i: java.time.Instant =>
         (i.getEpochSecond * 1000000L + i.getNano.toLong / 1000L).toString
       case t: java.time.LocalDateTime =>

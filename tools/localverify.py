@@ -75,6 +75,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # set instead of starting over.
 STALL_SECS = int(os.environ.get("GRAFT_VERIFY_STALL_SECS", "900"))
 MAX_ATTEMPTS = 3
+# Livelock backstop: max consecutive CPU-busy extensions before the
+# watchdog kills anyway (ADVICE r9 — a spin-hang looks "busy" forever).
+MAX_BUSY_WAIVERS = int(os.environ.get("GRAFT_VERIFY_BUSY_WAIVERS", "8"))
 
 
 def _pg_cpu_jiffies(pgid):
@@ -143,26 +146,43 @@ def run_spark():
         t = threading.Thread(target=pump, daemon=True)
         t.start()
         stalled = False
+        busy_waivers = 0  # consecutive CPU-busy extensions granted
         while p.poll() is None:
             time.sleep(15)
             done = _done_count()
             if done != last_done:
                 last_done, last_progress = done, time.time()
+                busy_waivers = 0
             elif time.time() - last_progress > STALL_SECS:
                 # kill only a CPU-IDLE group: the known hang parks every
-                # scheduler core; a busy JVM is a long query — let it run
-                if _pg_cpu_busy(os.getpgid(p.pid)):
+                # scheduler core; a busy JVM is a long query — let it
+                # run, but NOT forever: a CPU-spinning livelock would
+                # also look "busy", so cap the consecutive extensions
+                # (MAX_BUSY_WAIVERS * STALL_SECS without one completed
+                # query kills regardless of CPU).
+                try:
+                    pgid = os.getpgid(p.pid)
+                except ProcessLookupError:
+                    break  # JVM exited during the check window
+                if busy_waivers < MAX_BUSY_WAIVERS and _pg_cpu_busy(pgid):
+                    busy_waivers += 1
                     sys.stderr.write(
                         f"[watchdog] {int(time.time() - last_progress)}s "
                         f"without a completed query but the JVM is "
-                        f"CPU-busy — long query, not a stall; waiting\n")
+                        f"CPU-busy — long query, not a stall; waiting "
+                        f"(waiver {busy_waivers}/{MAX_BUSY_WAIVERS})\n")
                     last_progress = time.time()
                     continue
+                why = ("JVM is CPU-idle" if busy_waivers < MAX_BUSY_WAIVERS
+                       else f"busy-waiver cap ({MAX_BUSY_WAIVERS}) hit")
                 sys.stderr.write(
                     f"[watchdog] no completed query for {STALL_SECS}s "
-                    f"and JVM is CPU-idle ({done} done) — killing "
+                    f"and {why} ({done} done) — killing "
                     f"attempt {attempt}\n")
-                os.killpg(os.getpgid(p.pid), 9)
+                try:
+                    os.killpg(pgid, 9)
+                except ProcessLookupError:
+                    pass
                 stalled = True
                 break
         p.wait()
