@@ -49,7 +49,7 @@ object CoverageQueries {
       val (src, tgt) = raptorPair(s, d)
       Raptor.compare(src, tgt, Seq("o_orderkey"),
         sourceSystem = "source", targetSystem = "target",
-        datasetName = "orders_diff")
+        datasetName = "orders_diff", preflightK = 128)
     })
   }
 
@@ -793,7 +793,34 @@ object CoverageQueries {
          |FROM tgts WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srcs)
          |ORDER BY o_orderkey""".stripMargin),
     "raptor_summary" -> (raptorCtes +
-      """, cnts AS (
+      """, kvs AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM src0),
+        |kvt AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM tgt0),
+        |kvhs AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvs),
+        |kvht AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvt),
+        |kvska AS (SELECT h FROM kvhs ORDER BY h LIMIT 128),
+        |kvskb AS (SELECT h FROM kvht ORDER BY h LIMIT 128),
+        |kvmg AS (SELECT h FROM kvska UNION SELECT h FROM kvskb),
+        |kvm AS (SELECT h FROM kvmg ORDER BY h LIMIT 128),
+        |kvms AS (SELECT count(*) AS m_size, max(h) AS theta,
+        |                (SELECT count(*) FROM kvmg) AS union_sz FROM kvm),
+        |kvic AS (SELECT count(*) AS i_cnt FROM kvm
+        |         WHERE h IN (SELECT h FROM kvska) AND h IN (SELECT h FROM kvskb)),
+        |kvest0 AS (SELECT
+        |  CASE WHEN kvms.union_sz >= 128
+        |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST(kvms.theta AS DOUBLE)
+        |       ELSE CAST(kvms.union_sz AS DOUBLE) END AS est_union,
+        |  CAST(kvic.i_cnt AS DOUBLE) / CAST(kvms.m_size AS DOUBLE) AS est_jaccard,
+        |  CASE WHEN (SELECT count(*) FROM kvhs) >= 128
+        |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST((SELECT max(h) FROM kvska) AS DOUBLE)
+        |       ELSE CAST((SELECT count(*) FROM kvhs) AS DOUBLE) END AS est_src
+        |  FROM kvms, kvic),
+        |kvest AS (SELECT est_union, est_jaccard,
+        |  est_jaccard * est_union AS est_inter,
+        |  (est_jaccard * est_union) / est_src AS est_contain_src
+        |  FROM kvest0),
+        |cnts AS (
         |  SELECT (SELECT count(*) FROM srcs) AS sc,
         |         (SELECT count(*) FROM tgts) AS tc,
         |         (SELECT count(*) FROM common) AS cc,
@@ -820,6 +847,14 @@ object CoverageQueries {
         |  UNION ALL SELECT 12, 'Column Level Mismatch Percentage Summary ', 'work.col_lvl_orders_diff' FROM cnts
         |  UNION ALL SELECT 13, 'Source Extra DataSet                     ', 'work.src_orders_diff' FROM cnts
         |  UNION ALL SELECT 14, 'Target Extra DataSet                     ', 'work.tgt_orders_diff' FROM cnts
+        |  UNION ALL SELECT 15, 'KMV Key Pre-Flight [k=128]: estimated distinct keys in union ',
+        |    CAST(CAST(ROUND(CAST(est_union AS DECIMAL(20,12)), 6) AS DECIMAL(20,6)) AS VARCHAR) FROM kvest
+        |  UNION ALL SELECT 16, 'KMV Key Pre-Flight [k=128]: estimated keys in common ',
+        |    CAST(CAST(ROUND(CAST(est_inter AS DECIMAL(20,12)), 6) AS DECIMAL(20,6)) AS VARCHAR) FROM kvest
+        |  UNION ALL SELECT 17, 'KMV Key Pre-Flight [k=128]: estimated key Jaccard ',
+        |    CAST(CAST(ROUND(CAST(est_jaccard AS DECIMAL(20,12)), 6) AS DECIMAL(20,6)) AS VARCHAR) FROM kvest
+        |  UNION ALL SELECT 18, 'KMV Key Pre-Flight [k=128]: estimated source-key containment in target ',
+        |    CAST(CAST(ROUND(CAST(est_contain_src AS DECIMAL(20,12)), 6) AS DECIMAL(20,6)) AS VARCHAR) FROM kvest
         |) t ORDER BY ord""".stripMargin),
     "raptor_col_summary" -> (raptorCtes +
       """, cc AS (SELECT count(*) AS n FROM common)
@@ -886,7 +921,27 @@ object CoverageQueries {
         |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
         |                       / CAST(ms.theta AS DOUBLE)
         |                ELSE CAST(ms.union_sz AS DOUBLE) END AS est_inter,
-        |       CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE) AS est_jaccard
+        |       CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE) AS est_jaccard,
+        |       ((CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
+        |         * CASE WHEN ms.union_sz >= 128
+        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                       / CAST(ms.theta AS DOUBLE)
+        |                ELSE CAST(ms.union_sz AS DOUBLE) END)
+        |         / CASE WHEN (SELECT count(*) FROM hs) >= 128
+        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                       / CAST((SELECT max(h) FROM ska) AS DOUBLE)
+        |                ELSE CAST((SELECT count(*) FROM hs) AS DOUBLE) END
+        |         AS est_contain_src,
+        |       ((CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
+        |         * CASE WHEN ms.union_sz >= 128
+        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                       / CAST(ms.theta AS DOUBLE)
+        |                ELSE CAST(ms.union_sz AS DOUBLE) END)
+        |         / CASE WHEN (SELECT count(*) FROM ht) >= 128
+        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |                       / CAST((SELECT max(h) FROM skb) AS DOUBLE)
+        |                ELSE CAST((SELECT count(*) FROM ht) AS DOUBLE) END
+        |         AS est_contain_tgt
         |FROM n, ms, ic""".stripMargin,
 
     // PSI twin: same fixed bins, same Laplace smoothing, ln decimal-

@@ -91,9 +91,16 @@ object Raptor {
       .withColumn(recordCol, concat_ws(Sep, columns.map(col): _*))
       .select((keys :+ recordCol).map(col): _*)
 
+  /** @param preflightK when > 0, append the [[keyOverlapSketch]]
+    *   union/common/Jaccard/containment ESTIMATES to the summary (ords
+    *   15–18) — the recon pre-flight a 100 TB run reads before paying
+    *   for the full joins, surfaced in the report a user actually
+    *   opens. Off (0) by default to keep the reference-shaped summary
+    *   byte-stable for callers that pin it.
+    */
   def compare(sourceDF: DataFrame, targetDF: DataFrame, keys: Seq[String],
               sourceSystem: String = "source", targetSystem: String = "target",
-              datasetName: String = "dataset"): Result = {
+              datasetName: String = "dataset", preflightK: Int = 0): Result = {
     val colList = sourceDF.columns.toSeq
 
     val source = graft.core.PlanMemo.cached("raptor.srcFp",
@@ -179,7 +186,29 @@ object Raptor {
       (12, "Column Level Mismatch Percentage Summary ", s"work.col_lvl_$datasetName"),
       (13, "Source Extra DataSet                     ", s"work.src_$datasetName"),
       (14, "Target Extra DataSet                     ", s"work.tgt_$datasetName"))
-    val summary = base.toDF("ord", "Description", "Value")
+    // KMV pre-flight rows: estimates render through a fixed DECIMAL
+    // chain (double → DECIMAL(20,12) → round 6 → DECIMAL(20,6) →
+    // string) so both engines print the identical 6-decimal text —
+    // raw double-to-string formatting is NOT cross-engine portable.
+    val preflight: Seq[(Int, String, String)] =
+      if (preflightK <= 0) Seq.empty
+      else {
+        val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
+        val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+        def dec6(c: Column) = round(c.cast(d2012), 6).cast(d206).cast("string")
+        val e = keyOverlapSketch(sourceDF, targetDF, keys, preflightK)
+          .select(dec6(col("est_union")), dec6(col("est_inter")),
+            dec6(col("est_jaccard")), dec6(col("est_contain_src")))
+          .head()
+        val tag = s"KMV Key Pre-Flight [k=$preflightK]"
+        Seq(
+          (15, s"$tag: estimated distinct keys in union ", e.getString(0)),
+          (16, s"$tag: estimated keys in common ", e.getString(1)),
+          (17, s"$tag: estimated key Jaccard ", e.getString(2)),
+          (18, s"$tag: estimated source-key containment in target ",
+            e.getString(3)))
+      }
+    val summary = (base ++ preflight).toDF("ord", "Description", "Value")
 
     val columnSummary = colMismatch
       .groupBy(col("mismatch_column_name").as("Mismatch_Column_Name"))
@@ -292,11 +321,25 @@ object Raptor {
       graft.core.Scalars.crossBroadcast(
         sketch(srcKeys, "ska", "n_src"), sketch(tgtKeys, "skb", "n_tgt")),
       inter)
+    // per-side KMV estimate (θ = the side's k-th smallest hash = the
+    // sketch's last element) feeds the CONTAINMENT estimates — "what
+    // share of source keys does target hold" is the recon question the
+    // Jaccard alone doesn't answer (asymmetric: a tiny subset has high
+    // containment one way, near-zero the other)
+    def sideEst(sk: String) =
+      when(size(col(sk)) >= k,
+        (lit((k - 1).toDouble) * lit(281474976710656.0))
+          / element_at(col(sk), -1).cast("double"))
+        .otherwise(size(col(sk)).cast("double"))
     graft.functions.KmvOverlap.withEstimates(joined, k)
+      .withColumn("est_src", sideEst("ska"))
+      .withColumn("est_tgt", sideEst("skb"))
       .select(col("n_src"), col("n_tgt"),
         (col("n_src") + col("n_tgt") - col("n_inter")).as("n_union"),
         col("n_inter"), col("m_size"),
-        col("est_union"), col("est_inter"), col("est_jaccard"))
+        col("est_union"), col("est_inter"), col("est_jaccard"),
+        (col("est_inter") / col("est_src")).as("est_contain_src"),
+        (col("est_inter") / col("est_tgt")).as("est_contain_tgt"))
   }
 
   /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls

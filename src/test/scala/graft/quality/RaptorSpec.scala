@@ -155,6 +155,31 @@ class RaptorSpec extends AnyFunSuite {
     assert(estJ > 0.0 && estJ < 1.0)
   }
 
+  test("compare preflightK appends exact-degraded KMV rows 15-18") {
+    // k = 128 covers both key sets, so every estimate degrades to the
+    // exact value: union 6, common 2, J = 2/6, containment = 2/4
+    val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0))
+    val tgt = frame((3, "c", 3.0), (4, "d", 4.0), (5, "e", 5.0), (6, "f", 6.0))
+    val r = Raptor.compare(src, tgt, Seq("id"), preflightK = 128)
+    val rows = r.summary.collect().map(x => (x.getInt(0), x.getString(2))).toMap
+    assert(rows(15) == "6.000000" && rows(16) == "2.000000")
+    assert(rows(17) == "0.333333" && rows(18) == "0.500000")
+    // default stays reference-shaped: no ord past 14
+    val plain = Raptor.compare(src, tgt, Seq("id"))
+    assert(plain.summary.collect().map(_.getInt(0)).max <= 14)
+  }
+
+  test("keyOverlapSketch containment estimates are asymmetric and exact at small k coverage") {
+    // src 1..10 fully contained in tgt 1..20: contain_src = 1.0,
+    // contain_tgt = 0.5 (the asymmetry Jaccard alone cannot show)
+    val src = (1 to 10).map(i => (i, s"n$i", i.toDouble))
+    val tgt = (1 to 20).map(i => (i, s"n$i", i.toDouble))
+    val r = Raptor.keyOverlapSketch(frame(src: _*), frame(tgt: _*),
+      Seq("id")).collect()(0)
+    assert(r.getAs[Double]("est_contain_src") == 1.0)
+    assert(r.getAs[Double]("est_contain_tgt") == 0.5)
+  }
+
   test("summary percentage uses exact half-up rendering") {
     // 1 mismatch out of 3 common = 33.33%
     val src = frame((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
