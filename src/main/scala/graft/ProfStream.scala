@@ -53,6 +53,27 @@ object ProfStream {
     t("hourly agg, noData OFF again")(
       EventsStream.hourlyAggStreaming(spark, sfDir, uniq("nd")).count())
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    // r10: the two heaviest sf1 rows (st_session 3.67 s, st_abandoned
+    // 3.91 s) — attribute batch-equivalent work vs streaming overhead.
+    // The batch twin prices the pure agg/sessionize computation; the
+    // delta is micro-batch + state-store + sink machinery.
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.sources.Tables.microTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    t("session batch twin")(
+      EventsStream.sessionWindowBatch(events).count())
+    t("session batch twin again")(
+      EventsStream.sessionWindowBatch(events).count())
+    for (i <- 1 to 2)
+      t(s"session streaming #$i")(
+        EventsStream.sessionWindowStreaming(spark, sfDir, uniq("ss")).count())
+    t("abandoned batch-ish twin (sessionizeBatch)")(
+      EventsStream.sessionizeBatch(events).count())
+    for (i <- 1 to 2)
+      t(s"abandoned streaming #$i")(
+        EventsStream.abandonedStreaming(spark, sfDir, uniq("ab")).count())
     spark.stop()
   }
 }

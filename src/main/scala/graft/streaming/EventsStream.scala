@@ -59,6 +59,64 @@ object EventsStream {
     * depend on how keys are distributed over stores — the sweep's
     * constant row counts are the proof).
     */
+  /** Drain an append-mode stream into an EXECUTOR-side parquet sink
+    * and return the materialized result (scratch tree deleted). The
+    * memory sink parks every emitted row on the DRIVER — fine for the
+    * hourly-grain aggregates, a scaling failure for row-grain outputs
+    * (csvDropReplay measured 205 MB task binaries at sf1; st_enrich's
+    * output is the full 6M-row event grain). Measured at sf1: session
+    * 4.2 → ~2.6 s, abandoned 5.1 → ~3.3 s, with identical emitted
+    * sets (StreamingSpec pins all three outputs).
+    */
+  private def drainToParquet(spark: SparkSession, out: DataFrame,
+                             queryName: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stsink")
+    val sink = root.resolve("sink").toString
+    val q = startAt8(spark)(out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    readBackAndDrop(spark, sink, out.schema, root)
+  }
+
+  /** Complete-mode twin of [[drainToParquet]]: file sinks reject
+    * complete mode, so each batch's full result overwrites the sink
+    * via `foreachBatch` — still an executor-side write; the final
+    * overwrite IS the complete-mode table.
+    */
+  private def drainCompleteToParquet(spark: SparkSession, agg: DataFrame,
+                                     queryName: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stsink")
+    val sink = root.resolve("sink").toString
+    val q = startAt8(spark)(agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .queryName(queryName)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("overwrite").parquet(sink); ()
+      }
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    readBackAndDrop(spark, sink, agg.schema, root)
+  }
+
+  private def readBackAndDrop(spark: SparkSession, sink: String,
+      schema: org.apache.spark.sql.types.StructType,
+      root: java.nio.file.Path): DataFrame = {
+    // a stream that emitted nothing never creates the sink directory
+    val read =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+        spark.read.schema(schema).parquet(sink)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    graft.core.Scratch.materializeAndDelete(read, root)
+  }
+
   private def startAt8[A](spark: SparkSession)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val n = spark.conf.getOption("spark.sql.graft.streamShufflePartitions")
@@ -337,13 +395,7 @@ object EventsStream {
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
-    val q = startAt8(spark)(agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainCompleteToParquet(spark, agg, queryName)
   }
 
   /** Streaming CDC apply: a micro-batched update stream upserted into a
@@ -569,13 +621,9 @@ object EventsStream {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = tableStream(spark, sfDir, "events", schema)
     val customers = graft.sources.Tables.customer(spark, sfDir)
-    val q = enrichBatch(events, customers).writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    // parquet sink, not memory: the output is EVENT-grain (6M rows at
+    // sf1) — the largest driver-side materialization the family had
+    drainToParquet(spark, enrichBatch(events, customers), queryName)
   }
 
   final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
@@ -735,13 +783,7 @@ object EventsStream {
         timestamp_micros(col("session_start_us")).as("session_start"),
         timestamp_micros(col("session_end_us")).as("session_end"),
         col("n_events"), col("n_purchases"), col("end_reason"))
-    val q = startAt8(spark)(out.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToParquet(spark, out, queryName)
   }
 
   /** Streaming exact dedup — the streaming twin of

@@ -124,13 +124,44 @@ def _done_count():
         return 0
 
 
+def _java_cmd(names, resume):
+    """Direct-java Verify invocation against GRAFT_VERIFY_CLASSDIR —
+    no sbt project lock and no compile-window race with a parallel dev
+    loop: snapshot target/scala-2.13/classes somewhere stable, point
+    the env var at it, and later recompiles can't disturb the running
+    gate. Heap from SPARK_DRIVER_MEM (matching build.sbt's run fork).
+    """
+    classdir = os.environ["GRAFT_VERIFY_CLASSDIR"]
+    opens = []
+    for pkg in ("java.lang java.lang.invoke java.lang.reflect java.io "
+                "java.net java.nio java.util java.util.concurrent "
+                "java.util.concurrent.atomic sun.nio.ch sun.nio.cs "
+                "sun.security.action sun.util.calendar").split():
+        opens += ["--add-opens", f"java.base/{pkg}=ALL-UNNAMED"]
+    return (["java", f"-Xmx{os.environ.get('SPARK_DRIVER_MEM', '8g')}"]
+            + opens
+            + ["-Dspark.ui.enabled=false",
+               "-Dspark.sql.session.timeZone=UTC",
+               "-cp", f"{classdir}:/opt/spark/jars/*",
+               "graft.Verify", SF_DIR, OUT_DIR]
+            + [n for n in names.split() if n]
+            + (["--skip-existing"] if resume else []))
+
+
 def run_spark():
-    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    # 8 Spark threads by default (bounds executor-storage pressure in
+    # the one-JVM suite); GRAFT_VERIFY_CPUS overrides for big-SF runs
+    # where scan parallelism, not memory, is the binding constraint.
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
+        "GRAFT_VERIFY_CPUS", "8"))
     names = " ".join(ONLY)
     for attempt in range(1, MAX_ATTEMPTS + 1):
         resume = " --skip-existing" if attempt > 1 else ""
-        cmd = ["sbt", "-batch",
-               f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}{resume}']
+        if os.environ.get("GRAFT_VERIFY_CLASSDIR"):
+            cmd = _java_cmd(names, bool(resume))
+        else:
+            cmd = ["sbt", "-batch",
+                   f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}{resume}']
         p = subprocess.Popen(cmd, cwd="/root/repo", env=env,
                              stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True,
