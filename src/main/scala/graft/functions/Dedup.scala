@@ -126,14 +126,23 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, k: Int = 5,
                      minTokens: Int = 1): DataFrame = {
-    val grams = docs
+    // Gram identity is a 60-bit md5-prefix fingerprint, NOT the 32-char
+    // hex string: the index groupBy and the marked join shuffle 8-byte
+    // longs instead of strings (~4x fewer key bytes), and the twin
+    // derives the identical prefix — a fingerprint collision (≈V²/2⁶¹,
+    // the standard Lee et al. tradeoff) marks the same position on both
+    // engines, so the gate can never see asymmetry. The frame is
+    // memoized: the index aggregation AND the probe side both consume
+    // it, and without the memo the normalize+explode+md5 chain ran
+    // twice (measured +1.6 s of the query's 2.8 s at sf1, ProfSpans).
+    val grams = graft.core.PlanMemo.cached(s"dedup.spanGrams$k", docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(shinglesFromTokens(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
-        md5(col("col")).as("g"))
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("g")))
     val crossDoc = grams.groupBy("g")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))

@@ -1931,7 +1931,7 @@ object TrainingQueries {
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
          |gl AS (
          |  SELECT doc_id, list_transform(range(1, len(t) - 3),
-         |           i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+         |           i -> ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15))::BIGINT) AS gs
          |  FROM toks),
          |grams AS (
          |  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INT) AS pos,
@@ -1963,7 +1963,7 @@ object TrainingQueries {
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
          |gl AS (
          |  SELECT doc_id, list_transform(range(1, len(t) - 3),
-         |           i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+         |           i -> ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15))::BIGINT) AS gs
          |  FROM toks),
          |grams AS (
          |  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INT) AS pos,
