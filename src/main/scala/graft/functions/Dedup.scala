@@ -959,7 +959,21 @@ object Dedup {
         Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
         coalesce(col("lb"), col("doc_b")).as("doc_b"))
-    val merged = connectedComponents(labelEdges)
+    // The label graph is index-sized by construction (one node per
+    // touched component or new doc), and ProfIncr measured the whole
+    // sf1 query cost sitting in the distributed closure's FIXED
+    // per-round job overhead over a 2,443-edge graph (2.8 s of 3.0 s,
+    // 3 star rounds). Below the cap (≤ ~4 MB collected, bounded by
+    // contract) an exact driver union-find replaces it — identical
+    // min-label output, microseconds of work; past the cap the star
+    // closure runs as before, so a wave that touches millions of
+    // components degrades to the proven distributed path instead of a
+    // driver OOM.
+    val edges = labelEdges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged =
+      if (edges.count() <= SmallClosureEdgeCap) driverClosure(edges)
+      else connectedComponents(edges)
     val remap = merged.select(col("v").as("lab"), col("label").as("nl"))
     val restitched = lbl.join(remap, Seq("lab"), "left")
       .select(col("doc_id").as("v"),
@@ -972,6 +986,45 @@ object Dedup {
       .select(col("doc_id").as("v"),
         coalesce(col("label"), col("doc_id")).as("label"))
     restitched.unionByName(newLabeled)
+  }
+
+  /** Edge cap for [[driverClosure]]: ≤ 2¹⁸ edges ≈ 4 MB collected —
+    * the "bounded by contract" collect discipline (the Bloom-words /
+    * centroid-ceiling pattern) applied to the label graph.
+    */
+  private final val SmallClosureEdgeCap = 1 << 18
+
+  /** Exact driver-side min-label closure for index-sized edge sets:
+    * union-find that always attaches the larger root under the
+    * smaller, so every root IS the minimum member of its component —
+    * the same (v, label = min reachable) contract as
+    * [[connectedComponents]], without the per-round distributed-job
+    * overhead that dominates tiny graphs.
+    */
+  private def driverClosure(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val rows = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      verts += a += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    verts.iterator.map(v => (v, find(v))).toSeq.toDF("v", "label")
   }
 
   /** Mergeable cluster-level MinHash signatures — the sketch-algebra
