@@ -584,13 +584,9 @@ object EventsStream {
       "left_outer")
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
-    val q = startAt8(spark)(joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    // parquet sink: the left join emits CLICK-grain rows (every click,
+    // matched or not — ~1M+ at sf1), not the inner join's sparse pairs
+    drainToParquet(spark, joined, queryName)
   }
 
   /** Batch twin of the stream-static enrichment: events left-joined to a
