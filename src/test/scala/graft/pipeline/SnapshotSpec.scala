@@ -277,6 +277,43 @@ class SnapshotSpec extends AnyFunSuite {
     } finally java.util.TimeZone.setDefault(oldTz)
   }
 
+  test("pre-1970 fractional-second stats floor toward -inf; envelope stays monotone") {
+    // 1969-12-31T23:59:59.999 under truncating division rendered as
+    // +999000 µs (rounding toward zero) — AFTER epoch instants, so an
+    // envelope holding it could invert and prune a live file. floorDiv
+    // renders -1000 µs, keeping the numeric order equal to time order
+    // (ADVICE r9). The fixture straddles the epoch with fractional
+    // seconds on both sides.
+    withDir { dest =>
+      val epoch = java.time.Instant.EPOCH
+      val ts = Seq(-3600_001L, -999L, -1L, 1L, 999L, 3600_001L).map(ms =>
+        Tuple1(java.sql.Timestamp.from(epoch.plusMillis(ms))))
+      val df = ts.toDF("t").repartitionByRange(3, col("t"))
+      SnapshotTable.commit(df, dest, statsCols = Seq("t"))
+      val statsTsv = files(dest, "_manifests").collect {
+        case (p, bytes) if p.endsWith("v1.stats.tsv") =>
+          new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      }.head
+      val envs = statsTsv.linesIterator.map { l =>
+        val Array(_, _, mn, mx) = l.split('\t')
+        (mn.toLong, mx.toLong)
+      }.toSeq
+      // every per-file envelope must be internally ordered, and the
+      // global min must be the floored -3600.001 s, not a positive fold
+      assert(envs.forall { case (mn, mx) => mn <= mx })
+      assert(envs.map(_._1).min == -3600_001_000L,
+        s"pre-1970 min must floor to -3600001000 us, got $envs")
+      // a range query pinned just below the epoch prunes exactly
+      val lo = java.sql.Timestamp.from(epoch.plusMillis(-999))
+      val hi = java.sql.Timestamp.from(epoch.plusMillis(999))
+      val q = SnapshotTable.readWhere(spark, dest, "t", lo, hi)
+      val full = SnapshotTable.read(spark, dest)
+        .filter(col("t") >= lit(lo) && col("t") <= lit(hi))
+      assert(q.count() == 4 &&
+        q.exceptAll(full).isEmpty && full.exceptAll(q).isEmpty)
+    }
+  }
+
   test("reads of missing tables and unknown versions fail loudly") {
     withDir { dest =>
       intercept[IllegalArgumentException](SnapshotTable.read(spark, dest))
