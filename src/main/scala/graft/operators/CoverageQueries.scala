@@ -296,8 +296,13 @@ object CoverageQueries {
         .withColumn("segment",
           when(col("c_custkey") % 4 === 0, lit("PROMO"))
             .otherwise(col("segment")))
+        // synthetic-insert offset must clear EVERY ScaleUp replica's
+        // key range (replica·10⁶ + key, factor ≤ 100 ⇒ keys < 10⁸):
+        // the original +10⁷ collided with replica ≥ 10 keys at sf3,
+        // handing the merge conflicting duplicate business keys —
+        // caught by the 30× gate, invisible at ≤ 10×
         .unionByName(c.filter(col("c_custkey") % 25 === 0)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          .select((col("c_custkey") + 1000000000L).as("c_custkey"),
             col("c_name"), lit("NEWKEY").as("segment"), col("bal")))
       ScdType2.merge(hist.unionByName(cur), stage, Seq("c_custkey"),
         java.sql.Timestamp.valueOf("2002-06-01 00:00:00"))
@@ -1079,7 +1084,7 @@ object CoverageQueries {
         |           AS segment, bal
         |  FROM c WHERE c_custkey % 4 = 0 OR c_custkey % 3 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_name, 'NEWKEY', bal
+        |  SELECT c_custkey + 1000000000, c_name, 'NEWKEY', bal
         |  FROM c WHERE c_custkey % 25 = 0),
         |j AS (
         |  SELECT t.c_custkey AS t_key, s.c_custkey AS s_key,

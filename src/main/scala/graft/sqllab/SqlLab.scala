@@ -66,8 +66,20 @@ object SqlLab {
   private val cachedMarts =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[DataFrame]]()
 
-  /** Register the source-entity and mart views the lab queries expect. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+  /** Register the source-entity and mart views the lab queries expect.
+    *
+    * SYNCHRONIZED end-to-end: the guard map used to be updated before
+    * the registration work ran, so under a parallel query suite a
+    * concurrent caller raced past the check and ran its SQL against
+    * legacy tables MID-REWRITE (drop + saveAsTable is seconds at big
+    * SFs — the 30× gate caught sql_supplier_perf_verbatim reading a
+    * partially-materialized mart; invisible at small SFs where the
+    * window is milliseconds). Every caller now blocks until the
+    * registration that covers its sfDir has fully completed; the
+    * post-registration fast path is a map read under an uncontended
+    * lock.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = synchronized {
     // stopped sessions can never be re-registered — drop their entries
     registered.keySet.removeIf(s => s.sparkContext.isStopped)
     cachedMarts.keySet.removeIf(s => s.sparkContext.isStopped)
