@@ -68,28 +68,28 @@ object CoverageQueries {
       |         CASE WHEN o_orderkey % 101 = 0 THEN 'MUTATED'
       |              ELSE o_orderpriority END AS o_orderpriority
       |  FROM orders WHERE o_orderkey % 97 != 0),
-      |srcs AS (
+      |srcs AS MATERIALIZED (
       |  SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '') AS o_orderkey,
       |         COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS c_status,
       |         COALESCE(CAST(o_totalprice AS VARCHAR), '') AS c_price,
       |         COALESCE(CAST(o_orderdate AS VARCHAR), '') AS c_date,
       |         COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS c_prio
       |  FROM src0),
-      |tgts AS (
+      |tgts AS MATERIALIZED (
       |  SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '') AS o_orderkey,
       |         COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS c_status,
       |         COALESCE(CAST(o_totalprice AS VARCHAR), '') AS c_price,
       |         COALESCE(CAST(o_orderdate AS VARCHAR), '') AS c_date,
       |         COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS c_prio
       |  FROM tgt0),
-      |common AS (
+      |common AS MATERIALIZED (
       |  SELECT s.o_orderkey,
       |         s.c_status AS ss, t.c_status AS ts,
       |         s.c_price AS sp, t.c_price AS tp,
       |         s.c_date AS sd, t.c_date AS td,
       |         s.c_prio AS spr, t.c_prio AS tpr
       |  FROM srcs s JOIN tgts t USING (o_orderkey)),
-      |mis AS (
+      |mis AS MATERIALIZED (
       |  SELECT o_orderkey, ss AS source_value, ts AS target_value,
       |         'o_orderstatus' AS mismatch_column_name FROM common WHERE ss != ts
       |  UNION ALL
@@ -798,19 +798,19 @@ object CoverageQueries {
          |FROM tgts WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srcs)
          |ORDER BY o_orderkey""".stripMargin),
     "raptor_summary" -> (raptorCtes +
-      """, kvs AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM src0),
-        |kvt AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM tgt0),
-        |kvhs AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvs),
-        |kvht AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvt),
-        |kvska AS (SELECT h FROM kvhs ORDER BY h LIMIT 128),
-        |kvskb AS (SELECT h FROM kvht ORDER BY h LIMIT 128),
-        |kvmg AS (SELECT h FROM kvska UNION SELECT h FROM kvskb),
-        |kvm AS (SELECT h FROM kvmg ORDER BY h LIMIT 128),
+      """, kvs AS MATERIALIZED (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM src0),
+        |kvt AS MATERIALIZED (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM tgt0),
+        |kvhs AS MATERIALIZED (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvs),
+        |kvht AS MATERIALIZED (SELECT DISTINCT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h FROM kvt),
+        |kvska AS MATERIALIZED (SELECT h FROM kvhs ORDER BY h LIMIT 128),
+        |kvskb AS MATERIALIZED (SELECT h FROM kvht ORDER BY h LIMIT 128),
+        |kvmg AS MATERIALIZED (SELECT h FROM kvska UNION SELECT h FROM kvskb),
+        |kvm AS MATERIALIZED (SELECT h FROM kvmg ORDER BY h LIMIT 128),
         |kvms AS (SELECT count(*) AS m_size, max(h) AS theta,
         |                (SELECT count(*) FROM kvmg) AS union_sz FROM kvm),
         |kvic AS (SELECT count(*) AS i_cnt FROM kvm
         |         WHERE h IN (SELECT h FROM kvska) AND h IN (SELECT h FROM kvskb)),
-        |kvest0 AS (SELECT
+        |kvest0 AS MATERIALIZED (SELECT
         |  CASE WHEN kvms.union_sz >= 128
         |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
         |              / CAST(kvms.theta AS DOUBLE)
@@ -821,7 +821,7 @@ object CoverageQueries {
         |              / CAST((SELECT max(h) FROM kvska) AS DOUBLE)
         |       ELSE CAST((SELECT count(*) FROM kvhs) AS DOUBLE) END AS est_src
         |  FROM kvms, kvic),
-        |kvest AS (SELECT est_union, est_jaccard,
+        |kvest AS MATERIALIZED (SELECT est_union, est_jaccard,
         |  est_jaccard * est_union AS est_inter,
         |  (est_jaccard * est_union) / est_src AS est_contain_src
         |  FROM kvest0),
