@@ -135,14 +135,26 @@ object Dedup {
     // memoized: the index aggregation AND the probe side both consume
     // it, and without the memo the normalize+explode+md5 chain ran
     // twice (measured +1.6 s of the query's 2.8 s at sf1, ProfSpans).
-    val grams = graft.core.PlanMemo.cached(s"dedup.spanGrams$k", docs
+    val gramPlan = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         split(TextAnalysis.normalized(col("text")), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(shinglesFromTokens(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("g")))
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("g"))
+    // the gram frame is TOKEN-grain (one row per token position of the
+    // whole corpus) — memoizing it is the measured 1.6 s sf1 win, but
+    // pinning a corpus-sized frame at 100 TB would spill heavily and
+    // evict smaller hot memo entries. Gate on the doc scan's plan-stats
+    // size (the ngramJaccard broadcast-gate idiom): past ~8 GB of
+    // source docs the two consumers fall back to recomputing the
+    // normalize+explode+md5 chain instead of caching it.
+    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val grams =
+      if (docBytes < (8L << 30))
+        graft.core.PlanMemo.cached(s"dedup.spanGrams$k", gramPlan)
+      else gramPlan
     val crossDoc = grams.groupBy("g")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -259,20 +271,40 @@ object Dedup {
     * generate a quadratic candidate blow-up on one key.
     */
   def docShingles(docs: DataFrame, n: Int = 3, maxDf: Long = 1000): DataFrame = {
-    // cached: both the df-filter and the candidate join consume it, and
-    // recomputing means re-running the explode + distinct shuffle.
-    // The repartition matters: a small corpus arrives as ONE parquet
-    // partition, which would run the whole shingle+hash computation on
-    // a single thread before the first shuffle.
-    val ds = graft.core.PlanMemo.cached("dedup.shingles", docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
-      .distinct())
+    val ds = distinctShingles(docs, n)
     val df = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     ds.join(df, "shingle").select("doc_id", "shingle")
+  }
+
+  /** Distinct (doc_id, shingle) pairs of the corpus — the corpus-stat
+    * frame SHARED by the shingle consumers ([[docShingles]]/
+    * [[ngramJaccard]]'s inverted index, [[TextAnalysis.noveltyScore]]'s
+    * uniqueness test): one normalize+tokenize+explode pass memoized per
+    * (session, corpus, n) instead of one per query AND per consumer
+    * branch (each caller reads it at least twice — df-filter + join, or
+    * gram-grain groupBy + join-back).
+    *
+    * The repartition matters: a small corpus arrives as ONE parquet
+    * partition, which would run the whole shingle computation on a
+    * single thread before the first shuffle. The memo is gated on the
+    * doc scan's plan-stats size (the [[duplicateSpans]] discipline):
+    * this frame is corpus-token grain, and pinning it at 100 TB would
+    * spill heavily and evict smaller hot memo entries — past ~8 GB of
+    * source docs consumers fall back to recomputing the chain.
+    */
+  private[graft] def distinctShingles(docs: DataFrame, n: Int): DataFrame = {
+    val plan = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
+      .distinct()
+    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (docBytes < (8L << 30))
+      graft.core.PlanMemo.cached(s"dedup.shingles$n", plan)
+    else plan
   }
 
   /** N-gram Jaccard near-dup pairs via inverted-index candidate join:
@@ -974,6 +1006,12 @@ object Dedup {
     val merged =
       if (edges.count() <= SmallClosureEdgeCap) driverClosure(edges)
       else connectedComponents(edges)
+    // both branches have fully materialized `edges` by the time they
+    // return (driverClosure collects; connectedComponents eagerly
+    // checkpoints its canonical frame), so the persist can be released
+    // here — otherwise every ingest wave pins one more copy in executor
+    // storage for the life of the session
+    edges.unpersist(blocking = false)
     val remap = merged.select(col("v").as("lab"), col("label").as("nl"))
     val restitched = lbl.join(remap, Seq("lab"), "left")
       .select(col("doc_id").as("v"),
@@ -1139,7 +1177,13 @@ object Dedup {
     */
   private[functions] def simhashBands(maxDist: Int): Seq[(Int, Int, Long)] = {
     require(0 <= maxDist && maxDist < 32, s"maxDist $maxDist out of range")
-    val nb = maxDist + 1
+    simhashBandLayout(maxDist + 1)
+  }
+
+  /** `nb` contiguous bands over a 64-bit fingerprint: band i covers bits
+    * `[i·64/nb, (i+1)·64/nb)`. */
+  private[graft] def simhashBandLayout(nb: Int): Seq[(Int, Int, Long)] = {
+    require(1 <= nb && nb <= 64, s"band count $nb out of range")
     (0 until nb).map { i =>
       val start = i * 64 / nb
       val width = (i + 1) * 64 / nb - start
@@ -1148,40 +1192,145 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
-    * on `maxDist+1` pigeonhole sub-bands ([[simhashBands]] — guaranteed
-    * recall at any maxDist, unlike a fixed band count).
-    *
-    * Single-join shape (the lesson [[minhashLsh]] learned): the band rows
-    * CARRY the 64-bit fingerprint — nearly free, it is one long — so the
-    * hamming distance is computed directly on the bucket join's output.
-    * No candidate `distinct()`, no signature re-joins. A pair agreeing on
-    * several bands meets several times; keeping only the meeting at the
-    * HIGHEST matching band (no band above the current one may also
-    * match, read straight off the XOR of the carried fingerprints) emits
-    * each pair exactly once without a dedup shuffle.
+  /** Auto-pick the clean-band requirement `r` for [[simhashPairs]]: the
+    * smallest r whose composite join key carries ≥ 12 bits of
+    * fingerprint (r·64/(maxDist+r)), backed off until the subset
+    * enumeration C(maxDist+r, r) stays ≤ 256 exploded rows per doc.
+    * maxDist=3 → r=1 (the classic 4×16-bit layout is already
+    * selective); maxDist=8 → r=2 (10 bands, 45 band-pair keys of ~13
+    * bits — the maxDist+1 layout's 7-bit keys admit n²/2⁷ chance
+    * collisions per band, the measured 30×-scale blowup).
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val layout = simhashBands(maxDist)
+  private[graft] def simhashCleanBands(maxDist: Int): Int = {
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - k + i) / i)
+    val enough = (1 to 4).find(r => r * 64 / (maxDist + r) >= 12).getOrElse(4)
+    (enough to 1 by -1).find(r => choose(maxDist + r, r) <= 256).getOrElse(1)
+  }
+
+  /** SimHash near-dup pairs within hamming ≤ maxDist, candidates blocked
+    * on composite pigeonhole keys: the fingerprint splits into
+    * `maxDist + r` bands, and each doc is keyed by every r-subset of its
+    * band buckets (`r` = [[simhashCleanBands]], or `cleanBands` when
+    * given). A pair within hamming maxDist has ≤ maxDist dirty bands out
+    * of maxDist+r, hence ≥ r clean ones, so SOME enumerated subset
+    * matches exactly — FULL recall, the same pigeonhole argument as the
+    * classic maxDist+1 layout, but each join key now carries r bands'
+    * bits. That selectivity is what survives scale: the maxDist=8
+    * single-band layout keys on ~7 bits, admitting n²·9/2⁷ chance
+    * candidates (the measured superlinear wall at 30×); the r=2 layout
+    * keys on ~13 bits for an ~11× candidate cut at 45/9 = 5× the
+    * (doc-grain, 3-long-wide) band rows.
+    *
+    * Execution: ONE shuffle (band rows repartitioned by bucket) into a
+    * per-bucket primitive-array kernel — see the measurement note in the
+    * body for why this beats the relational self-join here (candidate
+    * volume is ~240× the output and each candidate needs 3 machine
+    * ops; the join's row machinery was the whole 30×-scale wall). The
+    * band rows CARRY the 64-bit fingerprint, so hamming is computed
+    * in-kernel with no signature re-join, and a pair agreeing on
+    * several subsets is emitted exactly once: only the meeting whose
+    * subset is the LEX-FIRST r clean bands counts (read straight off
+    * the XOR — every clean band below the subset's max must be IN the
+    * subset).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   cleanBands: Int = 0): DataFrame = {
+    val r = if (cleanBands > 0) cleanBands else simhashCleanBands(maxDist)
+    val layout = simhashBandLayout(maxDist + r)
+    val subsets = layout.combinations(r).toIndexedSeq
     def bucketOf(c: Column, start: Int, mask: Long): Column =
       shiftright(c, start).bitwiseAND(mask)
     // both sides of the self-join read it
     val sh = graft.core.PlanMemo.cached("dedup.simhash", simhash(docs))
+    // composite key per subset: the r band buckets packed side by side
+    // (total width r·64/nb ≤ 64 bits — always one long)
+    def keyOf(s: Seq[(Int, Int, Long)]): Column =
+      s.foldLeft((lit(0L), 0)) { case ((acc, off), (_, start, mask)) =>
+        (acc.bitwiseOR(shiftleft(
+          bucketOf(col("simhash"), start, mask), off)),
+          off + java.lang.Long.bitCount(mask))
+      }._1
     val bands = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(layout.map { case (_, start, mask) =>
-        bucketOf(col("simhash"), start, mask)
-      }: _*)).as(Seq("band", "bucket")))
-    val xor = col("sh_a").bitwiseXOR(col("sh_b"))
-    val highestMatchingBand = layout.tail.map { case (k, start, mask) =>
-      (lit(k) <= col("band")) || (bucketOf(xor, start, mask) =!= 0)
-    }.foldLeft(lit(true))(_ && _)
-    bands.toDF("doc_a", "sh_a", "band", "bucket")
-      .join(bands.toDF("doc_b", "sh_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(highestMatchingBand)
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
+      posexplode(array(subsets.map(keyOf): _*)).as(Seq("sid", "bucket")))
+    // lex-first dedup mask per subset: bands below the subset's max that
+    // are NOT in the subset must all be dirty for this meeting to count
+    val notAllow = subsets.map { s =>
+      val inS = s.map(b => 1L << b._1).reduce(_ | _)
+      val below = (1L << s.map(_._1).max) - 1
+      below & ~inS
+    }.toArray
+    // Bucket-local pair kernel instead of a relational self-join.
+    // MEASURED (ProfSimhash, sf3 = 30×, 150k docs): the bucket join
+    // generates 1.13e9 candidate rows for 4.7M output pairs, and the
+    // 12 s wall is the join's ROW MACHINERY, not predicate work —
+    // reordering filters (hamming first) changed nothing, composite
+    // r-subset keys cut candidates 2.7× but near-dup clusters meet on
+    // every subset so wall stayed flat, and a df cap would drop 3.1M of
+    // the 4.7M genuine pairs (their least-hot clean band sits in a
+    // 1k–4k-df bucket — the corpus's near-dup mass lives IN the hot
+    // buckets). A candidate here needs 3 machine ops (xor, popcount,
+    // compare); the one shape that pays 3 ops and not a row
+    // materialization is a per-bucket primitive-array loop: repartition
+    // the (doc-grain, 4-long-wide) band rows by bucket, sort within
+    // partitions so each bucket is a run, and stream runs through a
+    // tight kernel that emits ONLY matches. Same exchange count as the
+    // shuffle join (one), no candidate frame ever exists.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lay = layout.map { case (_, start, mask) => (start, mask) }.toArray
+    val na = notAllow
+    val md = maxDist
+    val keyed = bands
+      .select(col("sid").cast("int"), col("bucket"), col("doc_id"),
+        col("simhash"))
+      .repartition(col("sid"), col("bucket"))
+      .sortWithinPartitions(col("sid"), col("bucket"))
+      .as[(Int, Long, Long, Long)]
+    keyed.mapPartitions { rows =>
+      val buf = rows.buffered
+      // consume one (sid, bucket) run into primitive arrays
+      def nextRun(): (Int, Array[Long], Array[Long]) = {
+        val (sid, bucket, id0, fp0) = buf.next()
+        val ids = scala.collection.mutable.ArrayBuffer(id0)
+        val fps = scala.collection.mutable.ArrayBuffer(fp0)
+        while (buf.hasNext && buf.head._1 == sid && buf.head._2 == bucket) {
+          val row = buf.next(); ids += row._3; fps += row._4
+        }
+        (sid, ids.toArray, fps.toArray)
+      }
+      Iterator.continually(()).takeWhile(_ => buf.hasNext).flatMap { _ =>
+        val (sid, ids, fps) = nextRun()
+        val deny = na(sid)
+        val n = ids.length
+        (0 until n - 1).iterator.flatMap { i =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          val fi = fps(i); val ii = ids(i)
+          var j = i + 1
+          while (j < n) {
+            val xor = fi ^ fps(j)
+            val h = java.lang.Long.bitCount(xor)
+            if (h <= md) {
+              // lex-first dedup: this meeting counts only when every
+              // clean band outside (and below the max of) this subset
+              // is denied — i.e. the subset IS the first r clean bands
+              var cm = 0L
+              var k = 0
+              while (k < lay.length) {
+                if (((xor >>> lay(k)._1) & lay(k)._2) == 0L) cm |= (1L << k)
+                k += 1
+              }
+              if ((cm & deny) == 0L) {
+                val jj = ids(j)
+                out += ((math.min(ii, jj), math.max(ii, jj), h))
+              }
+            }
+            j += 1
+          }
+          out
+        }
+      }
+    }.toDF("doc_a", "doc_b", "hamming")
   }
 
   // ── Bloom-pruned incremental dedup ─────────────────────────────────

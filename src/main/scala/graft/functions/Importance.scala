@@ -79,6 +79,12 @@ object Importance {
     *                 sizing — the ratio table stays broadcast-small into
     *                 the millions)
     */
+  /** dev-only probe: the memoized feature frame */
+  private[graft] def featsForProf(docs: DataFrame, isTarget: Column,
+                                  buckets: Int = 256): DataFrame =
+    graft.core.PlanMemo.cached(s"importance.feats.$buckets",
+      features(docs, isTarget, buckets))
+
   def dsirWeights(docs: DataFrame, isTarget: Column,
                   buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"dsirWeights: buckets $buckets < 2")

@@ -671,9 +671,11 @@ object TextAnalysis {
     */
   def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
     import graft.core.Money
-    val sh = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(array_distinct(
-        Dedup.shingles(col("text"), n))).as("shingle"))
+    // the shared memoized corpus-shingle frame (one normalize+explode
+    // pass for this query's TWO consumers AND for the dedup family's
+    // inverted indexes over the same corpus — same rows as the previous
+    // per-query explode(array_distinct(...)) construction)
+    val sh = Dedup.distinctShingles(docs, n)
     val grams = sh.groupBy("shingle")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
     sh.join(grams, "shingle")

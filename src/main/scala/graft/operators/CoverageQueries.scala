@@ -913,41 +913,39 @@ object CoverageQueries {
         |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
         |n AS (SELECT (SELECT count(*) FROM srck) AS n_src,
         |             (SELECT count(*) FROM tgtk) AS n_tgt,
-        |             (SELECT count(*) FROM srck s JOIN tgtk t USING (key)) AS n_inter)
+        |             (SELECT count(*) FROM srck s JOIN tgtk t USING (key)) AS n_inter),
+        |se AS (SELECT
+        |  CASE WHEN (SELECT count(*) FROM hs) >= 128
+        |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST((SELECT max(h) FROM ska) AS DOUBLE)
+        |       ELSE CAST((SELECT count(*) FROM hs) AS DOUBLE) END AS est_src,
+        |  CASE WHEN (SELECT count(*) FROM ht) >= 128
+        |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST((SELECT max(h) FROM skb) AS DOUBLE)
+        |       ELSE CAST((SELECT count(*) FROM ht) AS DOUBLE) END AS est_tgt),
+        |est AS (SELECT
+        |  CASE WHEN ms.union_sz >= 128
+        |       THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+        |              / CAST(ms.theta AS DOUBLE)
+        |       ELSE CAST(ms.union_sz AS DOUBLE) END AS est_union,
+        |  -- empty-side guards mirror the engine: 0.0, never NaN/Inf
+        |  CASE WHEN ms.m_size > 0
+        |       THEN CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE)
+        |       ELSE 0.0 END AS est_jaccard
+        |  FROM ms, ic)
         |SELECT n.n_src, n.n_tgt,
         |       n.n_src + n.n_tgt - n.n_inter AS n_union, n.n_inter,
         |       CAST(ms.m_size AS INT) AS m_size,
-        |       CASE WHEN ms.union_sz >= 128
-        |            THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                   / CAST(ms.theta AS DOUBLE)
-        |            ELSE CAST(ms.union_sz AS DOUBLE) END AS est_union,
-        |       (CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
-        |         * CASE WHEN ms.union_sz >= 128
-        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                       / CAST(ms.theta AS DOUBLE)
-        |                ELSE CAST(ms.union_sz AS DOUBLE) END AS est_inter,
-        |       CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE) AS est_jaccard,
-        |       ((CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
-        |         * CASE WHEN ms.union_sz >= 128
-        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                       / CAST(ms.theta AS DOUBLE)
-        |                ELSE CAST(ms.union_sz AS DOUBLE) END)
-        |         / CASE WHEN (SELECT count(*) FROM hs) >= 128
-        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                       / CAST((SELECT max(h) FROM ska) AS DOUBLE)
-        |                ELSE CAST((SELECT count(*) FROM hs) AS DOUBLE) END
-        |         AS est_contain_src,
-        |       ((CAST(ic.i_cnt AS DOUBLE) / CAST(ms.m_size AS DOUBLE))
-        |         * CASE WHEN ms.union_sz >= 128
-        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                       / CAST(ms.theta AS DOUBLE)
-        |                ELSE CAST(ms.union_sz AS DOUBLE) END)
-        |         / CASE WHEN (SELECT count(*) FROM ht) >= 128
-        |                THEN (CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
-        |                       / CAST((SELECT max(h) FROM skb) AS DOUBLE)
-        |                ELSE CAST((SELECT count(*) FROM ht) AS DOUBLE) END
-        |         AS est_contain_tgt
-        |FROM n, ms, ic""".stripMargin,
+        |       est.est_union,
+        |       est.est_jaccard * est.est_union AS est_inter,
+        |       est.est_jaccard,
+        |       CASE WHEN se.est_src > 0
+        |            THEN (est.est_jaccard * est.est_union) / se.est_src
+        |            ELSE 0.0 END AS est_contain_src,
+        |       CASE WHEN se.est_tgt > 0
+        |            THEN (est.est_jaccard * est.est_union) / se.est_tgt
+        |            ELSE 0.0 END AS est_contain_tgt
+        |FROM n, ms, est, se""".stripMargin,
 
     // PSI twin: same fixed bins, same Laplace smoothing, ln decimal-
     // rounded to 9 before the multiply, order-free decimal total

@@ -331,15 +331,26 @@ object Raptor {
         (lit((k - 1).toDouble) * lit(281474976710656.0))
           / element_at(col(sk), -1).cast("double"))
         .otherwise(size(col(sk)).cast("double"))
+    // empty-side guards: m_size = 0 (both key sets empty) would make
+    // est_jaccard NaN, and a 0.0 sideEst would push the containments to
+    // NaN/Infinity — with preflightK > 0 those render as null Value
+    // strings in the summary report. Emit 0.0 for empty sides instead
+    // (the DuckDB twin mirrors the same CASE guards).
     graft.functions.KmvOverlap.withEstimates(joined, k)
+      .withColumn("est_jaccard",
+        when(col("m_size") > 0, col("est_jaccard")).otherwise(lit(0.0)))
+      .withColumn("est_inter",
+        when(col("m_size") > 0, col("est_inter")).otherwise(lit(0.0)))
       .withColumn("est_src", sideEst("ska"))
       .withColumn("est_tgt", sideEst("skb"))
       .select(col("n_src"), col("n_tgt"),
         (col("n_src") + col("n_tgt") - col("n_inter")).as("n_union"),
         col("n_inter"), col("m_size"),
         col("est_union"), col("est_inter"), col("est_jaccard"),
-        (col("est_inter") / col("est_src")).as("est_contain_src"),
-        (col("est_inter") / col("est_tgt")).as("est_contain_tgt"))
+        when(col("est_src") > 0, col("est_inter") / col("est_src"))
+          .otherwise(lit(0.0)).as("est_contain_src"),
+        when(col("est_tgt") > 0, col("est_inter") / col("est_tgt"))
+          .otherwise(lit(0.0)).as("est_contain_tgt"))
   }
 
   /** Typed column-wise compare (the hardening mode SURVEY §7.4(3) calls

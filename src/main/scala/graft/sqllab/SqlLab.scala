@@ -83,7 +83,12 @@ object SqlLab {
     // stopped sessions can never be re-registered — drop their entries
     registered.keySet.removeIf(s => s.sparkContext.isStopped)
     cachedMarts.keySet.removeIf(s => s.sparkContext.isStopped)
-    if (registered.put(spark, sfDir) != sfDir) {
+    // check-then-act is safe under the method-wide lock; the guard is
+    // updated only AFTER registration fully completes, so a failure
+    // mid-registration leaves the old entry and a retry in the same
+    // session re-runs the work instead of silently serving missing or
+    // partially-materialized legacy tables
+    if (registered.get(spark) != sfDir) {
       Option(cachedMarts.get(spark))
         .foreach(_.foreach(_.unpersist(blocking = false)))
       val suppliers = Entities.suppliers(spark, sfDir)
@@ -124,6 +129,7 @@ object SqlLab {
       materializeLegacy(spark, "products", products)
       materializeLegacy(spark, "sales", sales)
       cachedMarts.put(spark, Seq(sp, csr))
+      registered.put(spark, sfDir)
     }
   }
 

@@ -261,6 +261,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash r-subset layout: full recall and exactly-once lex-first dedup") {
+    // the composite-key blocking simhashPairs runs on: maxDist+r bands,
+    // keys = every r-subset of band buckets. Any pair within maxDist has
+    // >= r clean bands (pigeonhole), so SOME subset matches — and the
+    // lex-first filter (clean bands below the subset's max must be IN
+    // the subset) must keep exactly ONE of the matching meetings.
+    val rng = new scala.util.Random(7)
+    for (maxDist <- Seq(0, 3, 8, 16); _ <- 1 to 300) {
+      val r = Dedup.simhashCleanBands(maxDist)
+      val layout = Dedup.simhashBandLayout(maxDist + r)
+      val subsets = layout.combinations(r).toIndexedSeq
+      val notAllow = subsets.map { s =>
+        val inS = s.map(b => 1L << b._1).reduce(_ | _)
+        ((1L << s.map(_._1).max) - 1) & ~inS
+      }
+      val a = rng.nextLong()
+      val flips = rng.shuffle((0 until 64).toList).take(rng.nextInt(maxDist + 1))
+      val b = flips.foldLeft(a)((v, bit) => v ^ (1L << bit))
+      val xor = a ^ b
+      def clean(band: (Int, Int, Long)) = ((xor >> band._2) & band._3) == 0L
+      val cleanMask = layout.filter(clean).map(bd => 1L << bd._1)
+        .foldLeft(0L)(_ | _)
+      val matching = subsets.indices.filter(i => subsets(i).forall(clean))
+      assert(matching.nonEmpty,
+        s"maxDist=$maxDist r=$r flips=$flips evaded every subset")
+      val kept = matching.filter(i => (cleanMask & notAllow(i)) == 0L)
+      assert(kept.size == 1,
+        s"maxDist=$maxDist r=$r flips=$flips kept ${kept.size} meetings")
+    }
+  }
+
   test("connected components: self-pairs label their vertex as a singleton") {
     val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
     val got = Dedup.connectedComponents(pairs).collect()
