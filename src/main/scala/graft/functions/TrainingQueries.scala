@@ -20,13 +20,13 @@ object TrainingQueries {
   private def shingleCtesFor(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $src),
-       |shing AS (
+       |shing AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(t) - 1),
        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
        |  FROM toks),
        |flt AS (SELECT shingle FROM shing GROUP BY shingle HAVING count(*) <= 1000),
-       |ds AS (SELECT s.doc_id, s.shingle FROM shing s JOIN flt USING (shingle))
+       |ds AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM shing s JOIN flt USING (shingle))
        |""".stripMargin
   private val shingleCtes: String = "WITH " + shingleCtesFor("documents")
   // winnowing CTEs shared by ts_winnow / dd_winnow_pairs: k-gram (k=8)
@@ -105,11 +105,11 @@ object TrainingQueries {
       .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     shingleCtesFor(src) +
-      s""", sigs AS (
+      s""", sigs AS MATERIALIZED (
          |  SELECT doc_id,
          |         $mins
          |  FROM ds GROUP BY doc_id)
-         |, bands AS (
+         |, bands AS MATERIALIZED (
          |  $bands)
          |, cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -137,7 +137,7 @@ object TrainingQueries {
       .mkString("\n  UNION ALL ")
     s"""toks_$pfx AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM $src),
-       |shing_$pfx AS (
+       |shing_$pfx AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(t) - 1),
        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
@@ -146,11 +146,11 @@ object TrainingQueries {
        |             HAVING count(*) <= 1000),
        |ds_$pfx AS (SELECT s.doc_id, s.shingle FROM shing_$pfx s
        |            JOIN flt_$pfx USING (shingle)),
-       |sigs_$pfx AS (
+       |sigs_$pfx AS MATERIALIZED (
        |  SELECT doc_id,
        |         $mins
        |  FROM ds_$pfx GROUP BY doc_id),
-       |bands_$pfx AS (
+       |bands_$pfx AS MATERIALIZED (
        |  $bands)""".stripMargin
   }
   // double-fold dot product, DuckDB side (matches Similarity.dot)
@@ -275,6 +275,16 @@ object TrainingQueries {
   // large SF an inlined `graph` re-runs the multi-million-pair cell
   // join once per reference (measured: the sf1 gate's degree_dist twin
   // spilled >77 GB inlined, vs minutes materialized).
+  //
+  // Bounded-disk shape (the 30× gate fix): the top-5 window used to
+  // order by the inline cosine EXPRESSION over the raw cell join, so
+  // the window sorted pair rows still carrying BOTH 64-dim embedding
+  // lists (~1 KB/row × 600M pairs at 30× — the measured disk-full).
+  // Now each side's norm is hoisted to per-VECTOR grain (same double
+  // expression, computed once per row instead of once per pair — the
+  // value, and hence every rounded sim, is bit-identical) and an inner
+  // projection reduces pairs to (src, dst, sim) = 24 B/row BEFORE the
+  // window, whose ORDER BY references only the projected column.
   private val knnGraphCteSql: String =
     s"""WITH ${trainedCentsChain("centroid_id")},
        |ranked AS MATERIALIZED (
@@ -286,22 +296,26 @@ object TrainingQueries {
        |assigned AS (SELECT vec_id, embedding, centroid_id
        |             FROM ranked WHERE rn = 1),
        |capped AS (
-       |  SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT vec_id, embedding, centroid_id,
+       |         ${normSqlOf("embedding")} AS nrm FROM (
        |    SELECT vec_id, embedding, centroid_id,
        |           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS crn
        |    FROM assigned) r
        |  WHERE crn <= 1024),
-       |probes AS (SELECT vec_id, embedding, centroid_id
+       |probes AS (SELECT vec_id, embedding, centroid_id,
+       |                  ${normSqlOf("embedding")} AS nrm
        |           FROM ranked WHERE rn <= 4),
        |graph AS MATERIALIZED (
        |  SELECT src, dst, sim, CAST(rnk AS INT) AS rnk FROM (
-       |    SELECT p.vec_id AS src, a.vec_id AS dst,
-       |           ${cosSql("p.embedding", "a.embedding")} AS sim,
-       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
-       |             ORDER BY ${cosSql("p.embedding", "a.embedding")} DESC,
-       |                      a.vec_id ASC) AS rnk
-       |    FROM probes p JOIN capped a USING (centroid_id)
-       |    WHERE p.vec_id <> a.vec_id) g
+       |    SELECT src, dst, sim,
+       |           ROW_NUMBER() OVER (PARTITION BY src
+       |             ORDER BY sim DESC, dst ASC) AS rnk
+       |    FROM (
+       |      SELECT p.vec_id AS src, a.vec_id AS dst,
+       |             CAST(ROUND(CAST(${dotSql("p.embedding", "a.embedding")}
+       |               / (p.nrm * a.nrm) AS DECIMAL(20,12)), 9) AS DOUBLE) AS sim
+       |      FROM probes p JOIN capped a USING (centroid_id)
+       |      WHERE p.vec_id <> a.vec_id) s) g
        |  WHERE rnk <= 5)
        |""".stripMargin
 
@@ -2147,8 +2161,8 @@ object TrainingQueries {
     // recursive CTE computes min-reachable-vertex per vertex — exactly
     // the label-propagation fixpoint the engine iterates to
     "dd_cluster" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
-      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
-        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      """, prs AS MATERIALIZED (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
         |            UNION ALL SELECT doc_b, doc_a FROM prs)
         |, reach(v, r) AS (
         |    SELECT DISTINCT src, src FROM edges
@@ -2162,8 +2176,8 @@ object TrainingQueries {
     // reweight twin: the same closure, every document labeled (left
     // join → singleton label = own id), weight = decimal-9 1/|cluster|
     "dd_reweight" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
-      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
-        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      """, prs AS MATERIALIZED (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
         |            UNION ALL SELECT doc_b, doc_a FROM prs)
         |, reach(v, r) AS (
         |    SELECT DISTINCT src, src FROM edges
@@ -2182,8 +2196,8 @@ object TrainingQueries {
     // cluster-signature twin: closure labels + per-cluster elementwise
     // min over the SAME sigs CTE the pair chain derives from
     "dd_cluster_sigs" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
-      s""", prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
-         |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      s""", prs AS MATERIALIZED (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+         |, edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
          |            UNION ALL SELECT doc_b, doc_a FROM prs)
          |, reach(v, r) AS (
          |    SELECT DISTINCT src, src FROM edges
@@ -2204,8 +2218,8 @@ object TrainingQueries {
     // oracle; singletons labeled themselves via the documents left join
     "dd_incremental_cluster" -> ("WITH RECURSIVE " +
       minhashCtesFor("documents") +
-      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
-        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      """, prs AS MATERIALIZED (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
         |            UNION ALL SELECT doc_b, doc_a FROM prs)
         |, reach(v, r) AS (
         |    SELECT DISTINCT src, src FROM edges
@@ -2237,8 +2251,8 @@ object TrainingQueries {
         |ORDER BY doc_a, doc_b""".stripMargin),
     // same closure as dd_cluster, keeper re-picked by token count
     "dd_canonical" -> ("WITH RECURSIVE " + minhashCtesFor("documents") +
-      """, prs AS (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
-        |, edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+      """, prs AS MATERIALIZED (SELECT doc_a, doc_b FROM lshp WHERE est_jaccard >= 0.25)
+        |, edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
         |            UNION ALL SELECT doc_b, doc_a FROM prs)
         |, reach(v, r) AS (
         |    SELECT DISTINCT src, src FROM edges

@@ -35,10 +35,17 @@ object KCore {
     *                  only trips on adversarial chain-peel graphs)
     * @return (node, core_deg) for k-core members, ordered by node
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+            driverCap: Int = DriverGraph.DefaultEdgeCap): DataFrame = {
     require(k >= 1, s"kCore: k $k < 1")
     require(maxRounds >= 1, s"kCore: maxRounds $maxRounds < 1")
     val spark = edges.sparkSession
+    // index-sized graphs peel in memory (integer-only; same fixpoint
+    // AND the same maxRounds loud-fail contract); see DriverGraph
+    DriverGraph.collectUpTo(edges, driverCap) match {
+      case Some(pairs) => return kCoreLocal(spark, pairs, k, maxRounds)
+      case None => ()
+    }
     def truncate(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -69,5 +76,40 @@ object KCore {
     sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("int").as("core_deg"))
       .orderBy("node")
+  }
+
+  /** Exact in-memory [[kCore]]: same symmetrize, same peel-to-fixpoint
+    * with the same `maxRounds` loud-fail — all integers.
+    */
+  private def kCoreLocal(spark: org.apache.spark.sql.SparkSession,
+                         pairs: Array[(Long, Long)], k: Int,
+                         maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    var sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    var prev = sym.length.toLong
+    var converged = prev == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      sym.foreach { case (s, _) =>
+        deg.updateWith(s)(c => Some(c.getOrElse(0L) + 1L))
+      }
+      val alive = deg.collect { case (v, d) if d >= k => v }.toSet
+      val pruned = sym.filter { case (s, d) =>
+        alive.contains(s) && alive.contains(d)
+      }
+      val now = pruned.length.toLong
+      converged = now == prev
+      prev = now
+      sym = pruned
+      rounds += 1
+    }
+    require(converged || prev == 0L,
+      s"kCore: not converged after $maxRounds rounds ($prev edges live)")
+    val core = scala.collection.mutable.HashMap.empty[Long, Int]
+    sym.foreach { case (s, _) =>
+      core.updateWith(s)(c => Some(c.getOrElse(0) + 1))
+    }
+    core.toArray.sortBy(_._1).toSeq.toDF("node", "core_deg")
   }
 }

@@ -38,9 +38,17 @@ object LabelProp {
     * @param iterations fixed synchronous round count
     * @return (node, community) ordered by node
     */
-  def labelPropagate(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def labelPropagate(edges: DataFrame, iterations: Int = 5,
+                     driverCap: Int = DriverGraph.DefaultEdgeCap): DataFrame = {
     require(iterations >= 1, s"labelPropagate: iterations $iterations < 1")
     val spark = edges.sparkSession
+    // index-sized graphs run the exact in-memory kernel (integer-only
+    // update rule — trivially replicable); see DriverGraph for the
+    // measured fixed-overhead rationale
+    DriverGraph.collectUpTo(edges, driverCap) match {
+      case Some(pairs) => return labelPropLocal(spark, pairs, iterations)
+      case None => ()
+    }
     def truncate(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -74,5 +82,37 @@ object LabelProp {
         .select(col("node"), coalesce(col("blab"), col("lab")).as("lab")))
     }
     lab.select(col("node"), col("lab").as("community")).orderBy("node")
+  }
+
+  /** Exact in-memory [[labelPropagate]]: same symmetrize + self-vote +
+    * (count desc, label asc) adoption rule — all integers, so parity is
+    * structural, not numeric.
+    */
+  private def labelPropLocal(spark: org.apache.spark.sql.SparkSession,
+                             pairs: Array[(Long, Long)],
+                             iterations: Int): DataFrame = {
+    import spark.implicits._
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.iterator.map(v => v -> v).toMap
+    for (_ <- 1 to iterations) {
+      // votes at (node, label) grain: every in-neighbor's label + self
+      val votes = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      sym.foreach { case (s, d) =>
+        votes.updateWith((d, lab(s)))(c => Some(c.getOrElse(0L) + 1L))
+      }
+      nodes.foreach { v =>
+        votes.updateWith((v, lab(v)))(c => Some(c.getOrElse(0L) + 1L))
+      }
+      val best = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+      votes.foreach { case ((v, l), c) =>
+        best.updateWith(v) {
+          case Some((bc, bl)) if bc > c || (bc == c && bl < l) => Some((bc, bl))
+          case _ => Some((c, l))
+        }
+      }
+      lab = nodes.iterator.map(v => v -> best(v)._2).toMap
+    }
+    nodes.sorted.map(v => (v, lab(v))).toSeq.toDF("node", "community")
   }
 }

@@ -45,9 +45,19 @@ object PageRank {
     * @return (node, pr) with pr rounded to 9 decimals
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+               damping: Double = 0.85, teleport: Double = 0.15,
+               driverCap: Int = DriverGraph.DefaultEdgeCap): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations $iterations < 1")
     val spark = edges.sparkSession
+    // index-sized graphs run the exact in-memory kernel (see
+    // DriverGraph: the distributed loop's wall is fixed per-round job
+    // overhead at bench scale, b ≈ 0); bigger graphs fall through to
+    // the proven distributed path
+    DriverGraph.collectUpTo(edges, driverCap) match {
+      case Some(pairs) =>
+        return pageRankLocal(spark, pairs, iterations, damping, teleport)
+      case None => ()
+    }
     def truncate(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -127,9 +137,20 @@ object PageRank {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int = 5, damping: Double = 0.85,
-                           teleport: Double = 0.15): DataFrame = {
+                           teleport: Double = 0.15,
+                           driverCap: Int = DriverGraph.DefaultEdgeCap): DataFrame = {
     require(iterations >= 1, s"personalizedPageRank: iterations $iterations < 1")
     val spark = edges.sparkSession
+    // same index-sized fast path as pageRank; the seed frame is
+    // by-contract small (a curated set) and collected alongside
+    DriverGraph.collectUpTo(edges, driverCap) match {
+      case Some(pairs) =>
+        val seedIds = seeds.select(col("node").cast("long"))
+          .limit(driverCap + 1).collect().map(_.getLong(0))
+        if (seedIds.length <= driverCap)
+          return pprLocal(spark, pairs, seedIds, iterations, damping, teleport)
+      case None => ()
+    }
     def truncate(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -183,5 +204,93 @@ object PageRank {
     pr.select(col("node"),
         round(col("pr").cast(Acc), 9).cast("double").as("pr"))
       .orderBy(desc("pr"), asc("node"))
+  }
+
+  /** Exact in-memory [[pageRank]] — identical doubles by construction:
+    * same per-edge double division, same decimal-exact order-free sums
+    * ([[DriverGraph.d16]]), same expression order and HALF_UP
+    * roundings. The oracle gate holds both paths to the same hash.
+    */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+                            pairs: Array[(Long, Long)], iterations: Int,
+                            damping: Double, teleport: Double): DataFrame = {
+    import DriverGraph._
+    import spark.implicits._
+    val e = pairs.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.length
+    require(n > 0, "pageRank: empty graph")
+    val invN = 1.0 / n
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.length.toDouble }
+    val hasDangling = nodes.exists(v => !deg.contains(v))
+    var pr = nodes.iterator.map(v => v -> invN).toMap
+    for (_ <- 1 to iterations) {
+      val acc = scala.collection.mutable.HashMap.empty[Long, java.math.BigDecimal]
+      e.foreach { case (s, d) =>
+        val t = d16(pr(s) / deg(s))
+        acc.updateWith(d) { prev => Some(prev.fold(t)(_.add(t))) }
+      }
+      val next =
+        if (hasDangling) {
+          var dangAcc = java.math.BigDecimal.ZERO
+          nodes.foreach(v => if (!deg.contains(v)) dangAcc = dangAcc.add(d16(pr(v))))
+          val dang = dangAcc.doubleValue
+          nodes.iterator.map { v =>
+            val m = acc.get(v).map(_.doubleValue).getOrElse(0.0)
+            v -> roundVia16(teleport * invN + damping * (m + dang * invN), 12)
+          }.toMap
+        } else nodes.iterator.map { v =>
+          val m = acc.get(v).map(_.doubleValue).getOrElse(0.0)
+          v -> roundVia16(teleport * invN + damping * m, 12)
+        }.toMap
+      pr = next
+    }
+    nodes.map(v => (v, roundVia16(pr(v), 9)))
+      .sortBy { case (v, p) => (-p, v) }
+      .toSeq.toDF("node", "pr")
+  }
+
+  /** Exact in-memory [[personalizedPageRank]] — see [[pageRankLocal]]. */
+  private def pprLocal(spark: org.apache.spark.sql.SparkSession,
+                       pairs: Array[(Long, Long)], seedIds: Array[Long],
+                       iterations: Int, damping: Double,
+                       teleport: Double): DataFrame = {
+    import DriverGraph._
+    import spark.implicits._
+    val e = pairs.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val nodeSet = nodes.toSet
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.length.toDouble }
+    val hasDangling = nodes.exists(v => !deg.contains(v))
+    val seedsIn = seedIds.distinct.filter(nodeSet.contains)
+    require(seedsIn.nonEmpty, "personalizedPageRank: no seed overlaps the graph")
+    val invS = 1.0 / seedsIn.length
+    val seedSet = seedsIn.toSet
+    def sw(v: Long): Double = if (seedSet.contains(v)) invS else 0.0
+    var pr = nodes.iterator.map(v => v -> sw(v)).toMap
+    for (_ <- 1 to iterations) {
+      val acc = scala.collection.mutable.HashMap.empty[Long, java.math.BigDecimal]
+      e.foreach { case (s, d) =>
+        val t = d16(pr(s) / deg(s))
+        acc.updateWith(d) { prev => Some(prev.fold(t)(_.add(t))) }
+      }
+      val next =
+        if (hasDangling) {
+          var dangAcc = java.math.BigDecimal.ZERO
+          nodes.foreach(v => if (!deg.contains(v)) dangAcc = dangAcc.add(d16(pr(v))))
+          val dang = dangAcc.doubleValue
+          nodes.iterator.map { v =>
+            val m = acc.get(v).map(_.doubleValue).getOrElse(0.0)
+            v -> roundVia16((teleport + damping * dang) * sw(v) + damping * m, 12)
+          }.toMap
+        } else nodes.iterator.map { v =>
+          val m = acc.get(v).map(_.doubleValue).getOrElse(0.0)
+          v -> roundVia16(teleport * sw(v) + damping * m, 12)
+        }.toMap
+      pr = next
+    }
+    nodes.map(v => (v, roundVia16(pr(v), 9)))
+      .sortBy { case (v, p) => (-p, v) }
+      .toSeq.toDF("node", "pr")
   }
 }
