@@ -73,7 +73,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // subset runs (named queries = local iteration) must not clobber
+    // the committed artifact of record — they default to /tmp
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (args.nonEmpty) "/tmp/bench_subset.json"
+      else "/root/repo/bench_out.json")
     val spark = GraftSession.builder(appName = "graft-bench",
       master = s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

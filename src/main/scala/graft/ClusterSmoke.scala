@@ -64,6 +64,26 @@ object ClusterSmoke {
     println(s"[smoke] master=$master executors=$execs")
     require(execs >= 2, s"need >= 2 remote executors, got $execs")
 
+    // per-batch state-store telemetry for the stateful-streaming leg:
+    // rows in state, per-batch wall, and snapshot/commit behavior are
+    // the HDFSBackedStateStore facts only a multi-JVM run can validate
+    // (provisioning + snapshot upload happen in executor processes)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val state = Option(p.stateOperators).filter(_.nonEmpty)
+            .map(s => s"stateRows=${s.map(_.numRowsTotal).sum} " +
+              s"updated=${s.map(_.numRowsUpdated).sum}")
+            .getOrElse("stateless")
+          println(s"[smoke] stream batch=${p.batchId} rows=${p.numInputRows} " +
+            s"${p.durationMs.getOrDefault("triggerExecution", -1L)} ms $state")
+        }
+      })
+
     t("m_customer_metrics")(
       SparkEntry.queries("m_customer_metrics")(spark, sfDir).count())
     t("m_supplier_performance")(
@@ -76,7 +96,22 @@ object ClusterSmoke {
       SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).count())
     t("q_assoc")(
       SparkEntry.queries("q_assoc")(spark, sfDir).count())
-    println(s"[smoke] PASS - all six ran on $execs remote executors")
+    // stateful streaming across real executor JVMs (VERDICT r10 #6):
+    // the session-window agg's state store lives IN the executors —
+    // store provisioning, per-batch commits and maintenance snapshots
+    // all cross process boundaries here, which local[n] cannot falsify.
+    // The standalone workers share this host's filesystem, so the
+    // scratch checkpoint dir is visible to every JVM (a real cluster
+    // would point it at HDFS/S3).
+    t("st_session (stateful stream)")(
+      streaming.EventsStream.sessionWindowStreaming(
+        spark, sfDir, "smoke_session").count())
+    // multi-batch leg: three CDC waves through foreachBatch + MERGE —
+    // per-batch checkpoint commits and the wave-major apply order
+    // crossing executor boundaries batch after batch
+    t("st_upsert (3-wave CDC replay)")(
+      streaming.EventsStream.streamingUpsertReplay(spark, sfDir).count())
+    println(s"[smoke] PASS - all eight ran on $execs remote executors")
     spark.stop()
   }
 }

@@ -53,4 +53,17 @@ if [[ "${1:-}" == "--sf1" ]]; then
     tools/runmain.sh graft.Bench
 fi
 
+echo "== commit artifacts of record =="
+# HEAD must carry the evidence the round claims (VERDICT r10 #5): the
+# gate/bench JSONs this routine just produced are committed here so a
+# fresh clone is self-consistent. Only commits when something changed.
+git add -- CORRECTNESS_local.json bench_out.json 2>/dev/null || true
+[[ "${1:-}" == "--sf1" ]] && git add -- CORRECTNESS_sf1.json bench_sf1.json 2>/dev/null || true
+for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json; do
+  [[ -f "$f" ]] && git add -- "$f" 2>/dev/null || true
+done
+if ! git diff --cached --quiet; then
+  git commit -m "Round artifacts: gate + bench JSONs from tools/round.sh"
+fi
+
 echo "== round routine complete =="
