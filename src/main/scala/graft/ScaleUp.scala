@@ -112,10 +112,8 @@ object ScaleUp {
         s"ScaleUp: max $t.$k = $mx >= STRIDE $STRIDE — replica key " +
           "ranges would overlap (is the source already scaled up?)")
     }
-    val dim = read("embeddings").agg(min(size(col("embedding")))).head.getInt(0)
-    require(factor <= dim,
-      s"ScaleUp: factor $factor exceeds embedding dim $dim — the cyclic " +
-        "rotation slice would produce malformed vectors")
+    // embedding rotation wraps modulo the dimension (scaleEmbeddings),
+    // so any factor within the key-stride bound is valid
 
     // Fixed dims: straight copy.
     write(read("region"), "region", 1)
@@ -186,10 +184,15 @@ object ScaleUp {
     * r=0 is the identity. */
   def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame = {
     val rep = scaleKeys(df, factor, Seq("vec_id"))
-      .withColumn("__r", (col("vec_id") / lit(STRIDE)).cast("int"))
+      // rotation wraps past the dimension (factor > dim): replicas
+      // r and r+dim carry identical vectors under fresh ids — fine for
+      // scale testing, and a no-op (__m == __r) for every factor <= dim,
+      // so existing sf1/sf3 trees regenerate byte-identically
+      .withColumn("__m",
+        ((col("vec_id") / lit(STRIDE)).cast("int")) % size(col("embedding")))
     rep.withColumn("embedding", expr(
-      """concat(slice(embedding, __r + 1, size(embedding) - __r),
-        |       slice(embedding, 1, __r))""".stripMargin))
-      .drop("__r")
+      """concat(slice(embedding, __m + 1, size(embedding) - __m),
+        |       slice(embedding, 1, __m))""".stripMargin))
+      .drop("__m")
   }
 }
