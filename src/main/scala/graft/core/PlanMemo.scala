@@ -81,6 +81,11 @@ object PlanMemo {
     * map read. `build` is by-name — a hit never constructs the product
     * plan at all.
     */
+  /** WARNING: `build` runs under the memo map's `compute` lock — it
+    * must NOT itself call into PlanMemo (ConcurrentHashMap throws
+    * "Recursive update"). Resolve any nested memoized frames BEFORE the
+    * call and close over the resolved DataFrames.
+    */
   def cachedAs(tag: String, key: DataFrame)(build: => DataFrame): DataFrame = {
     memo.keySet.removeIf(_._1.sparkContext.isStopped)
     val plan = key.queryExecution.analyzed

@@ -45,11 +45,11 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val terms = queryTerms.distinct
-    val tok = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
-    // one pass over the exploded tokens feeds both doc lengths (all
-    // tokens) and the query postings (filtered before the shuffle)
+    // the SHARED memoized corpus-token frame: doc lengths (all tokens)
+    // and the query postings (filtered) both consume it, and the
+    // unigram-LM queries over the same corpus hit the same memo — the
+    // unmemoized form re-ran the normalize+explode once per consumer
+    val tok = TextAnalysis.unigramToks(docs)
     val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
     val tf = tok.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

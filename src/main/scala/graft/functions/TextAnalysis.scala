@@ -160,10 +160,30 @@ object TextAnalysis {
     * rounded through decimal space (9 dp) so libm ulp differences can't
     * break cross-engine equality (same trick as Similarity.roundSim).
     */
+  /** Corpus-token explode at (doc_id, token) OCCURRENCE grain — the
+    * memoized frame the unigram-consuming family shares
+    * ([[unigramLogProb]], [[bigramLogProb]]'s unigram leg,
+    * [[graft.functions.Search.bm25TopK]]): one normalize+split pass per
+    * (session, corpus) however many queries read it.
+    */
+  private[graft] def unigramToks(docs: DataFrame): DataFrame =
+    graft.core.PlanMemo.cached("text.unigramToks",
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(normalized(col("text")), " ")).as("token")))
+
+  /** Per-document token counts at (doc_id, token) TYPE grain, memoized
+    * — shared by [[tfIdf]] (tf leg + df leg) and [[subwordEncode]]
+    * (vocab learn + encode join-back); layered over [[unigramToks]] so
+    * the explode itself is also shared.
+    */
+  private[graft] def docTokenCounts(docs: DataFrame): DataFrame =
+    graft.core.PlanMemo.cached("text.docTokenCounts",
+      unigramToks(docs).groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("n")))
+
   def tfIdf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(normalized(col("text")), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = docTokenCounts(docs).withColumnRenamed("n", "tf")
     val df = tf.groupBy("token")
       .agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -472,10 +492,7 @@ object TextAnalysis {
     val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
     // counts, total and the join-back all consume it
-    val tok = graft.core.PlanMemo.cached("text.unigramToks",
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(split(normalized(col("text")), " ")).as("token")))
+    val tok = unigramToks(docs)
     val tc = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val n = tok.select(count(lit(1)).as("total"))
     graft.core.Scalars.crossBroadcast(tok.join(tc, "token"), n)
@@ -519,10 +536,7 @@ object TextAnalysis {
     val d2612 = org.apache.spark.sql.types.DecimalType(26, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
     val d90 = org.apache.spark.sql.types.DecimalType(9, 0)
-    val tok = graft.core.PlanMemo.cached("text.unigramToks",
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(split(normalized(col("text")), " ")).as("token")))
+    val tok = unigramToks(docs)
     val toksArr = split(normalized(col("text")), " ")
     // (doc, w1, w2, nb) — doc-bigram-TYPE grain; both the corpus count
     // aggregation and the final join-back consume it
@@ -964,10 +978,28 @@ object TextAnalysis {
     */
   def subwordEncode(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
     require(vocabSize >= 1, s"subwordEncode: bad vocabSize $vocabSize")
-    val docWords = docs.select(col("doc_id"),
-      explode(split(normalized(col("text")), " ")).as("word"))
-    val dwc = docWords.groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("n_occ"))
+    // the finished frame is doc-grain and deterministic, and its PLAN
+    // CONSTRUCTION runs a driver action (the bounded vocab-learn
+    // collect) — memoize it keyed on the INPUT plan so repeat calls
+    // skip construction entirely (the knnGraph/dsirWeights pattern),
+    // gated on corpus size like every doc-grain memo
+    // (doc, word, count) via the SHARED type-grain memo — the vocab
+    // learn and the encode join-back both consume it (it used to be
+    // rebuilt, corpus explode included, once per consumer). Resolved
+    // OUTSIDE the cachedAs build: PlanMemo builds under the memo map's
+    // compute lock, so a nested PlanMemo call from inside the build
+    // throws ConcurrentHashMap's "Recursive update".
+    val dwc = docTokenCounts(docs)
+      .select(col("doc_id"), col("token").as("word"), col("n").as("n_occ"))
+    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (docBytes < (8L << 30))
+      graft.core.PlanMemo.cachedAs(s"text.subword$vocabSize", docs)(
+        subwordEncodeUncached(dwc, vocabSize))
+    else subwordEncodeUncached(dwc, vocabSize)
+  }
+
+  private def subwordEncodeUncached(dwc: DataFrame,
+                                    vocabSize: Int): DataFrame = {
     val wc = dwc.groupBy("word").agg(sum("n_occ").as("cnt"))
     // learn: occurrence-weighted trigram frequencies over distinct words
     val vocabRows = wc.filter(length(col("word")) >= 3)
