@@ -166,21 +166,29 @@ object TextAnalysis {
     * [[graft.functions.Search.bm25TopK]]): one normalize+split pass per
     * (session, corpus) however many queries read it.
     */
-  private[graft] def unigramToks(docs: DataFrame): DataFrame =
-    graft.core.PlanMemo.cached("text.unigramToks",
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(split(normalized(col("text")), " ")).as("token")))
+  private[graft] def unigramToks(docs: DataFrame): DataFrame = {
+    val plan = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(normalized(col("text")), " ")).as("token"))
+    // corpus-token grain — size-gated like every corpus-grain memo
+    // (consumers recompute past the gate instead of pinning ~100 TB)
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+      graft.core.PlanMemo.cached("text.unigramToks", plan)
+    else plan
+  }
 
   /** Per-document token counts at (doc_id, token) TYPE grain, memoized
     * — shared by [[tfIdf]] (tf leg + df leg) and [[subwordEncode]]
     * (vocab learn + encode join-back); layered over [[unigramToks]] so
     * the explode itself is also shared.
     */
-  private[graft] def docTokenCounts(docs: DataFrame): DataFrame =
-    graft.core.PlanMemo.cached("text.docTokenCounts",
-      unigramToks(docs).groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("n")))
+  private[graft] def docTokenCounts(docs: DataFrame): DataFrame = {
+    val plan = unigramToks(docs).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("n"))
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+      graft.core.PlanMemo.cached("text.docTokenCounts", plan)
+    else plan
+  }
 
   def tfIdf(docs: DataFrame): DataFrame = {
     val tf = docTokenCounts(docs).withColumnRenamed("n", "tf")
