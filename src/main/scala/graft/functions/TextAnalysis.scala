@@ -708,6 +708,42 @@ object TextAnalysis {
         Money.ratio2(col("n_novel"), col("n_shingles")).as("novelty"))
   }
 
+  /** Benchmark decontamination — flag TRAINING documents that share
+    * n-gram shingles with an EVALUATION set (the standard "remove eval
+    * leakage before pretraining" pass; GPT-3 appendix C / PaLM-style
+    * n-gram overlap, at this engine's shingle grain). For every
+    * non-benchmark document: its distinct-shingle count, how many of
+    * those shingles appear anywhere in the benchmark set, the overlap
+    * ratio, and the `flagged` verdict at `threshold`.
+    *
+    * Scale shape: rides the SHARED [[Dedup.distinctShingles]] memo (the
+    * novelty/inverted-index frame — zero extra corpus passes when
+    * sibling queries already ran), one anti-join to split train from
+    * benchmark, one shingle-grain left join against the DISTINCT
+    * benchmark shingle set, one doc-grain agg. The benchmark shingle
+    * frame is eval-set-sized, not corpus-sized — at 100 TB the join is
+    * a broadcast in practice, but the plan stays a shuffle join unless
+    * stats say otherwise (AQE decides).
+    */
+  def decontaminate(docs: DataFrame, isBenchmark: Column, n: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    import graft.core.Money
+    val sh = Dedup.distinctShingles(docs, n)
+    val benchIds = docs.filter(isBenchmark).select("doc_id")
+    val benchShingles = sh.join(benchIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+      .withColumn("hit", lit(1L))
+    sh.join(benchIds, Seq("doc_id"), "left_anti")
+      .join(benchShingles, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        Money.ratio2(col("n_contaminated"), col("n_shingles"))
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= threshold)
+  }
+
   /** One BPE-training statistics pass (Sennrich et al., "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016): adjacent
     * symbol-pair frequencies weighted by word frequency. Real BPE

@@ -780,6 +780,12 @@ object TrainingQueries {
         stride = 12)
         .orderBy("doc_id", "chunk_id")),
     // fraction of each doc's distinct 3-gram phrasing unique to it
+    // benchmark decontamination: train docs sharing 3-shingles with the
+    // doc_id%97 eval subset, GPT-3-appendix-C-style overlap flagging
+    "ts_decontaminate" -> ((s, d) =>
+      TextAnalysis.decontaminate(Tables.documents(s, d),
+        col("doc_id") % 97 === 0, threshold = 0.5)
+        .orderBy("doc_id")),
     "ts_novelty" -> ((s, d) =>
       TextAnalysis.noveltyScore(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1734,6 +1740,29 @@ object TrainingQueries {
          |         list_slice(t, start_tok, LEAST(start_tok + 15, L)), ' '))
          |         AS chunk_fp
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // decontamination twin: same distinct-shingle frame, distinct
+    // benchmark shingles, left-join hit count, ratio2 + threshold on
+    // the ROUNDED ratio (both engines compare the same 2-dp value)
+    "ts_decontaminate" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents) x),
+         |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE NOT doc_id % 97 = 0)
+         |SELECT tr.doc_id, count(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_contaminated,
+         |       ${Money.Sql.ratio2(
+                   "SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+                   "count(*)")} AS contamination,
+         |       ${Money.Sql.ratio2(
+                   "SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+                   "count(*)")} >= 0.5 AS flagged
+         |FROM tr LEFT JOIN bs USING (shingle)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // novelty twin: distinct shingles, min≠max single-doc test,
     // gram join-back, doc-grain agg
     "ts_novelty" ->

@@ -606,6 +606,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!out.contains(4L), "sub-shingle docs have no score")
   }
 
+  test("decontaminate: eval-overlapping train docs flagged at threshold") {
+    val docs = Seq(
+      // doc 0 is the benchmark (doc_id % 97 == 0 in the gate; here the
+      // explicit predicate); doc 1 copies 4 of its tokens (2 of 3
+      // shingles hit -> 0.67 >= 0.5 flagged); doc 2 is clean; the
+      // benchmark doc itself is excluded from the output
+      (0L, "alpha beta gamma delta end0"),
+      (1L, "alpha beta gamma delta one1"),
+      (2L, "epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, col("doc_id") === 0L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(0L), "benchmark docs are not scored")
+    assert(out(1L) == ((3L, 2L, 0.67, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0, false)), s"got ${out(2L)}")
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
     val docs = Seq(
       (1L, "ab ab abc"),
