@@ -85,10 +85,12 @@ object SqlLab {
     cachedMarts.keySet.removeIf(s => s.sparkContext.isStopped)
     // check-then-act is safe under the method-wide lock; the guard is
     // updated only AFTER registration fully completes, so a failure
-    // mid-registration leaves the old entry and a retry in the same
-    // session re-runs the work instead of silently serving missing or
-    // partially-materialized legacy tables
+    // mid-registration leaves no guard at all — a failed sfDir-Y
+    // registration may have half-rewritten legacy tables, so even the
+    // PREVIOUS sfDir's entry must not survive it (a later sfDir-X
+    // caller would otherwise skip registration and read the corruption)
     if (registered.get(spark) != sfDir) {
+      registered.remove(spark)
       Option(cachedMarts.get(spark))
         .foreach(_.foreach(_.unpersist(blocking = false)))
       val suppliers = Entities.suppliers(spark, sfDir)
