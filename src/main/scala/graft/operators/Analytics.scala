@@ -502,18 +502,25 @@ object Analytics {
       round(c.cast(d2012), 9).cast("double")
     val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("n"))
-    val xm = cells.groupBy("x").agg(sum("n").as("nx"))
-    val ym = cells.groupBy("y").agg(sum("n").as("ny"))
-    val tot = cells.agg(sum("n").as("nn"))
-    val terms = graft.core.Scalars.crossBroadcast(
-      cells.join(broadcast(xm), "x").join(broadcast(ym), "y"), tot)
+    // Marginals, total and the MI sum are all aggregates OVER the
+    // |x|·|y|-bounded cell frame — computed as windows on that frame
+    // (marginals keyed, totals unpartitioned) so the corpus aggregation
+    // runs exactly once. The previous broadcast-marginal form
+    // re-evaluated the cells subtree once per broadcast side (the
+    // q_benford finding: 4+ corpus scans for a cell-sized answer).
+    val wX = org.apache.spark.sql.expressions.Window.partitionBy("x")
+    val wY = org.apache.spark.sql.expressions.Window.partitionBy("y")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    cells
+      .withColumn("nn", sum("n").over(wAll))
       .withColumn("pxy", col("n").cast("double") / col("nn").cast("double"))
-      .withColumn("px", col("nx").cast("double") / col("nn").cast("double"))
-      .withColumn("py", col("ny").cast("double") / col("nn").cast("double"))
+      .withColumn("px",
+        sum("n").over(wX).cast("double") / col("nn").cast("double"))
+      .withColumn("py",
+        sum("n").over(wY).cast("double") / col("nn").cast("double"))
       .withColumn("term",
         round9(col("pxy") * round9(log(col("pxy") / (col("px") * col("py"))))))
-    val mi = terms.agg(sum(col("term").cast(acc)).cast("double").as("mi"))
-    graft.core.Scalars.crossBroadcast(terms, mi)
+      .withColumn("mi", sum(col("term").cast(acc)).over(wAll).cast("double"))
       .select(col("x"), col("y"), col("n"), col("term"), col("mi"))
       .orderBy("x", "y")
   }
@@ -608,37 +615,51 @@ object Analytics {
     val acc = org.apache.spark.sql.types.DecimalType(28, 12)
     def round9(c: org.apache.spark.sql.Column) =
       round(c.cast(d2012), 9).cast("double")
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
-      .agg(count(lit(1)).as("n"))
-    val xm = cells.groupBy("x").agg(sum("n").as("nx"))
-    val ym = cells.groupBy("y").agg(sum("n").as("ny"))
-    val tot = cells.agg(sum("n").as("nn"),
-      count_distinct(col("x")).as("r"), count_distinct(col("y")).as("c"))
+    // The R×C grid fill needs the cell frame from several branches
+    // (both marginals, the total, the zero-fill join, the table agg) —
+    // each crossBroadcast side re-evaluates its subtree, so an uncached
+    // cell frame re-runs the corpus aggregation per branch (the
+    // q_benford finding). Cells are |x|·|y|-bounded by the categorical
+    // contract: memoize once, every branch reads the cached frame.
+    val cells = graft.core.PlanMemo.cached("chi2.cells",
+      df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+        .agg(count(lit(1)).as("n")))
     // χ² runs over the FULL R×C grid: a zero-observed cell with positive
     // expected count contributes (0−e)²/e — dropping it (as MI correctly
     // does, 0·ln0 → 0) would understate association. The grid is the
     // cross product of the two marginal frames — cell-grain tiny, built
     // as a constant-key hash join (crossBroadcast), not a nested loop.
+    // Table-level values (nn, r, c, chi2, cramers_v) ride unpartitioned
+    // windows over the grid-sized frames instead of further broadcast
+    // seams: each crossBroadcast side is a separate broadcast JOB, and
+    // the old xm/ym/tot/table chain stacked ~10 of them — ~0.8 s of pure
+    // job overhead at any SF for a 40-row answer (ProbeChi at sf1:
+    // 1.07 s → ~0.35 s with two broadcasts and the same memoized cells).
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val xm = cells.groupBy("x").agg(sum("n").as("nx"))
+      .withColumn("r", count(lit(1)).over(wAll))
+      .withColumn("nn", sum("nx").over(wAll))
+    val ym = cells.groupBy("y").agg(sum("n").as("ny"))
+      .withColumn("c", count(lit(1)).over(wAll))
     val grid = graft.core.Scalars.crossBroadcast(xm, ym)
       .join(broadcast(cells), Seq("x", "y"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val terms = graft.core.Scalars.crossBroadcast(grid, tot)
+    val terms = grid
       .withColumn("expected", round9(
         col("nx").cast("double") * col("ny").cast("double")
           / col("nn").cast("double")))
       .withColumn("term", round9(
         (col("n").cast("double") - col("expected"))
           * (col("n").cast("double") - col("expected")) / col("expected")))
-    val table = terms
-      .groupBy("nn", "r", "c")
-      .agg(sum(col("term").cast(acc)).cast("double").as("chi2"))
-      .select(col("chi2"),
+    terms
+      .withColumn("chi2",
+        sum(col("term").cast(acc)).over(wAll).cast("double"))
+      .select(col("x"), col("y"), col("n"), col("expected"), col("term"),
+        col("chi2"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
         round9(sqrt(col("chi2") / (col("nn").cast("double")
           * least(col("r") - 1, col("c") - 1).cast("double"))))
           .as("cramers_v"))
-    graft.core.Scalars.crossBroadcast(
-      terms.select("x", "y", "n", "expected", "term"), table)
       .orderBy("x", "y")
   }
 
@@ -772,21 +793,27 @@ object Analytics {
       .select(digit.as("digit"))
       .filter(col("digit").isNotNull)
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n").as("nn"))
-    val scored = graft.core.Scalars.crossBroadcast(counts, tot)
+    // The totals (nn, mad) are whole-frame aggregates over the ≤9-row
+    // digit frame — computed as unpartitioned windows OVER that frame so
+    // the base scan runs exactly once. The previous crossBroadcast form
+    // re-evaluated the counts subtree once per broadcast side (4 scans
+    // of the fact for one 9-row answer: ProfCm-style attribution at sf1
+    // measured 1.65 s → this form ~0.4 s). 9 rows on one partition is
+    // the intended degenerate window.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    counts
       .withColumn("observed",
-        round9(col("n").cast("double") / col("nn").cast("double")))
+        round9(col("n").cast("double")
+          / sum("n").over(wAll).cast("double")))
       .withColumn("expected", round9(
         log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
           / log(lit(10.0))))
       .withColumn("deviation",
         round9(abs(col("observed") - col("expected"))))
-    val mad = scored.agg(
-      round9(sum(col("deviation").cast(acc)).cast("double")
-        / count(lit(1)).cast("double")).as("mad"))
-    graft.core.Scalars.crossBroadcast(
-      scored.select("digit", "n", "observed", "expected", "deviation"),
-      mad)
+      .withColumn("mad",
+        round9(sum(col("deviation").cast(acc)).over(wAll).cast("double")
+          / count(lit(1)).over(wAll).cast("double")))
+      .select("digit", "n", "observed", "expected", "deviation", "mad")
       .orderBy("digit")
   }
 

@@ -54,17 +54,23 @@ object Drift {
     val counts = binned.groupBy("bucket")
       .agg(sum(when(col("w"), 0L).otherwise(1L)).as("n_ref"),
         sum(when(col("w"), 1L).otherwise(0L)).as("n_wave"))
-    val totals = counts.agg(sum("n_ref").as("t_ref"),
-      sum("n_wave").as("t_wave"))
-    val terms = graft.core.Scalars.crossBroadcast(counts, totals)
+    // Totals and the PSI sum are whole-frame aggregates over the ≤nBins
+    // bin frame, computed as unpartitioned windows OVER that frame so
+    // the corpus scan runs exactly once. The previous nested
+    // crossBroadcast form re-evaluated the counts subtree once per
+    // broadcast side — four corpus scans for one bin-sized answer
+    // (same finding as q_benford: 1.53 s → 0.48 s at sf1). ≤nBins rows
+    // on one partition is the intended degenerate window.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    counts
       .withColumn("p", (col("n_ref") + 1).cast("double") /
-        (col("t_ref") + nBins).cast("double"))
+        (sum("n_ref").over(wAll) + nBins).cast("double"))
       .withColumn("q", (col("n_wave") + 1).cast("double") /
-        (col("t_wave") + nBins).cast("double"))
+        (sum("n_wave").over(wAll) + nBins).cast("double"))
       .withColumn("term",
         round9((col("p") - col("q")) * round9(log(col("p") / col("q")))))
-    val total = terms.agg(sum(col("term").cast(Acc)).cast("double").as("psi"))
-    graft.core.Scalars.crossBroadcast(terms, total)
+      .withColumn("psi",
+        sum(col("term").cast(Acc)).over(wAll).cast("double"))
       .select(col("bucket"), col("n_ref"), col("n_wave"),
         round9(col("p")).as("p"), round9(col("q")).as("q"),
         col("term"), col("psi"))
@@ -107,12 +113,17 @@ object Drift {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cb", sum("nb").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = cum.agg(max("ca").as("t_ref"), max("cb").as("t_wave"))
-    val diffs = graft.core.Scalars.crossBroadcast(cum, totals)
+    // Totals and D are whole-frame aggregates over the distinct-value
+    // frame — unpartitioned windows (the frame already crosses one for
+    // the cumulative sums) so the corpus aggregation runs exactly once
+    // instead of once per crossBroadcast side (the q_benford finding).
+    val wAll = Window.partitionBy(lit(0))
+    cum
+      .withColumn("t_ref", max("ca").over(wAll))
+      .withColumn("t_wave", max("cb").over(wAll))
       .withColumn("d", abs(col("ca").cast("double") / col("t_ref").cast("double")
         - col("cb").cast("double") / col("t_wave").cast("double")))
-    val dMax = diffs.agg(max("d").as("d_max"))
-    graft.core.Scalars.crossBroadcast(diffs, dMax)
+      .withColumn("d_max", max("d").over(wAll))
       .filter(col("d") === col("d_max"))
       .agg(max("t_ref").as("n_ref"), max("t_wave").as("n_wave"),
         round9(max("d_max")).as("ks_d"), min("v").as("at_value"))
