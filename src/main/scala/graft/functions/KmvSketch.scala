@@ -189,10 +189,20 @@ object KmvOverlap {
 
   def audienceOverlap(events: DataFrame, k: Int = 128,
                       minEvents: Int = 14): DataFrame = {
-    val members = events.groupBy(col("event_type"), col("user_id"))
+    // (type, user)-grain audience frame: consumed by the sketch agg,
+    // BOTH crossBroadcast sides of the pair expansion, and both legs of
+    // the exact-intersection self-join — uncached that is 4+ full fact
+    // aggregations per call. Memoized (audience grain is bounded by
+    // |users|·|types|, far below the fact), size-gated on the event
+    // scan like every corpus-adjacent memo.
+    val membersPlan = events.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_ev"))
       .filter(col("n_ev") >= minEvents)
       .select("event_type", "user_id")
+    val members =
+      if (events.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("kmv.audienceMembers", membersPlan)
+      else membersPlan
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),
       16, 10).cast("long")
     // members is (type,user)-distinct by construction, so the count IS

@@ -497,20 +497,29 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
-    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d2612 = org.apache.spark.sql.types.DecimalType(26, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
-    // counts, total and the join-back all consume it
-    val tok = unigramToks(docs)
-    val tc = tok.groupBy("token").agg(count(lit(1)).as("c"))
-    val n = tok.select(count(lit(1)).as("total"))
-    graft.core.Scalars.crossBroadcast(tok.join(tc, "token"), n)
+    val d90 = org.apache.spark.sql.types.DecimalType(9, 0)
+    // (doc, token, n) TYPE grain off the shared memo — the log-prob
+    // depends only on the token type, so each distinct (doc, token)
+    // scores once and Σ n·logp rebuilds the per-occurrence sum exactly
+    // in decimal (the bigramLogProb collapse, applied one order down).
+    // The corpus total rides a window over the VOCAB-grain count frame
+    // (bounded by |vocab|, the Drift.ks single-partition rule) instead
+    // of a crossBroadcast whose broadcast side re-ran the corpus pass.
+    val dtc = docTokenCounts(docs)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val tc = dtc.groupBy("token").agg(sum("n").as("c"))
+      .withColumn("total", sum("c").over(wAll))
+    dtc.join(tc, "token")
       .withColumn("logp",
         round(log(col("c").cast("double") / col("total")).cast(d2012), 9)
-          .cast(d3812))
+          .cast(d2612))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).cast("int").as("n_tokens"),
-        round((sum("logp").cast("double") / count(lit(1))).cast(d3810), 6)
+        sum("n").cast("int").as("n_tokens"),
+        round((sum(col("n").cast(d90) * col("logp")).cast("double")
+          / sum("n")).cast(d3810), 6)
           .cast("double").as("avg_logprob"))
   }
 
@@ -544,7 +553,6 @@ object TextAnalysis {
     val d2612 = org.apache.spark.sql.types.DecimalType(26, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
     val d90 = org.apache.spark.sql.types.DecimalType(9, 0)
-    val tok = unigramToks(docs)
     val toksArr = split(normalized(col("text")), " ")
     // (doc, w1, w2, nb) — doc-bigram-TYPE grain; both the corpus count
     // aggregation and the final join-back consume it
@@ -558,13 +566,19 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("nb")))
     val bgc = bgd.groupBy("w1", "w2").agg(sum("nb").as("c2"))
-    val uc = tok.groupBy("token").agg(count(lit(1)).as("c1"))
-    val n = tok.select(count(lit(1)).as("total"))
-    val lpByType = graft.core.Scalars.crossBroadcast(
+    // unigram counts off the shared TYPE-grain memo (sum of per-doc
+    // type counts == the occurrence count the old explode-grain groupBy
+    // produced), with the corpus total attached by a vocab-grain window
+    // — the old form re-ran the 10x-larger occurrence frame once for
+    // the counts and AGAIN for the crossBroadcast total
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val uc = docTokenCounts(docs).groupBy("token").agg(sum("n").as("c1"))
+      .withColumn("total", sum("c1").over(wAll))
+    val lpByType =
       bgc
-        .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1")), "w1")
-        .join(uc.select(col("token").as("w2"), col("c1").as("c1_w2")), "w2"),
-      n)
+        .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1"),
+          col("total")), "w1")
+        .join(uc.select(col("token").as("w2"), col("c1").as("c1_w2")), "w2")
       .select(col("w1"), col("w2"),
         round(log(
           lit(lambda) * col("c2").cast("double") / col("c1_w1") +

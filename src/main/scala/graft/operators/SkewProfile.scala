@@ -36,12 +36,16 @@ object SkewProfile {
     */
   def summary(data: DataFrame, key: String): DataFrame = {
     val c = counts(data, key)
+    // nk rides a second window over the already-single-partition ranked
+    // frame (the rank window is the documented key-grain cost) — the
+    // old crossBroadcast's broadcast side re-ran the corpus count
+    // aggregation a second time for one scalar
     val ranked = c.select(col("cnt"),
       row_number().over(Window.orderBy("cnt")).as("rn"))
-    val totals = c.agg(count(lit(1)).as("nk"))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy(lit(0))))
     def atRank(q: Double): Column =
       max(when(col("rn") <= ceil(lit(q) * col("nk")), col("cnt")))
-    graft.core.Scalars.crossBroadcast(ranked, totals)
+    ranked
       .agg(
         max("nk").as("n_keys"),
         sum("cnt").as("n_rows"),
@@ -61,11 +65,16 @@ object SkewProfile {
     * AQE skew threshold) would target.
     */
   def hotKeys(data: DataFrame, key: String, n: Int = 5): DataFrame = {
-    val c = counts(data, key)
-    graft.core.Scalars.crossBroadcast(c, c.agg(sum("cnt").as("n_rows")))
+    // top-n FIRST (TakeOrdered over the one key-grain aggregate, no
+    // single-partition funnel), then the denominator joins in from a
+    // plain column-pruned row count — Σ per-key cnt ≡ count(data)
+    // exactly, and the old crossBroadcast's broadcast side re-ran the
+    // whole groupBy for it
+    val top = counts(data, key).orderBy(desc("cnt"), asc(key)).limit(n)
+    graft.core.Scalars.crossBroadcast(top,
+      data.agg(count(lit(1)).as("n_rows")))
       .select(col(key), col("cnt"),
         round9(col("cnt").cast("double") / col("n_rows")).as("share"))
       .orderBy(desc("cnt"), asc(key))
-      .limit(n)
   }
 }
