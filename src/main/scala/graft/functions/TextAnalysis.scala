@@ -430,8 +430,12 @@ object TextAnalysis {
       .withColumn("w",
         round(pow(col("total_tokens").cast("double"), lit(alpha))
           .cast(d2012), 9))
-    val wTot = weighted.select(sum("w").as("w_total"))
-    val rates = graft.core.Scalars.crossBroadcast(weighted, wTot)
+    // w_total windows over the source-grain frame (bounded by |sources|)
+    // — the crossBroadcast form re-ran the corpus token count for its
+    // broadcast side
+    val rates = weighted
+      .withColumn("w_total", sum("w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
       .select(col("source"),
         least(lit(1.0),
           lit(budgetTokens).cast("double") * col("w").cast("double") /

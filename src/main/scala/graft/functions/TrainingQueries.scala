@@ -643,13 +643,17 @@ object TrainingQueries {
             .orderBy(col("alpha_ratio").asc, col("doc_id").asc)))
       val byDecile = scored.groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
-      val overall = byDecile.agg(
-        round9(sum("n_dups").cast("double") / sum("n_docs").cast("double"))
-          .as("overall_rate"))
-      graft.core.Scalars.crossBroadcast(
-        byDecile.withColumn("dup_rate",
-          round9(col("n_dups").cast("double") / col("n_docs").cast("double"))),
-        overall)
+      // the overall rate is a whole-frame aggregate over the ≤10-row
+      // decile frame — an unpartitioned window, so the fp self-join +
+      // corpus ntile upstream runs once (the crossBroadcast form
+      // re-evaluated the whole scoring pass for its broadcast side)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      byDecile
+        .withColumn("dup_rate",
+          round9(col("n_dups").cast("double") / col("n_docs").cast("double")))
+        .withColumn("overall_rate",
+          round9(sum("n_dups").over(wAll).cast("double")
+            / sum("n_docs").over(wAll).cast("double")))
         .select("decile", "n_docs", "n_dups", "dup_rate", "overall_rate")
         .orderBy("decile")
     }),
@@ -923,11 +927,15 @@ object TrainingQueries {
       val hist = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-      val tot = hist.agg(sum(col("degree") * col("n_nodes")).as("sum_deg"),
-        sum("n_nodes").as("n"))
-      graft.core.Scalars.crossBroadcast(hist, tot)
+      // mean degree is a whole-frame aggregate over the degree-grain
+      // histogram (bounded by max degree) — an unpartitioned window, so
+      // the union+distinct+two-groupBy chain above runs once instead of
+      // once per crossBroadcast side
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      hist
         .select(col("degree"), col("n_nodes"),
-          round((col("sum_deg").cast("double") / col("n").cast("double"))
+          round((sum(col("degree") * col("n_nodes")).over(wAll).cast("double")
+            / sum("n_nodes").over(wAll).cast("double"))
             .cast(d2012), 9).cast("double").as("mean_degree"))
         .orderBy("degree")
     }),

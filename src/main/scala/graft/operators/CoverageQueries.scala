@@ -510,8 +510,13 @@ object CoverageQueries {
           floor(col("c_acctbal").cast("double") / 2000).cast("long")
             .as("bal_band"))
         .agg(count(lit(1)).as("n_rows"))
-      val k = g.agg(min("n_rows").as("k_anon"))
-      graft.core.Scalars.crossBroadcast(g.filter(col("n_rows") < 5), k)
+      // the table-wide minimum windows over the QI-grain frame (bounded
+      // by |segments|·|nations|·|bands| — a few hundred rows by
+      // contract) BEFORE the <5 filter; the crossBroadcast form re-ran
+      // the corpus aggregation for its broadcast side
+      g.withColumn("k_anon", min("n_rows").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+        .filter(col("n_rows") < 5)
         .select(col("c_mktsegment"), col("c_nationkey"), col("bal_band"),
           col("n_rows"), col("k_anon"))
         .orderBy("c_mktsegment", "c_nationkey", "bal_band")
@@ -538,8 +543,11 @@ object CoverageQueries {
             .as("bal_band"))
         .agg(count(lit(1)).as("n_rows"),
           count_distinct(col("c_mktsegment")).as("l_div"))
-      val ml = g.agg(min("l_div").as("min_l"))
-      graft.core.Scalars.crossBroadcast(g.filter(col("l_div") < 3), ml)
+      // same windowed-minimum-before-filter shape as q_kanon (QI grain
+      // bounded by |nations|·|bands|)
+      g.withColumn("min_l", min("l_div").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+        .filter(col("l_div") < 3)
         .select(col("c_nationkey"), col("bal_band"), col("n_rows"),
           col("l_div"), col("min_l"))
         .orderBy("c_nationkey", "bal_band")
