@@ -54,20 +54,16 @@ object Analytics {
             col("n_users"))
     }
     val all = counts.reduce(_ union _)
-    // self-join on adjacent stage index: funnel height is stages.length
-    // rows — driver-trivial, but kept in-plan so the whole thing is one
-    // DataFrame program (crossBroadcast keeps the 1-row top join a
-    // hash join, not the banned nested loop)
-    val prev = all.select(col("stage_idx").as("pi"),
-      col("n_users").as("prev_users"))
-    val top = all.filter(col("stage_idx") === 1)
-      .select(col("n_users").as("top_users"))
-    graft.core.Scalars.crossBroadcast(
-      all.join(prev, col("stage_idx") === col("pi") + 1, "left"), top)
-      .select(col("stage_idx"), col("stage"), col("n_users"),
+    // adjacent-stage and top-of-funnel denominators via lag/first over
+    // the stages.length-row frame (single partition by construction) —
+    // the old self-join + crossBroadcast re-evaluated every stage count
+    // (a fact aggregation each) once per consumer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("stage_idx")
+    all.select(col("stage_idx"), col("stage"), col("n_users"),
         Money.ratio2(col("n_users"),
-          coalesce(col("prev_users"), col("n_users"))).as("conv_prev"),
-        Money.ratio2(col("n_users"), col("top_users")).as("conv_top"))
+          coalesce(lag("n_users", 1).over(w), col("n_users"))).as("conv_prev"),
+        Money.ratio2(col("n_users"), first("n_users").over(w)).as("conv_top"))
       .orderBy("stage_idx")
   }
 

@@ -313,8 +313,19 @@ object Raptor {
     def sketch(ks: DataFrame, skCol: String, nCol: String) = ks
       .agg(graft.functions.KmvSketch.kmvSketch(h, k).as(skCol),
         count(lit(1)).as(nCol))
-    val srcKeys = keySet(sourceDF)
-    val tgtKeys = keySet(targetDF)
+    // each side's distinct key set feeds BOTH its sketch aggregate and
+    // the exact-intersection join — uncached, that is two full distinct
+    // passes over each input per call. Memoized (key grain, dim-sized
+    // for recon inputs), size-gated on the input scan like every
+    // corpus-adjacent memo.
+    def cachedKeys(df: DataFrame, side: String) = {
+      val ks = keySet(df)
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached(s"raptor.keySet.$side", ks)
+      else ks
+    }
+    val srcKeys = cachedKeys(sourceDF, "src")
+    val tgtKeys = cachedKeys(targetDF, "tgt")
     val inter = srcKeys.join(tgtKeys, "key")
       .agg(count(lit(1)).as("n_inter"))
     val joined = graft.core.Scalars.crossBroadcast(
