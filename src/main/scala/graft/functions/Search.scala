@@ -45,15 +45,23 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val terms = queryTerms.distinct
-    // the SHARED memoized corpus-token frame: doc lengths (all tokens)
-    // and the query postings (filtered) both consume it, and the
-    // unigram-LM queries over the same corpus hit the same memo — the
-    // unmemoized form re-ran the normalize+explode once per consumer
-    val tok = TextAnalysis.unigramToks(docs)
-    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    val tf = tok.filter(col("token").isin(terms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // postings come off the SHARED type-grain memo (docTokenCounts —
+    // per-(doc, token) counts ARE the tf), filtered to the query terms
+    // in ONE pass; df is a token-partitioned window over those postings
+    // (postings grain, distributed) instead of a broadcast whose
+    // subtree re-ran the filter pass. Doc lengths are memoized at doc
+    // grain — their aggregate (the corpus scalars) reads the cache, so
+    // a bm25 call costs one postings pass, not four corpus passes.
+    val dtc = TextAnalysis.docTokenCounts(docs)
+    val dlenPlan = dtc.groupBy("doc_id").agg(sum("n").as("dlen"))
+    val dlen =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("text.docLengths", dlenPlan)
+      else dlenPlan
+    val tf = dtc.filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("n").as("tf"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
     val scalars = dlen.agg(
       count(lit(1)).as("n_docs"), sum("dlen").as("tot_len"))
     val idf = round9(log(lit(1.0) +
@@ -63,7 +71,7 @@ object Search {
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("dlen") * col("n_docs") / col("tot_len")))
     graft.core.Scalars.crossBroadcast(
-      tf.join(broadcast(df), "token").join(dlen, "doc_id"), scalars)
+      tf.join(dlen, "doc_id"), scalars)
       .select(col("doc_id"),
         round9(part).cast(DecimalType(20, 9)).as("part"))
       .groupBy("doc_id")
