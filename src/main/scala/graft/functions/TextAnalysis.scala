@@ -102,11 +102,21 @@ object TextAnalysis {
     */
   def corpusProfile(docs: DataFrame): DataFrame = {
     import graft.core.Money
-    val base = docs.select(col("source"), col("lang"),
+    // the narrow (source, lang, n_tok, fp) projection is the expensive
+    // pass (md5 + normalize over every document) and three consumers
+    // read it (the dup-count, the per-source aggregate, the top-lang
+    // rank) — memoized so the text is fingerprinted once; the corpus
+    // dup count rides an fp-partitioned window (distributed, one
+    // shuffle) instead of a count-aggregate + join-back (two)
+    val basePlan = docs.select(col("source"), col("lang"),
       size(tokens(col("text"))).as("n_tok"),
       md5(normalized(col("text"))).as("fp"))
-    val fpCounts = base.groupBy("fp").agg(count(lit(1)).as("n_fp"))
-    val agg = base.join(fpCounts, "fp")
+    val base =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("text.corpusProfileBase", basePlan)
+      else basePlan
+    val agg = base.withColumn("n_fp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),
@@ -114,7 +124,7 @@ object TextAnalysis {
         sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("dup_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(desc("n"), asc("lang"))
-    val top = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val top = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
