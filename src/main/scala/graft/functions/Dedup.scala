@@ -1387,7 +1387,15 @@ object Dedup {
     */
   def bloomPrunedIncremental(index: DataFrame, batch: DataFrame,
                              mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
-    val words = bloomBuild(index, mBits, k)
+    // the stored index feeds BOTH the bloom-words collect and the
+    // suspect join — uncached, an in-plan index (exactIndex over the
+    // corpus) re-runs its md5 pass per consumer; memoized at fp grain,
+    // size-gated like every corpus-adjacent memo
+    val idx =
+      if (index.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("dedup.bloomIndex", index)
+      else index
+    val words = bloomBuild(idx, mBits, k)
     val wordsLit = typedLit(words.toSeq)
     val fps = batch.select(col("doc_id"),
       md5(TextAnalysis.normalized(col("text"))).as("fp"))
@@ -1399,7 +1407,7 @@ object Dedup {
     }.reduce(_ && _)
     val flagged = fps.withColumn("bloom_hit", mightContain)
     val suspects = flagged.filter(col("bloom_hit"))
-      .join(index.select(col("fp"),
+      .join(idx.select(col("fp"),
         col("keeper_doc_id").as("corpus_keeper")), Seq("fp"), "left")
     val cleared = flagged.filter(!col("bloom_hit"))
       .withColumn("corpus_keeper", lit(null).cast("long"))
