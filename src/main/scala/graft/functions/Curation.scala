@@ -47,11 +47,19 @@ object Curation {
     val gated = TextAnalysis.quality(docs)
       .filter(col("alpha_ratio") >= minAlpha && col("n_tokens") >= minTokens)
       .select("doc_id", "n_tokens")
-    docs.join(gated, "doc_id")
+    val plan = docs.join(gated, "doc_id")
       .withColumn("fp", md5(TextAnalysis.normalized(col("text"))))
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text", "n_tokens")
+    // curate consumes this frame twice (the LSH drop derivation and the
+    // anti-join stream) — each a full quality+md5 corpus pass uncached.
+    // Memoized HERE so curate and prefillShared hand the LSH stage the
+    // same frame (and the signature memo one consistent key); size-gated
+    // on the doc scan like every corpus-grain memo.
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+      graft.core.PlanMemo.cached("curation.exactKeepers", plan)
+    else plan
   }
 
   /** Cluster-balanced curation (the DataComp/SemDeDup-adjacent recipe):
