@@ -608,6 +608,39 @@ object TextAnalysis {
           .cast("double").as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per LANGUAGE, documents split into head/middle/tail
+    * terciles by LM score — CCNet trains on head, drops tail, and
+    * re-reviews middle; the per-language split is the recipe's point
+    * (a global cut would grade every non-English document against
+    * English perplexity norms). The reference scorer is a per-language
+    * KenLM; here it is the corpus bigram LM ([[bigramLogProb]] — the
+    * engine's KenLM-shaped scorer, riding the shared type-grain memos,
+    * so this adds zero corpus passes next to the LM-score rows).
+    *
+    * Buckets are `ntile(3)` over a TIE-BROKEN total order
+    * (avg_logprob DESC, doc_id ASC) per language partition — ANSI NTILE
+    * on a total order is engine-deterministic, the RFM/ntile rule.
+    * Documents with no bigram (< 2 tokens) have no LM score and are not
+    * bucketed (inner join — the scorer's contract, mirrored by the
+    * twin). Scale: one doc-grain join + a per-language rank; at 100 TB
+    * the ntile becomes range-partitioned ranking exactly as the
+    * ts_quality_calibration decile documents.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("avg_logprob"), asc("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(bigramLogProb(docs), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logprob"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., "Winnowing:
     * Local Algorithms for Document Fingerprinting" — the MOSS
     * algorithm): hash every character k-gram of the normalized text,

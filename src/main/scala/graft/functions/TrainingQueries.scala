@@ -1080,6 +1080,11 @@ object TrainingQueries {
     // ts_unigram_lp; unigram back-off so unseen transitions stay finite)
     "ts_bigram_lp" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
+    // CCNet per-language head/middle/tail perplexity terciles over the
+    // same bigram LM (memo-shared with ts_bigram_lp)
+    "ts_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // DataComp-style cluster-balanced curation: per-semantic-cell
     // quality cap over the trained k=16 centroid config (the ann_ivf
     // oracle assignment), rank window rides WindowGroupLimit
@@ -1911,6 +1916,49 @@ object TrainingQueries {
          |       CAST(ROUND(CAST(CAST(SUM(lp) AS DOUBLE) / count(*)
          |            AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_logprob
          |FROM lp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bigram-LM CTE chain verbatim, bucketed per language: NTILE(3)
+    // over the tie-broken (score DESC, doc_id) order mirrors the
+    // engine's window exactly
+    "ts_ccnet_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(string_split($normSql, ' '), 1) AS pos,
+         |         unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         token AS w2
+         |  FROM tok),
+         |bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |        WHERE w1 IS NOT NULL GROUP BY 1, 2),
+         |uc AS (SELECT token AS w, count(*) AS c1 FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS total FROM tok),
+         |lp2 AS (
+         |  SELECT b.doc_id,
+         |         CAST(ROUND(CAST(ln(
+         |             CAST(0.7 AS DOUBLE) * CAST(bc.c2 AS DOUBLE) / u1.c1
+         |           + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |             * CAST(u2.c1 AS DOUBLE) / n.total)
+         |           AS DECIMAL(20,12)), 9) AS DECIMAL(38,12)) AS lp
+         |  FROM bg b
+         |  JOIN bgc bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+         |  JOIN uc u1 ON b.w1 = u1.w
+         |  JOIN uc u2 ON b.w2 = u2.w
+         |  CROSS JOIN n
+         |  WHERE b.w1 IS NOT NULL),
+         |scores AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         |         CAST(ROUND(CAST(CAST(SUM(lp) AS DOUBLE) / count(*)
+         |              AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_logprob
+         |  FROM lp2 GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
+         |       CASE NTILE(3) OVER (PARTITION BY d.lang
+         |              ORDER BY s.avg_logprob DESC, d.doc_id ASC)
+         |            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // cluster-balance twin: the ann_ivf assignment CTE (9-dp cosine,
     // centroid-id tie-break) joined to the ts_quality alpha_ratio,
     // per-cell rank capped in a subquery

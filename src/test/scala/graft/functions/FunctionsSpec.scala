@@ -507,6 +507,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("perplexityBuckets: per-lang terciles, tie-broken; scoreless drop") {
+    // 6 scoreable en docs -> terciles of 2; 1 fr doc -> all three ntile
+    // groups collapse onto one row (head); 1-token doc never bucketed
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "a b", "en"), (3L, "b a", "en"),
+      (4L, "a b a", "en"), (5L, "b a b", "en"), (6L, "a b a b a", "en"),
+      (7L, "a b", "fr"), (8L, "z", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3),
+        r.getString(4))).toMap
+    assert(!out.contains(8L), "single-token doc has no LM score")
+    assert(out(7L)._3 == "head", "lone doc in a language is its head")
+    val en = out.filter(_._2._1 == "en").toSeq
+    assert(en.count(_._2._3 == "head") == 2
+      && en.count(_._2._3 == "middle") == 2
+      && en.count(_._2._3 == "tail") == 2)
+    // every head score >= every middle score >= every tail score
+    def scores(b: String) = en.filter(_._2._3 == b).map(_._2._2)
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("middle").min >= scores("tail").max)
+  }
+
   test("hybridRrf: fused ranks, one-sided hits still score") {
     val docs = Seq((1L, "fox fox jumps"), (2L, "fox runs"),
       (3L, "cat sleeps"), (4L, "dog barks")).toDF("doc_id", "text")
