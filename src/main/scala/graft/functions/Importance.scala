@@ -104,8 +104,14 @@ object Importance {
 
   private def dsirWeightsUncached(docs: DataFrame, isTarget: Column,
                                   buckets: Int): DataFrame = {
-    val feats = graft.core.PlanMemo.cached(s"importance.feats.$buckets",
-      features(docs, isTarget, buckets))
+    // same gate as the weight frame: when the corpus is past the memo
+    // gate this path IS the >8 GB branch, and pinning the doc-grain
+    // feature frame here would defeat the gate one level down
+    val featsPlan = features(docs, isTarget, buckets)
+    val feats =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached(s"importance.feats.$buckets", featsPlan)
+      else featsPlan
     // both corpus distributions in ONE pass over the bucket-grain frame
     val dist = feats.groupBy("bucket").agg(
       sum(when(col("is_target"), col("nf")).otherwise(lit(0))).as("ct"),

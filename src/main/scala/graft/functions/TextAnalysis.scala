@@ -569,16 +569,21 @@ object TextAnalysis {
     val d90 = org.apache.spark.sql.types.DecimalType(9, 0)
     val toksArr = split(normalized(col("text")), " ")
     // (doc, w1, w2, nb) — doc-bigram-TYPE grain; both the corpus count
-    // aggregation and the final join-back consume it
-    val bgd = graft.core.PlanMemo.cached("text.bigramDocCounts",
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(zip_with(
-            slice(toksArr, lit(1), size(toksArr) - 1),
-            slice(toksArr, lit(2), size(toksArr) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-        .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .agg(count(lit(1)).as("nb")))
+    // aggregation and the final join-back consume it. Size-gated like
+    // every corpus-grain memo (duplicateSpans rule): past ~8 GB of doc
+    // scan the double-compute beats pinning a corpus-sized frame.
+    val bgdPlan = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toksArr, lit(1), size(toksArr) - 1),
+          slice(toksArr, lit(2), size(toksArr) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("nb"))
+    val bgd =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("text.bigramDocCounts", bgdPlan)
+      else bgdPlan
     val bgc = bgd.groupBy("w1", "w2").agg(sum("nb").as("c2"))
     // unigram counts off the shared TYPE-grain memo (sum of per-doc
     // type counts == the occurrence count the old explode-grain groupBy

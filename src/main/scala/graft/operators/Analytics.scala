@@ -932,10 +932,17 @@ object Analytics {
     // array-HOF expansion of the same pairs by ~2× (interpreted
     // lambdas — measured, ProfAssoc: 1.05 s vs 1.98 s for the
     // packed-long HOF form at sf1; old shape 2.5 s warm, this 1.3 s).
-    val baskets = graft.core.PlanMemo.cached("basket_sets", lineitem
+    val basketsPlan = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .filter(size(col("ps")) <= maxBasket))
+      .filter(size(col("ps")) <= maxBasket)
+    // size-gated on the fact scan (an order-grain basket frame is not
+    // pinnable at 100 TB — the duplicateSpans rule); below the gate the
+    // memo serves the three consumers, above it the plan recomputes
+    val baskets =
+      if (lineitem.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("basket_sets", basketsPlan)
+      else basketsPlan
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
     val ex = baskets.select(col("ok"), explode(col("ps")).as("pk"))
     val pairs = ex.select(col("ok"), col("pk").as("part_a"))

@@ -103,10 +103,17 @@ object Raptor {
               datasetName: String = "dataset", preflightK: Int = 0): Result = {
     val colList = sourceDF.columns.toSeq
 
-    val source = graft.core.PlanMemo.cached("raptor.srcFp",
-      fingerprint(sourceDF, colList, "Source_Record", keys))
-    val target = graft.core.PlanMemo.cached("raptor.tgtFp",
-      fingerprint(targetDF, colList, "Target_Record", keys))
+    // row-grain fingerprint frames: memoized for the multi-consumer
+    // recon passes, size-gated on the input scan (a row-grain frame is
+    // not pinnable at 100 TB — the duplicateSpans rule)
+    def fpCached(tag: String, df: DataFrame, record: String) = {
+      val plan = fingerprint(df, colList, record, keys)
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached(tag, plan)
+      else plan
+    }
+    val source = fpCached("raptor.srcFp", sourceDF, "Source_Record")
+    val target = fpCached("raptor.tgtFp", targetDF, "Target_Record")
 
     val validateData = source.join(target, keys)
       .where(col("Source_Record") =!= col("Target_Record"))
