@@ -310,9 +310,14 @@ object CoverageQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
-    // W1-family: top-1 part per supplier by revenue (window + rnk=1)
+    // W1-family: top-1 part per supplier by revenue (window + rnk=1).
+    // Pre-partitioned on the WINDOW key: HashPartitioning(suppkey)
+    // satisfies both the (suppkey, partkey) aggregate's and the window's
+    // clustering, so the plan carries ONE exchange instead of two —
+    // and the pair grain here is nearly row grain (little partial-agg
+    // reduction), so exchanging raw rows costs the same bytes.
     "q_window_topk" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d).repartition(col("l_suppkey"))
       val perPart = li.groupBy("l_suppkey", "l_partkey")
         .agg(Money.round2(Money.moneySum(
           col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
@@ -323,9 +328,12 @@ object CoverageQueries {
         .orderBy("l_suppkey")
     }),
 
-    // W2-family: mode of event_type per user (count + window, tie asc)
+    // W2-family: mode of event_type per user (count + window, tie asc).
+    // Same one-exchange shape as q_window_topk: partitioned on the
+    // window key up front, the (user, type) aggregate and the window
+    // both run exchange-free on it.
     "q_mode_window" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).repartition(col("user_id"))
       val cnts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("user_id")
         .orderBy(desc("cnt"), asc("event_type"))
