@@ -939,9 +939,10 @@ object Analytics {
     // size-gated on the fact scan (an order-grain basket frame is not
     // pinnable at 100 TB — the duplicateSpans rule); below the gate the
     // memo serves the three consumers, above it the plan recomputes
+    val factSmall =
+      lineitem.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30)
     val baskets =
-      if (lineitem.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
-        graft.core.PlanMemo.cached("basket_sets", basketsPlan)
+      if (factSmall) graft.core.PlanMemo.cached("basket_sets", basketsPlan)
       else basketsPlan
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
     val ex = baskets.select(col("ok"), explode(col("ps")).as("pk"))
@@ -951,11 +952,18 @@ object Analytics {
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
     val itemCounts = ex.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    // item-grain counts broadcast only while the FACT scan is small
+    // (the same gate as the memo above): the item dictionary of a
+    // 100 TB fact is itself huge, and an ungated broadcast would OOM
+    // the driver — past the gate these degrade to shuffle joins on the
+    // pair frame's existing partitioning
+    val bcastIfSmall: DataFrame => DataFrame =
+      if (factSmall) broadcast(_) else identity
     graft.core.Scalars.crossBroadcast(
       pairs
-        .join(broadcast(itemCounts.select(col("pk").as("part_a"),
+        .join(bcastIfSmall(itemCounts.select(col("pk").as("part_a"),
           col("n_item").as("n_a"))), Seq("part_a"))
-        .join(broadcast(itemCounts.select(col("pk").as("part_b"),
+        .join(bcastIfSmall(itemCounts.select(col("pk").as("part_b"),
           col("n_item").as("n_b"))), Seq("part_b")), nBaskets)
       .select(col("part_a"), col("part_b"), col("n_pair"),
         col("n_a"), col("n_b"),
