@@ -734,12 +734,21 @@ object Analytics {
     val byAsc = Window.orderBy(col("monetary").asc, col("customer_id").asc)
     val ranked = base.withColumn("j", row_number().over(byAsc)
       .cast(org.apache.spark.sql.types.DecimalType(10, 0)))
-    val tot = ranked.agg(sum("m_dec").as("total"), count(lit(1)).as("n"),
-      sum(col("m_dec") * col("j")).as("rank_weighted"))
-    graft.core.Scalars.crossBroadcast(
-      ranked.withColumn("cum",
+    // totals as unpartitioned windows over the SAME frame the cum
+    // window already single-partitions (the crossBroadcast form
+    // re-evaluated the fact aggregation for its broadcast side — one
+    // extra orders pass for three scalars); the global-order window is
+    // this operator's inherent shape (range-partitioned ranking at
+    // 100 TB, per the RFM note), so the total/n/rank_weighted windows
+    // add zero exchanges
+    val wAll = Window.partitionBy(lit(0))
+    ranked
+      .withColumn("cum",
         sum("m_dec").over(byDesc.rowsBetween(
-          Window.unboundedPreceding, 0))), tot)
+          Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("m_dec").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rank_weighted", sum(col("m_dec") * col("j")).over(wAll))
       .select(col("customer_id"), col("monetary"),
         round9(col("cum").cast("double") / col("total").cast("double"))
           .as("cum_share"),
