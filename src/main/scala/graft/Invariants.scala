@@ -154,6 +154,45 @@ object Invariants {
     })
     sess.unpersist()
 
+    // ── SCD2 merge: validity-interval discipline per business key —
+    //    exactly one current row, open iff current, and the successor
+    //    chain closes each row exactly where the next begins (the
+    //    family whose fixture key-collision only surfaced at 30×) ──────
+    val scd = SparkEntry.queries("k5_scd2")(spark, sfDir).cache()
+    check("k5_scd2: exactly one current row per key")(
+      scd.groupBy("c_custkey")
+        .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("ncur"))
+        .filter(col("ncur") =!= 1L).isEmpty)
+    check("k5_scd2: open iff current; closed intervals well-formed")(
+      scd.filter(
+        (col("is_current") && col("valid_to").isNotNull) ||
+          (!col("is_current") && (col("valid_to").isNull ||
+            col("valid_from") >= col("valid_to")))).isEmpty)
+    check("k5_scd2: successor chain — no overlap, no gap")({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_custkey").orderBy("valid_from")
+      scd.withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("next_from").isNotNull &&
+          !(col("valid_to") <=> col("next_from"))).isEmpty
+    })
+    scd.unpersist()
+
+    // ── basket rules: canonical unique pairs, the min-support floor,
+    //    count algebra (a pair can't co-occur more than either side
+    //    occurs), and confidence ≡ n_pair/n_side at the 9-dp rounding ──
+    val rules = SparkEntry.queries("q_assoc")(spark, sfDir).cache()
+    check("q_assoc: canonical unique pairs, support floor")(
+      rules.filter(col("part_a") >= col("part_b")).isEmpty &&
+        rules.groupBy("part_a", "part_b").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).isEmpty &&
+        rules.filter(col("n_pair") < 2).isEmpty)
+    check("q_assoc: count algebra + confidence consistency")(
+      rules.filter(col("n_pair") > col("n_a") ||
+        col("n_pair") > col("n_b")).isEmpty &&
+        rules.filter(abs(col("conf_ab") - col("n_pair").cast("double") /
+          col("n_a").cast("double")) > 1e-8).isEmpty)
+    rules.unpersist()
+
     println(s"[inv] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
