@@ -111,7 +111,15 @@ object ClusterSmoke {
     // crossing executor boundaries batch after batch
     t("st_upsert (3-wave CDC replay)")(
       streaming.EventsStream.streamingUpsertReplay(spark, sfDir).count())
-    println(s"[smoke] PASS - all eight ran on $execs remote executors")
+    // the heaviest streaming state shape: the LEFT-OUTER watermarked
+    // interval join keeps BOTH stream sides in four executor-resident
+    // stores (2 sides × key/index) and must evict-and-EMIT unmatched
+    // left rows when the global watermark passes — the eviction path
+    // runs inside executor JVMs against their own store files here
+    t("st_left_join (interval join)")(
+      streaming.EventsStream.clickPurchaseLeftStreaming(
+        spark, sfDir, "smoke_left_join").count())
+    println(s"[smoke] PASS - all nine ran on $execs remote executors")
     spark.stop()
   }
 }
