@@ -563,6 +563,21 @@ object TextAnalysis {
     * ladder as the unigram path.
     */
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    // the FINISHED doc-grain LM frame is memoized (3 columns, fully
+    // deterministic — decimal-rounded lns over exact counts): both
+    // ts_bigram_lp and ts_ccnet_buckets consume it, and without this
+    // memo the tercile row re-ran the whole type-grain join stack on
+    // top of the shared bgd memo (the ts_dsir finished-weights lesson).
+    // Corpus-size-gated: a doc-grain frame is not pinnable at 100 TB.
+    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (docBytes < (8L << 30))
+      graft.core.PlanMemo.cached(s"text.bigramLp.$lambda",
+        bigramLogProbUncached(docs, lambda))
+    else bigramLogProbUncached(docs, lambda)
+  }
+
+  private def bigramLogProbUncached(docs: DataFrame,
+                                    lambda: Double): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
     val d2612 = org.apache.spark.sql.types.DecimalType(26, 12)
     val d3810 = org.apache.spark.sql.types.DecimalType(38, 10)
