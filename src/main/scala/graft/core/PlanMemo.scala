@@ -42,10 +42,14 @@ object PlanMemo {
   private val memo = new ConcurrentHashMap[(SparkSession, String),
     List[(LogicalPlan, Long, DataFrame)]]()
 
-  /** Order-independent hash of every file path + size under the plan's
-    * file-source scans (the listing is pinned at read time inside the
-    * relation's FileIndex, so this reflects what the plan WILL read,
-    * not what the path holds now).
+  /** Order-independent hash of every file path + length + modification
+    * time under the plan's file-source scans (the listing is pinned at
+    * read time inside the relation's FileIndex, so this reflects what
+    * the plan WILL read, not what the path holds now). Mtime matters:
+    * names + total size alone would let an IN-PLACE rewrite that
+    * preserves both (same part-file names, same byte count — e.g. an
+    * external process overwriting a stored index) serve a stale cached
+    * frame; any rewrite bumps mtime, so the lookup misses and re-reads.
     */
   private def fileFingerprint(plan: LogicalPlan): Long = {
     var h = 1125899906842597L
@@ -55,7 +59,12 @@ object PlanMemo {
           case fs: HadoopFsRelation =>
             // sum, not fold: leaf iteration order must not matter
             var acc = 0L
-            fs.location.inputFiles.foreach(f => acc += f.hashCode.toLong)
+            fs.location.listFiles(Nil, Nil).foreach { pd =>
+              pd.files.foreach { f =>
+                acc += f.getPath.toString.hashCode.toLong * 31 +
+                  f.getModificationTime * 7 + f.getLen
+              }
+            }
             h = h * 31 + acc
             h = h * 31 + fs.location.sizeInBytes
           case _ => ()

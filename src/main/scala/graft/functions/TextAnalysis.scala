@@ -518,13 +518,18 @@ object TextAnalysis {
     // depends only on the token type, so each distinct (doc, token)
     // scores once and Σ n·logp rebuilds the per-occurrence sum exactly
     // in decimal (the bigramLogProb collapse, applied one order down).
-    // The corpus total rides a window over the VOCAB-grain count frame
-    // (bounded by |vocab|, the Drift.ks single-partition rule) instead
-    // of a crossBroadcast whose broadcast side re-ran the corpus pass.
+    // The corpus total is a SCALAR aggregate over the (memoized) token
+    // frame, attached to the vocab-grain counts by constant-key
+    // broadcast join — a lit(0) window here would shuffle the ENTIRE
+    // vocabulary to one task (vocab is corpus-dependent, not bounded by
+    // contract like the ≤10-row frames where that pattern is fine).
+    // When dtc is cached the broadcast side is a partial agg over
+    // cached data; uncached (above the 8 GB memo gate) it re-runs the
+    // token pass once — distributed, vs a single-task vocab sort.
     val dtc = docTokenCounts(docs)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val tc = dtc.groupBy("token").agg(sum("n").as("c"))
-      .withColumn("total", sum("c").over(wAll))
+    val tc = graft.core.Scalars.crossBroadcast(
+      dtc.groupBy("token").agg(sum("n").as("c")),
+      dtc.agg(sum("n").as("total")))
     dtc.join(tc, "token")
       .withColumn("logp",
         round(log(col("c").cast("double") / col("total")).cast(d2012), 9)
@@ -602,12 +607,15 @@ object TextAnalysis {
     val bgc = bgd.groupBy("w1", "w2").agg(sum("nb").as("c2"))
     // unigram counts off the shared TYPE-grain memo (sum of per-doc
     // type counts == the occurrence count the old explode-grain groupBy
-    // produced), with the corpus total attached by a vocab-grain window
-    // — the old form re-ran the 10x-larger occurrence frame once for
-    // the counts and AGAIN for the crossBroadcast total
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val uc = docTokenCounts(docs).groupBy("token").agg(sum("n").as("c1"))
-      .withColumn("total", sum("c1").over(wAll))
+    // produced), with the corpus total as a scalar aggregate over the
+    // SAME memoized frame attached by constant-key broadcast — not a
+    // lit(0) window (which would single-task the whole vocabulary) and
+    // not a total over a re-derived occurrence frame (which re-ran the
+    // 10x-larger explode)
+    val utc = docTokenCounts(docs)
+    val uc = graft.core.Scalars.crossBroadcast(
+      utc.groupBy("token").agg(sum("n").as("c1")),
+      utc.agg(sum("n").as("total")))
     val lpByType =
       bgc
         .join(uc.select(col("token").as("w1"), col("c1").as("c1_w1"),

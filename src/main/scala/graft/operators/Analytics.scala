@@ -616,10 +616,18 @@ object Analytics {
     // each crossBroadcast side re-evaluates its subtree, so an uncached
     // cell frame re-runs the corpus aggregation per branch (the
     // q_benford finding). Cells are |x|·|y|-bounded by the categorical
-    // contract: memoize once, every branch reads the cached frame.
-    val cells = graft.core.PlanMemo.cached("chi2.cells",
-      df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
-        .agg(count(lit(1)).as("n")))
+    // contract: memoize once, every branch reads the cached frame — but
+    // the API accepts arbitrary columns, and a high-cardinality pair
+    // makes the cell frame near-fact-sized, so the memo is gated on the
+    // source plan-stats size like basket_sets/bigramDocCounts (above
+    // the gate each branch re-aggregates: slower, never pins a
+    // corpus-sized frame in executor storage).
+    val cellsPlan = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val cells =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 30))
+        graft.core.PlanMemo.cached("chi2.cells", cellsPlan)
+      else cellsPlan
     // χ² runs over the FULL R×C grid: a zero-observed cell with positive
     // expected count contributes (0−e)²/e — dropping it (as MI correctly
     // does, 0·ln0 → 0) would understate association. The grid is the
