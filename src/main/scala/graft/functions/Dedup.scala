@@ -1029,8 +1029,12 @@ object Dedup {
   /** Edge cap for [[driverClosure]]: ≤ 2¹⁸ edges ≈ 4 MB collected —
     * the "bounded by contract" collect discipline (the Bloom-words /
     * centroid-ceiling pattern) applied to the label graph.
+    * `GRAFT_DRIVER_CAP=0` forces the distributed star closure (the
+    * bench's kernels-off leg; see `DriverGraph.DefaultEdgeCap`).
     */
-  private final val SmallClosureEdgeCap = 1 << 18
+  private final val SmallClosureEdgeCap: Long =
+    sys.env.get("GRAFT_DRIVER_CAP").map(_.toLong.min(1L << 18))
+      .getOrElse(1L << 18)
 
   /** Exact driver-side min-label closure for index-sized edge sets:
     * union-find that always attaches the larger root under the

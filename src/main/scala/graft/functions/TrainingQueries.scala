@@ -790,6 +790,15 @@ object TrainingQueries {
       TextAnalysis.decontaminate(Tables.documents(s, d),
         col("doc_id") % 97 === 0, threshold = 0.5)
         .orderBy("doc_id")),
+    // the published regime: GPT-3 appendix C flags train docs on
+    // 13-gram collisions with the eval set (3-gram windows flag
+    // commonplace phrasing; 13-grams only near-verbatim spans — the
+    // synthetic corpus's near-dup families). Same pipeline, n = 13,
+    // threshold lowered: 13-gram overlap is sparse-or-saturated
+    "ts_decontaminate13" -> ((s, d) =>
+      TextAnalysis.decontaminate(Tables.documents(s, d),
+        col("doc_id") % 97 === 0, n = 13, threshold = 0.25)
+        .orderBy("doc_id")),
     "ts_novelty" -> ((s, d) =>
       TextAnalysis.noveltyScore(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1774,6 +1783,29 @@ object TrainingQueries {
          |       ${Money.Sql.ratio2(
                    "SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)",
                    "count(*)")} >= 0.5 AS flagged
+         |FROM tr LEFT JOIN bs USING (shingle)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // 13-gram decontamination twin: same shape, shingle built by
+    // slicing 13 tokens (1-based inclusive list slice) — docs shorter
+    // than 13 tokens yield no shingles and drop out on both sides
+    "ts_decontaminate13" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 11),
+         |           i -> array_to_string(t[i:i+12], ' '))) AS shingle
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS t
+         |        FROM documents) x),
+         |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE NOT doc_id % 97 = 0)
+         |SELECT tr.doc_id, count(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_contaminated,
+         |       ${Money.Sql.ratio2(
+                   "SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+                   "count(*)")} AS contamination,
+         |       ${Money.Sql.ratio2(
+                   "SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)",
+                   "count(*)")} >= 0.25 AS flagged
          |FROM tr LEFT JOIN bs USING (shingle)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // novelty twin: distinct shingles, min≠max single-doc test,

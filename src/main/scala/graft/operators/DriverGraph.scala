@@ -32,8 +32,16 @@ private[operators] object DriverGraph {
     * Bloom-words / centroid-ceiling pattern. Covers the kNN graphs the
     * bench runs at every measured SF while a corpus-grain edge list
     * (100 TB territory) stays distributed.
+    *
+    * `GRAFT_DRIVER_CAP=0` forces every graph kernel distributed — the
+    * bench's kernels-off leg (`tools/bench_distributed.sh` →
+    * `BENCH_distributed.json`), which keeps the fixpoint paths that
+    * actually run at 100 TB perf-regression-gated every round instead
+    * of only at the 30× gate. Output parity between the two regimes is
+    * spec-pinned (`DriverGraphSpec`).
     */
-  final val DefaultEdgeCap: Int = 1 << 20
+  final val DefaultEdgeCap: Int =
+    sys.env.get("GRAFT_DRIVER_CAP").map(_.toInt).getOrElse(1 << 20)
 
   /** The whole edge list iff it has at most `cap` rows, in ONE job:
     * `limit(cap+1)` returns every row when the frame is smaller than
