@@ -94,9 +94,41 @@ object Bench {
       else all.filter(kv => !excluded.contains(kv._1))
     val ordered = picked.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Jobs-per-query telemetry: a global job-start counter, read as a
+    // delta around each query. Queries run strictly sequentially, so
+    // every job submitted during a query's window belongs to it —
+    // including micro-batch jobs a streaming query runs on its own
+    // execution thread, which a job-group tag would miss. Job-start
+    // events fire at SUBMISSION (before the action returns), so the
+    // post-action read sees them; the short stability poll below
+    // absorbs listener-bus lag. Stacked fixed per-job overhead on
+    // cached inputs is the recurring cost disease (ProfDsir), and this
+    // column makes it visible in the artifact instead of per-profile.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+    val jobsByQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def drainedJobCount(): Int = {
+      var prev = jobCount.get()
+      var stable = 0
+      var spins = 0
+      while (stable < 2 && spins < 50) {
+        Thread.sleep(5)
+        val cur = jobCount.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        spins += 1
+      }
+      prev
+    }
     // per-pass: (query, elapsed sec, succeeded)
-    def pass(tag: String): Seq[(String, Double, Boolean)] =
+    def pass(tag: String, countJobs: Boolean = false): Seq[(String, Double, Boolean)] =
       ordered.map { case (name, fn) =>
+        val j0 = if (countJobs) drainedJobCount() else 0
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
@@ -105,7 +137,9 @@ object Bench {
                 Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
               false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (countJobs) jobsByQuery(name) = drainedJobCount() - j0
+        (name, dt, ok)
       }
     // Shared cache fills run BEFORE the cold pass, each timed as its own
     // named line: filling them inside the pass would land a shared build
@@ -147,7 +181,9 @@ object Bench {
     }.min
     val cold = fillLines.toSeq ++ pass("cold") // fills remaining caches, codegen, page cache
     val warm1 = pass("warm1")
-    val warm2 = pass("warm2")
+    // jobs are counted on the LAST warm pass: fully warm caches, so the
+    // count is the steady-state job shape, not cache-fill jobs
+    val warm2 = pass("warm2", countJobs = true)
     val warm = warm1.zip(warm2).map { case ((k, a, okA), (_, b, okB)) =>
       val succeeded = Seq(a -> okA, b -> okB).collect { case (t, true) => t }
       k -> (if (succeeded.nonEmpty) succeeded.min else math.min(a, b))
@@ -165,8 +201,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val exclJson = excluded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val jobsJson = jobsByQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"errors":$errJson,"cold_total_sec":$coldTotal,"cold_queries":${jmap(cold.map(c => c._1 -> c._2))},"excluded":$exclJson,"__calibration":$calibration,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"jobs":$jobsJson,"errors":$errJson,"cold_total_sec":$coldTotal,"cold_queries":${jmap(cold.map(c => c._1 -> c._2))},"excluded":$exclJson,"__calibration":$calibration,"sf":${jstr(sfDir)}}"""
     try {
       Files.writeString(Paths.get(outFile), json + "\n")
       System.err.println(s"[bench] wrote $outFile")

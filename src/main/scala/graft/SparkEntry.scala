@@ -740,6 +740,15 @@ object SparkEntry {
     * corpus-scale work is the month-grain aggregate — recursion depth
     * never scales with data volume.
     */
+  // Shipped form: `+1` stepping recursion. A binary range-split variant
+  // (⌈log₂ N⌉ iterations) was built and A/B-measured on the hypothesis
+  // that Spark schedules one job per recursive iteration — REJECTED:
+  // ProfRecursive at sf0.1 measured step+1 at 7 jobs / 0.73 s vs
+  // binary-split at 42 jobs / 1.10 s. Spark's UnionLoopExec executes a
+  // simple-projection recursive term over a local anchor without
+  // per-iteration scheduled jobs, while the split form's VALUES join in
+  // the recursive term plans an exchange whose jobs stack PER iteration.
+  // The rejected text lives in ProfRecursive for re-measurement.
   private val recursiveMonthsSql: String =
     """WITH RECURSIVE b AS (
       |  SELECT CAST(year(min(o_orderdate)) * 12 + month(min(o_orderdate)) - 1 AS INT) AS lo,

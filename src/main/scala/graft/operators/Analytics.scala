@@ -135,9 +135,16 @@ object Analytics {
     ewmaAnomaly(dailyUnits(sales),
       "payment_mode", "sale_date", "daily_total")
 
+  // Memoized: five consumers (q_ewma/q_holt/q_cusum/q_seasonal/
+  // q_anomaly) fold over the SAME per-mode daily series, and each was
+  // re-aggregating the sales fact to build it. The frame is
+  // |payment modes| × |days| — bounded by the data SPAN and the mode
+  // vocabulary, not the corpus volume, so it needs no size gate (a
+  // 100 TB fact still yields ~modes × span rows).
   private def dailyUnits(sales: DataFrame): DataFrame =
-    sales.groupBy(col("payment_mode"), col("sale_date"))
-      .agg(sum(col("quantity")).cast("double").as("daily_total"))
+    graft.core.PlanMemo.cached("analytics.dailyUnits",
+      sales.groupBy(col("payment_mode"), col("sale_date"))
+        .agg(sum(col("quantity")).cast("double").as("daily_total")))
 
   /** EWMA-forecast anomaly detection over a per-key daily series: each
     * day's residual against the PREVIOUS day's EWMA (the one-step

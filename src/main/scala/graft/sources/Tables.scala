@@ -60,11 +60,27 @@ object Tables {
     * API does. `events` goes through its reader so the view carries the
     * microsecond-converted `ts` the DataFrame API exposes (raw
     * registration would fail on the TIMESTAMP(NANOS) parquet column).
+    *
+    * Idempotent per (session, sfDir): a repeat call is a guard check,
+    * not ten fresh `spark.read.parquet` relations (each new relation
+    * lists + footer-reads its path — the round-12 jobs telemetry
+    * attributed ~10 of sql_recursive_months' 17 jobs to exactly this).
+    * The SqlLab.registerViews failure discipline applies: the guard
+    * updates only AFTER every view registered, and is dropped on a
+    * mid-registration failure so a retry re-registers from scratch.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (registeredDir.get(spark) == sfDir) return
+    registeredDir.remove(spark)
     names.foreach { n =>
       val df = if (n == "events") events(spark, sfDir)
       else table(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+    registeredDir.put(spark, sfDir)
+    ()
+  }
+
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 }
