@@ -2726,31 +2726,62 @@ object TrainingQueries {
         |SELECT * FROM (SELECT * FROM members
         |               UNION ALL SELECT * FROM bridges)
         |ORDER BY asset_a, asset_b""".stripMargin),
-    // phash-cluster twin: the pair set above closed by the recursive
-    // min-reachable CTE (like dd_cluster), every image labeled via the
-    // left join, singletons label themselves
+    // phash-cluster twin, restructured for the 30× gate (round 12 —
+    // the ~80-min sf3 long pole was (a) an O(n²) cross join for the
+    // pair set and (b) the recursive closure enumerating (v, every
+    // reachable r) at ASSET grain, quadratic in the exact-dup family
+    // sizes). Same mathematics, three collapses:
+    //  1. exact-hash groups collapse to their min-asset rep FIRST —
+    //     hamming(a, b) depends only on the hashes, so the cluster
+    //     structure is exactly the component structure of the
+    //     hash-GROUP graph (no recursion needed to attach members);
+    //  2. rep-to-rep candidate pairs come from the 16-bit band
+    //     pigeonhole (hamming ≤ 3 over 4 disjoint bands ⇒ ≥ 1 band
+    //     equal — the same exactness argument the mm_phash_pairs row
+    //     proves against brute force at every SF), an equi-join;
+    //  3. the recursive min-reachable closure runs over the BRIDGE
+    //     graph only (distinct-hash reps within hamming 1..3), which
+    //     is orders of magnitude smaller than the asset graph.
+    // Component min over reps = min asset of the cluster, because each
+    // rep is its group's min — labels are bit-identical to the old
+    // twin (mm_phash_cluster stayed triple-green at sf0.01/sf1).
     "mm_phash_cluster" -> (phashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, aug AS (
         |  SELECT asset_id, hash_hi, hash_lo FROM ph
         |  UNION ALL
         |  SELECT asset_id + 1000000, hash_hi, hash_lo FROM ph
         |  WHERE asset_id % 30 = 0),
-        |prs AS (
-        |  SELECT a.asset_id AS pa, b.asset_id AS pb
-        |  FROM aug a JOIN aug b ON a.asset_id < b.asset_id
+        |reps AS MATERIALIZED (
+        |  SELECT hash_hi, hash_lo, min(asset_id) AS rep
+        |  FROM aug GROUP BY hash_hi, hash_lo),
+        |bnd AS (
+        |  SELECT rep, hash_hi, hash_lo, b.band_no,
+        |         CASE b.band_no
+        |           WHEN 0 THEN hash_hi // 65536
+        |           WHEN 1 THEN hash_hi % 65536
+        |           WHEN 2 THEN hash_lo // 65536
+        |           ELSE hash_lo % 65536 END AS band_val
+        |  FROM reps, (VALUES (0), (1), (2), (3)) b(band_no)),
+        |bridges AS (
+        |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        |  FROM bnd a JOIN bnd b
+        |    ON a.band_no = b.band_no AND a.band_val = b.band_val
+        |   AND a.rep < b.rep
         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
-        |edges AS (SELECT pa AS src, pb AS dst FROM prs
-        |          UNION ALL SELECT pb, pa FROM prs),
+        |edges AS (SELECT ra AS src, rb AS dst FROM bridges
+        |          UNION ALL SELECT rb, ra FROM bridges),
         |reach(v, r) AS (
         |    SELECT DISTINCT src, src FROM edges
         |    UNION
         |    SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
         |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
         |lab AS (
-        |    SELECT a.asset_id, coalesce(c.cluster_id, a.asset_id)
-        |             AS cluster_id
-        |    FROM aug a LEFT JOIN comp c ON a.asset_id = c.v)
+        |    SELECT a.asset_id, coalesce(c.cluster_id, r.rep) AS cluster_id
+        |    FROM aug a
+        |    JOIN reps r
+        |      ON a.hash_hi = r.hash_hi AND a.hash_lo = r.hash_lo
+        |    LEFT JOIN comp c ON r.rep = c.v)
         |SELECT asset_id, cluster_id,
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |       (asset_id = cluster_id) AS is_keeper
