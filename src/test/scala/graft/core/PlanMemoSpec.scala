@@ -41,6 +41,50 @@ class PlanMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("in-place rewrite preserving names and total size misses via mtime") {
+    // The round-11 advice case: an external process rewrites a stored
+    // index IN PLACE — part-file names and byte counts unchanged, only
+    // content (and mtime) differ. A name+size fingerprint would serve
+    // the stale cached frame; the mtime term must force a miss. The
+    // fixture bumps ONLY the mtime (the one term the old fingerprint
+    // lacked): a re-read must miss and serve a FRESH frame — which, by
+    // the append test above, reads the path's current bytes.
+    val root = java.nio.file.Files.createTempDirectory("planmemo_mtime")
+    try {
+      val dirA = root.toString + "/a"
+      spark.range(0, 10).select(col("id")).coalesce(1)
+        .write.parquet(dirA)
+      def part(dir: String) = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try s.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally s.close()
+      }
+      val pa = part(dirA)
+      val first = PlanMemo.cached("pmspec3", spark.read.parquet(dirA))
+      assert(first.count() == 10)
+      // unchanged path: HIT (the identity check the appended-wave test
+      // also pins — repeated here as the control for the touch below)
+      assert(PlanMemo.cached("pmspec3", spark.read.parquet(dirA)) eq first)
+      // the in-place rewrite signature: same name, same size, new mtime
+      val size0 = java.nio.file.Files.size(pa)
+      java.nio.file.Files.setLastModifiedTime(pa,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000))
+      assert(java.nio.file.Files.size(pa) == size0)
+      val fresh = PlanMemo.cached("pmspec3", spark.read.parquet(dirA))
+      assert(!(fresh eq first),
+        "same-name same-size rewrite must not serve the stale frame")
+      assert(fresh.count() == 10)
+    } finally {
+      PlanMemo.invalidate(spark, "pmspec3")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("invalidate drops a tag's entries eagerly") {
     val df = PlanMemo.cached("pmspec2", spark.range(0, 5).toDF("id"))
     assert(df.count() == 5)
