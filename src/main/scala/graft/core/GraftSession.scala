@@ -33,6 +33,15 @@ object GraftSession {
       // ingest edge, never the hot path; full-row parse there is the
       // right trade.
       .config("spark.sql.csv.parser.columnPruning.enabled", "false")
+      // per-JVM warehouse: the default is $cwd/spark-warehouse, SHARED
+      // across concurrent driver JVMs — two gate workers materializing
+      // the legacy.db tables race on the same _temporary dir (observed
+      // at the sf10 spot gate: "_temporary/0 does not exist"). Nothing
+      // reads the warehouse across JVMs (materializeLegacy clears
+      // orphaned locations), so a throwaway per-process dir is strictly
+      // safer and stops littering the repo checkout.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
