@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Cluster bench-of-record (VERDICT r12 task 5): timed runs of the
+  * mart + dedup + graph families against the 2-worker standalone
+  * cluster, recording per-query wall AND shuffle read/write bytes from
+  * the task-metrics listener. The 9-leg [[ClusterSmoke]] proves the
+  * families RUN across real executor JVMs; this artifact pins their
+  * cost shape, so a network-shuffle perf regression — e.g. a size-gated
+  * broadcast silently degrading to a shuffle join — shows up as a
+  * shuffle-bytes diff in `BENCH_cluster.json` instead of going
+  * unnoticed until it hurts at deployment scale.
+  *
+  * Protocol mirrors [[Bench]] where it matters for comparability: fixed
+  * alphabetical order, one untimed warm pass first (memo/codegen
+  * fills), then two timed warm passes; per-query wall is the MIN of the
+  * two and shuffle bytes come from the LAST pass (steady-state plan
+  * shape — a PlanMemo-served query legitimately reports ~0, and that 0
+  * is itself the regression signal to diff). Driven by
+  * `tools/cluster_bench.sh`, which launches the same 1-master +
+  * 2-worker standalone cluster as the fault smoke.
+  */
+object ClusterBench {
+  def main(args: Array[String]): Unit = {
+    val master = args.headOption.getOrElse("spark://127.0.0.1:7077")
+    val sfDir = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
+    val jar = if (args.length > 2) args(2)
+      else "/root/repo/target/scala-2.13/metamorphetldatabricksspark_2.13-0.1.0.jar"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_cluster.json")
+    val spark = SparkSession.builder()
+      .appName("graft-cluster-bench")
+      .master(master)
+      .config("spark.jars", jar)
+      .config("spark.executor.memory", "16g")
+      .config("spark.executor.cores", "8")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (execs < 2 && System.nanoTime() < deadline) Thread.sleep(500)
+    require(execs >= 2, s"need >= 2 remote executors, got $execs")
+    println(s"[cbench] master=$master executors=$execs sfDir=$sfDir")
+
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          shuffleRead.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    })
+    // listener events are async; settle before reading a delta
+    def settle(): Unit = {
+      var prev = (shuffleRead.get, shuffleWrite.get)
+      var stable = 0
+      var spins = 0
+      while (stable < 2 && spins < 100) {
+        Thread.sleep(20)
+        val cur = (shuffleRead.get, shuffleWrite.get)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        spins += 1
+      }
+    }
+
+    // mart + dedup + graph families — the shapes whose broadcast/shuffle
+    // decisions matter most on a real network (marts: gated broadcasts
+    // + single-fact-pass windows; dedup: banded LSH pair joins; graph:
+    // the distributed fixpoints' per-iteration shuffles)
+    val names = Seq(
+      "m_customer_metrics", "m_supplier_performance",
+      "m_product_performance", "m_customer_sales_report",
+      "dd_exact", "dd_minhash_lsh", "dd_simhash_pairs",
+      "dd_ngram_jaccard", "dd_cluster", "dd_canonical",
+      "graph_pagerank", "graph_label_prop", "graph_kcore",
+      "graph_triangles", "graph_ppr",
+      "q_assoc").sorted
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+
+    // shared memo fills run before timing, same discipline as Bench's
+    // coldFills: whichever query runs first must not absorb them
+    functions.TrainingQueries.coldFills.foreach { case (name, consumers, thunk) =>
+      if (consumers.exists(names.contains)) {
+        val t0 = System.nanoTime()
+        thunk(spark, sfDir)
+        println(f"[cbench] fill $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+    }
+    // untimed warm pass (codegen + remaining per-query caches)
+    qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
+
+    case class R(sec: Double, shufR: Long, shufW: Long)
+    def pass(): Map[String, R] = qs.map { case (name, fn) =>
+      settle()
+      val r0 = shuffleRead.get; val w0 = shuffleWrite.get
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      settle()
+      val r = R(dt, shuffleRead.get - r0, shuffleWrite.get - w0)
+      println(f"[cbench] $name%-28s ${r.sec}%7.2f s rows=$n%9d " +
+        f"shufR=${r.shufR / 1e6}%8.1f MB shufW=${r.shufW / 1e6}%8.1f MB")
+      name -> r
+    }.toMap
+    val p1 = pass()
+    val p2 = pass()
+
+    def jnum(d: Double) = f"$d%.3f"
+    val rows = names.map { n =>
+      val sec = math.min(p1(n).sec, p2(n).sec)
+      s""""$n":{"sec":${jnum(sec)},"shuffle_read_mb":${jnum(p2(n).shufR / 1e6)},"shuffle_write_mb":${jnum(p2(n).shufW / 1e6)}}"""
+    }.mkString(",")
+    val total = names.map(n => math.min(p1(n).sec, p2(n).sec)).sum
+    val json =
+      s"""{"metric":"cluster_bench","unit":"sec","value":${jnum(total)},"executors":$execs,"sf":"$sfDir","queries":{$rows}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes("UTF-8"))
+    println(json)
+    println(s"[cbench] wrote $outFile")
+    spark.stop()
+  }
+}

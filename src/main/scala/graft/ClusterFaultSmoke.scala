@@ -90,20 +90,32 @@ object ClusterFaultSmoke {
     })
 
     /** Arm a killer that SIGKILLs one executor JVM once `afterTasks`
-      * more tasks have started; returns a handle reporting what died.
+      * more tasks have started; returns a handle reporting what died and
+      * WHEN (nanoTime). The caller must require the kill timestamp to
+      * precede the faulted run's completion — otherwise a fast victim
+      * query can finish before the kill fires and the leg "passes"
+      * without exercising recovery at all (a silent no-op receipt).
+      * The killer also confirms the victim pid actually left the
+      * executor set before reporting, so a failed `kill` can't pass.
       */
-    def armKiller(afterTasks: Int): java.util.concurrent.CompletableFuture[Long] = {
+    def armKiller(afterTasks: Int)
+        : java.util.concurrent.CompletableFuture[(Long, Long)] = {
       val base = tasksStarted.get()
       val victims = execPids()
-      val done = new java.util.concurrent.CompletableFuture[Long]()
+      val done = new java.util.concurrent.CompletableFuture[(Long, Long)]()
       val th = new Thread(() => {
         try {
           while (tasksStarted.get() - base < afterTasks) Thread.sleep(20)
           val victim = victims.min // deterministic pick
           new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
+          val killedAt = System.nanoTime()
+          val gone = Iterator.continually {
+            Thread.sleep(100); !execPids().contains(victim)
+          }.take(50).exists(identity)
+          require(gone, s"victim pid $victim still alive after SIGKILL")
           println(s"[fault] SIGKILLed executor pid=$victim after " +
-            s"${tasksStarted.get() - base} task starts")
-          done.complete(victim)
+            s"${tasksStarted.get() - base} task starts (pid confirmed gone)")
+          done.complete((victim, killedAt))
         } catch { case e: Throwable => done.completeExceptionally(e) }
         ()
       })
@@ -119,13 +131,18 @@ object ClusterFaultSmoke {
     val k1 = armKiller(afterTasks = 8)
     val t0 = System.nanoTime()
     val faulted = checksum(mart())
-    val dt1 = (System.nanoTime() - t0) / 1e9
-    val victim1 = k1.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    val end1 = System.nanoTime()
+    val dt1 = (end1 - t0) / 1e9
+    val (victim1, killAt1) = k1.get(30, java.util.concurrent.TimeUnit.SECONDS)
     println(f"[fault] batch under kill: rows=${faulted._1} " +
       f"sum=${faulted._2} wall=$dt1%.2f s (victim=$victim1)")
+    require(killAt1 < end1,
+      f"batch leg did not exercise recovery: kill landed " +
+        f"${(killAt1 - end1) / 1e9}%.2f s AFTER the faulted run completed")
     require(faulted == healthy,
       s"batch result diverged after executor loss: $healthy vs $faulted")
-    println("[fault] PASS leg 1: batch mart identical after executor SIGKILL")
+    println("[fault] PASS leg 1: batch mart identical after executor SIGKILL " +
+      f"(kill ${(end1 - killAt1) / 1e9}%.2f s before completion)")
 
     // the standalone master relaunches the lost executor; wait so leg 2
     // starts from a full 2-executor cluster again
@@ -143,13 +160,18 @@ object ClusterFaultSmoke {
     val sFaulted = checksum(
       streaming.EventsStream.sessionWindowStreaming(
         spark, sfDir, "fault_session_killed"))
-    val dt2 = (System.nanoTime() - t1) / 1e9
-    val victim2 = k2.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    val end2 = System.nanoTime()
+    val dt2 = (end2 - t1) / 1e9
+    val (victim2, killAt2) = k2.get(30, java.util.concurrent.TimeUnit.SECONDS)
     println(f"[fault] stream under kill: rows=${sFaulted._1} " +
       f"sum=${sFaulted._2} wall=$dt2%.2f s (victim=$victim2)")
+    require(killAt2 < end2,
+      f"stream leg did not exercise recovery: kill landed " +
+        f"${(killAt2 - end2) / 1e9}%.2f s AFTER the faulted run completed")
     require(sFaulted == sHealthy,
       s"stream result diverged after executor loss: $sHealthy vs $sFaulted")
-    println("[fault] PASS leg 2: stateful stream identical after executor SIGKILL")
+    println("[fault] PASS leg 2: stateful stream identical after executor SIGKILL " +
+      f"(kill ${(end2 - killAt2) / 1e9}%.2f s before completion)")
 
     awaitExecs(2, "post-kill relaunch (leg 2)")
     println(s"[fault] PASS - both legs recovered; cluster back to $execs executors")

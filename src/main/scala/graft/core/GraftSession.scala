@@ -39,10 +39,21 @@ object GraftSession {
       // at the sf10 spot gate: "_temporary/0 does not exist"). Nothing
       // reads the warehouse across JVMs (materializeLegacy clears
       // orphaned locations), so a throwaway per-process dir is strictly
-      // safer and stops littering the repo checkout.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      // safer and stops littering the repo checkout. ONE dir per JVM
+      // (lazy val), removed on exit: a fresh createTempDirectory per
+      // builder() call orphaned an empty /tmp dir every time
+      // getOrCreate returned the existing session.
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+
+  private lazy val warehouseDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    sys.addShutdownHook {
+      try Scratch.deleteRecursively(d)
+      catch { case _: Throwable => () }
+    }
+    d.toString
+  }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

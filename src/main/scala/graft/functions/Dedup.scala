@@ -1033,8 +1033,7 @@ object Dedup {
     * bench's kernels-off leg; see `DriverGraph.DefaultEdgeCap`).
     */
   private final val SmallClosureEdgeCap: Long =
-    sys.env.get("GRAFT_DRIVER_CAP").map(_.toLong.min(1L << 18))
-      .getOrElse(1L << 18)
+    graft.core.EnvKnobs.boundedLong("GRAFT_DRIVER_CAP", 1L << 18, 1L << 18)
 
   /** Exact driver-side min-label closure for index-sized edge sets:
     * union-find that always attaches the larger root under the

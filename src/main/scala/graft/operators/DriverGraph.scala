@@ -41,7 +41,7 @@ private[operators] object DriverGraph {
     * spec-pinned (`DriverGraphSpec`).
     */
   final val DefaultEdgeCap: Int =
-    sys.env.get("GRAFT_DRIVER_CAP").map(_.toInt).getOrElse(1 << 20)
+    graft.core.EnvKnobs.boundedInt("GRAFT_DRIVER_CAP", 1 << 20, 1 << 20)
 
   /** The whole edge list iff it has at most `cap` rows, in ONE job:
     * `limit(cap+1)` returns every row when the frame is smaller than

@@ -61,26 +61,51 @@ object Tables {
     * microsecond-converted `ts` the DataFrame API exposes (raw
     * registration would fail on the TIMESTAMP(NANOS) parquet column).
     *
-    * Idempotent per (session, sfDir): a repeat call is a guard check,
-    * not ten fresh `spark.read.parquet` relations (each new relation
-    * lists + footer-reads its path — the round-12 jobs telemetry
-    * attributed ~10 of sql_recursive_months' 17 jobs to exactly this).
-    * The SqlLab.registerViews failure discipline applies: the guard
+    * Idempotent per (session, sfDir, dir fingerprint): a repeat call is
+    * a guard check plus one cheap local listing, not ten fresh
+    * `spark.read.parquet` relations (each new relation lists +
+    * footer-reads its path — the round-12 jobs telemetry attributed
+    * ~10 of sql_recursive_months' 17 jobs to exactly this). The guard
+    * key folds a names+mtime+length fingerprint of the directory (the
+    * PlanMemo discipline), so an append or in-place rewrite of a table
+    * file re-registers instead of silently serving stale relations,
+    * and stopped sessions are evicted on every call so long-lived
+    * multi-session JVMs don't leak map entries. The
+    * SqlLab.registerViews failure discipline applies: the guard
     * updates only AFTER every view registered, and is dropped on a
     * mid-registration failure so a retry re-registers from scratch.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (registeredDir.get(spark) == sfDir) return
+    registeredDir.keySet.removeIf(_.sparkContext.isStopped)
+    val key = (sfDir, dirFingerprint(sfDir))
+    if (registeredDir.get(spark) == key) return
     registeredDir.remove(spark)
     names.foreach { n =>
       val df = if (n == "events") events(spark, sfDir)
       else table(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
-    registeredDir.put(spark, sfDir)
+    registeredDir.put(spark, key)
     ()
   }
 
+  /** names+mtime+length fingerprint of the sfDir's table files (order-
+    * free sum, like PlanMemo.fileFingerprint). Local-filesystem only by
+    * contract — the driver's testdata dirs; a non-local sfDir (no such
+    * deployment exists here) would fingerprint 0 and fall back to the
+    * per-(session, sfDir) idempotence the guard always had.
+    */
+  private def dirFingerprint(sfDir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids == null) 0L else kids.map(walk).sum
+      } else f.getPath.hashCode.toLong * 31 + f.lastModified() * 7 + f.length()
+    val root = new java.io.File(sfDir)
+    if (!root.exists()) 0L
+    else names.map(n => walk(new java.io.File(root, s"$n.parquet"))).sum
+  }
+
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Long)]()
 }
