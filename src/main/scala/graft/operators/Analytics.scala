@@ -975,7 +975,15 @@ object Analytics {
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
-    val itemCounts = ex.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val itemCountsPlan = ex.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    // item-grain counts have TWO broadcast consumers (part_a / part_b
+    // probes): memoized under the same gate as the basket memo, so each
+    // broadcast build scans an item-dictionary-sized cache instead of
+    // re-exploding + re-aggregating the basket cache twice
+    val itemCounts =
+      if (factSmall)
+        graft.core.PlanMemo.cached("assoc_item_counts", itemCountsPlan)
+      else itemCountsPlan
     // item-grain counts broadcast only while the FACT scan is small
     // (the same gate as the memo above): the item dictionary of a
     // 100 TB fact is itself huge, and an ungated broadcast would OOM
