@@ -15,8 +15,14 @@ object EnvKnobs {
     * unset or malformed (never throws).
     */
   def boundedLong(name: String, default: Long, max: Long): Long =
-    sys.env.get(name)
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+    parse(sys.env.get(name), default, max)
+
+  /** The parsing core, separated from the env read so the semantics are
+    * unit-testable (sys.env can't be injected in-process).
+    */
+  private[core] def parse(raw: Option[String], default: Long,
+                          max: Long): Long =
+    raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .map(v => v.max(0L).min(max))
       .getOrElse(default)
 

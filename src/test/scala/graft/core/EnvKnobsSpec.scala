@@ -1,0 +1,27 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnvKnobsSpec extends AnyFunSuite {
+
+  test("unset → default; defaults pass through unclamped") {
+    assert(EnvKnobs.boundedLong("GRAFT_NO_SUCH_KNOB", 42L, 100L) == 42L)
+    assert(EnvKnobs.boundedInt("GRAFT_NO_SUCH_KNOB", 7, 100) == 7)
+  }
+
+  test("malformed input falls back to default, never throws") {
+    // the defect class: a bare toInt at val init surfaced as
+    // ExceptionInInitializerError at first touch of DriverGraph/Dedup
+    assert(EnvKnobs.parse(Some("not-a-number"), 5L, 10L) == 5L)
+    assert(EnvKnobs.parse(Some(""), 5L, 10L) == 5L)
+    assert(EnvKnobs.parse(Some("9999999999999999999999"), 5L, 10L) == 5L)
+  }
+
+  test("valid input clamps to [0, max]; 0 = kernels-off passes through") {
+    assert(EnvKnobs.parse(Some("0"), 5L, 10L) == 0L)
+    assert(EnvKnobs.parse(Some("-3"), 5L, 10L) == 0L)
+    assert(EnvKnobs.parse(Some("7"), 5L, 10L) == 7L)
+    assert(EnvKnobs.parse(Some(" 7 "), 5L, 10L) == 7L)
+    assert(EnvKnobs.parse(Some("999"), 5L, 10L) == 10L)
+  }
+}
