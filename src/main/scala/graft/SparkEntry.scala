@@ -475,7 +475,17 @@ object SparkEntry {
         .orderBy("type_a", "type_b")),
 
     // ── range join: orders falling inside 14-day promo windows drawn
-    //    from every 100th order (banded bucketing, no nested loop) ─────
+    //    from every 100th order (banded bucketing, no nested loop).
+    //    INTERVAL-GRAIN aggregate result: both join sides scale
+    //    linearly with SF over a fixed date span, so the raw PAIR set
+    //    is quadratic in SF (14k rows at sf0.01 → 1.26B at sf3 →
+    //    ~14B/200 GB at sf10, where materializing it filled the disk —
+    //    the r13 widened 100× gate caught exactly this). The pairs now
+    //    stream through the banded join into a partial-aggregating
+    //    hash agg (count + min/max/sum of the point keys per interval —
+    //    an injective-in-practice checksum of the pair set), so the
+    //    shuffle carries interval-grain partials at every SF while the
+    //    join semantics stay fully pinned against the oracle. ─────────
     "q_range_join" -> ((s, d) => {
       val o = sources.Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
@@ -487,8 +497,12 @@ object SparkEntry {
         .withColumn("e_epoch", col("s_epoch") + 14)
       operators.RangeJoin.pointInInterval(points, intervals,
         "p_epoch", "s_epoch", "e_epoch", bandWidth = 14L)
-        .select(col("point_order"), col("interval_id"))
-        .orderBy("point_order", "interval_id")
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_orders"),
+          min("point_order").as("first_order"),
+          max("point_order").as("last_order"),
+          sum("point_order").as("sum_orders"))
+        .orderBy("interval_id")
     }),
 
     // ── as-of join: latest prior purchase per click (Spark lacks the
@@ -1381,24 +1395,33 @@ object SparkEntry {
         |  SELECT payment_mode,
         |         list(sale_date ORDER BY sale_date) AS ds,
         |         list(daily_total ORDER BY sale_date) AS vs,
+        |         -- mu at SIX dp (see Analytics.cusum): it re-enters the
+        |         -- fold via double->decimal, and DuckDB's conversion
+        |         -- multiplies by 10^scale in DOUBLE space - lossy once
+        |         -- mu*10^12 > 2^53 (hit at the sf10 rung, mu ~ 24k)
         |         CAST(ROUND(CAST(
         |           CAST(SUM(CAST(daily_total AS DECIMAL(28,6))) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE)
-        |           AS DECIMAL(20,12)), 9) AS DOUBLE) AS mu
+        |           AS DECIMAL(20,12)), 6) AS DOUBLE) AS mu
         |  FROM daily GROUP BY 1),
         |tr AS (
         |  SELECT payment_mode, mu, ds, vs,
         |         -- the 0-clamp is a CASE, NOT greatest(): DuckDB's
         |         -- greatest(DECIMAL, DECIMAL) returns DOUBLE, which
         |         -- round-trips the 16-significant-digit state through
-        |         -- 53 bits and corrupts the last decimal
+        |         -- 53 bits and corrupts the last decimal.
+        |         -- mu enters the fold through DECIMAL(26,6) (exact
+        |         -- while mu*10^6 < 2^53), then promotes to the state
+        |         -- scale decimal->decimal, which is lossless
         |         list_reduce(
         |           list_prepend([CAST(0 AS DECIMAL(26,12))],
         |             list_transform(dvs, v -> [v])),
         |           (a, x) -> list_concat(a,
-        |             [CASE WHEN a[-1] + (x[1] - CAST(mu AS DECIMAL(26,12))
+        |             [CASE WHEN a[-1] + (x[1]
+        |                     - CAST(CAST(mu AS DECIMAL(26,6)) AS DECIMAL(26,12))
         |                     - 5.0) < 0 THEN CAST(0 AS DECIMAL(26,12))
-        |               ELSE CAST(a[-1] + (x[1] - CAST(mu AS DECIMAL(26,12))
+        |               ELSE CAST(a[-1] + (x[1]
+        |                 - CAST(CAST(mu AS DECIMAL(26,6)) AS DECIMAL(26,12))
         |                 - 5.0) AS DECIMAL(26,12)) END])) AS traj
         |  FROM (SELECT payment_mode, mu, ds, vs,
         |          list_transform(vs, v -> CAST(v AS DECIMAL(26,12))) AS dvs
@@ -1653,9 +1676,13 @@ object SparkEntry {
         |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s_epoch,
         |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 14 AS e_epoch
         |  FROM orders WHERE o_orderkey % 100 = 0)
-        |SELECT point_order, interval_id
+        |SELECT interval_id, count(*) AS n_orders,
+        |       min(point_order) AS first_order,
+        |       max(point_order) AS last_order,
+        |       CAST(sum(point_order) AS BIGINT) AS sum_orders
         |FROM pts JOIN iv ON p_epoch >= s_epoch AND p_epoch <= e_epoch
-        |ORDER BY point_order, interval_id""".stripMargin,
+        |GROUP BY interval_id
+        |ORDER BY interval_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),

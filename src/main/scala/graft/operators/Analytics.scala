@@ -397,13 +397,24 @@ object Analytics {
             valCol: String, slack: Double, threshold: Double): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
     val acc = org.apache.spark.sql.types.DecimalType(28, 6)
-    def round9(c: org.apache.spark.sql.Column) =
-      round(c.cast(d2012), 9).cast("double")
+    // μ is pinned at SIX decimal places, not the usual 9: the baseline
+    // re-enters the decimal fold below via a double→decimal cast, and
+    // DuckDB converts double→DECIMAL(p,s) by multiplying by 10^s in
+    // DOUBLE space — lossy once |μ|·10^s exceeds 2^53, i.e. |μ| > ~9007
+    // at s=12 (Spark's shortest-decimal conversion is exact there). The
+    // r13 sf10 gate caught exactly this: μ ≈ 24k at 100×, the twin's
+    // CAST(mu AS DECIMAL(26,12)) came back 8e-12 off, and the
+    // trajectory accumulated the skew into visible 1e-9 diffs. At 6 dp
+    // the twin casts through DECIMAL(26,6) first (exact while
+    // |μ|·10^6 < 2^53, i.e. μ < 9e9 — any plausible rung), then
+    // promotes decimal→decimal losslessly.
+    def round6(c: org.apache.spark.sql.Column) =
+      round(c.cast(d2012), 6).cast("double")
     val series = daily
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
         col(valCol).as("v")))).as("s"),
-        round9(sum(col(valCol).cast(acc)).cast("double")
+        round6(sum(col(valCol).cast(acc)).cast("double")
           / count(lit(1)).cast("double")).as("mu"))
       .select(col(keyCol), col("mu"),
         transform(col("s"), p => p.getField("d")).as("ds"),
