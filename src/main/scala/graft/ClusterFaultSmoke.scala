@@ -107,8 +107,14 @@ object ClusterFaultSmoke {
         try {
           while (tasksStarted.get() - base < afterTasks) Thread.sleep(20)
           val victim = victims.min // deterministic pick
-          new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
+          // stamp BEFORE launching the kill — a conservative early
+          // bound. Stamping after waitFor() opened a flake window: a
+          // SIGKILL delivered just before query completion whose
+          // waitFor returned just after it would fail the
+          // kill-before-completion requirement despite having
+          // exercised recovery.
           val killedAt = System.nanoTime()
+          new ProcessBuilder("kill", "-9", victim.toString).start().waitFor()
           val gone = Iterator.continually {
             Thread.sleep(100); !execPids().contains(victim)
           }.take(50).exists(identity)

@@ -495,13 +495,22 @@ object SparkEntry {
         .select(col("o_orderkey").as("interval_id"),
           datediff(col("od"), lit("1970-01-01").cast("date")).as("s_epoch"))
         .withColumn("e_epoch", col("s_epoch") + 14)
+      // ssq_mod: second-moment-mod-p checksum — count+min/max/sum alone
+      // admit a compensating-double-error cancellation (two wrong pairs
+      // whose keys sum equal); adding Σ (k mod p)² mod p closes that
+      // class with pure integer arithmetic both engines compute
+      // identically (mod BEFORE squaring keeps every term < p² < 2⁶³
+      // at any orderkey magnitude — no overflow at any SF)
+      val P = lit(1000000007L)
       operators.RangeJoin.pointInInterval(points, intervals,
         "p_epoch", "s_epoch", "e_epoch", bandWidth = 14L)
         .groupBy("interval_id")
         .agg(count(lit(1)).as("n_orders"),
           min("point_order").as("first_order"),
           max("point_order").as("last_order"),
-          sum("point_order").as("sum_orders"))
+          sum("point_order").as("sum_orders"),
+          sum((col("point_order") % P) * (col("point_order") % P) % P)
+            .as("ssq_mod"))
         .orderBy("interval_id")
     }),
 
@@ -1679,7 +1688,9 @@ object SparkEntry {
         |SELECT interval_id, count(*) AS n_orders,
         |       min(point_order) AS first_order,
         |       max(point_order) AS last_order,
-        |       CAST(sum(point_order) AS BIGINT) AS sum_orders
+        |       CAST(sum(point_order) AS BIGINT) AS sum_orders,
+        |       CAST(sum((point_order % 1000000007) * (point_order % 1000000007)
+        |                % 1000000007) AS BIGINT) AS ssq_mod
         |FROM pts JOIN iv ON p_epoch >= s_epoch AND p_epoch <= e_epoch
         |GROUP BY interval_id
         |ORDER BY interval_id""".stripMargin,

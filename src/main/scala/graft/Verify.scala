@@ -39,10 +39,31 @@ object Verify {
     picked.keys.foreach { name =>
       deleteRec(new java.io.File(s"$outDir/$name"))
     }
+    // Per-query wall clocks, dumped as walls.json: the sf10 gate's
+    // Spark phase runs every tier row anyway (~55 min), and discarding
+    // its walls left 100× sublinearity proven for only the 5
+    // kernels-off bench rows (VERDICT r13 task 1). The wall includes
+    // the coalesce(1) parquet write — constant protocol across rungs,
+    // so fitted growth exponents are comparable. One-shot cold walls:
+    // noisier than Bench's warm-min, good enough to flag superlinear
+    // growth (the b > 0.9 class) at rungs Bench never visits.
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // watchdog-resume keeps completed queries' walls from the previous
+    // attempt (their dirs are skipped, so they'd otherwise vanish)
+    val prevWalls = Paths.get(s"$outDir/walls.json")
+    if (skipExisting && Files.exists(prevWalls)) {
+      val txt = Files.readString(prevWalls)
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt).foreach { m =>
+        walls(m.group(1)) = m.group(2).toDouble
+      }
+    }
     picked.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        walls(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -61,6 +82,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val wallsJson = walls
+      .map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/walls.json"), wallsJson)
     spark.stop()
   }
 }

@@ -791,8 +791,18 @@ object Dedup {
     // below the row machinery of a relational self-join. Measured at
     // sf1 (same box A/B): 2.26 → 1.5 s warm, 8 → 5 jobs; identical
     // output (gate-green at sf0.01+sf1).
+    //
+    // The collect is CAPPED at maxDf+1 ([[CappedLongList]]): a viral
+    // boilerplate fingerprint used to accumulate its FULL posting array
+    // in the aggregation buffer before the size filter discarded it —
+    // unbounded skew memory at scale. The cap pigeonholes overflow
+    // (size = maxDf+1 > maxDf) into the same discard, with every
+    // buffer O(maxDf); df ≤ maxDf buckets collect completely, so the
+    // kept output is bit-identical to the uncapped form.
     val buckets = wfp.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(
+        CappedCollect.cappedLongList(col("doc_id").cast("long"),
+          (maxDf + 1).toInt)).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
     buckets
       .select(explode(flatten(transform(col("ds"), (x, i) =>
@@ -1052,7 +1062,7 @@ object Dedup {
     * bench's kernels-off leg; see `DriverGraph.DefaultEdgeCap`).
     */
   private final val SmallClosureEdgeCap: Long =
-    graft.core.EnvKnobs.boundedLong("GRAFT_DRIVER_CAP", 1L << 18, 1L << 18)
+    graft.core.EnvKnobs.boundedLong("GRAFT_DRIVER_CAP", 1L << 18, 1L << 24)
 
   /** Exact driver-side min-label closure for index-sized edge sets:
     * union-find that always attaches the larger root under the

@@ -39,9 +39,14 @@ private[operators] object DriverGraph {
     * actually run at 100 TB perf-regression-gated every round instead
     * of only at the 30× gate. Output parity between the two regimes is
     * spec-pinned (`DriverGraphSpec`).
+    *
+    * The hard ceiling is 16× the default (2²⁴ pairs ≈ 256 MB of longs
+    * before tuple boxing): a deliberate raise for a bigger driver is
+    * honored, a raise past what any driver heap can hold is clamped
+    * WITH a stderr warning (EnvKnobs emits it).
     */
   final val DefaultEdgeCap: Int =
-    graft.core.EnvKnobs.boundedInt("GRAFT_DRIVER_CAP", 1 << 20, 1 << 20)
+    graft.core.EnvKnobs.boundedInt("GRAFT_DRIVER_CAP", 1 << 20, 1 << 24)
 
   /** The whole edge list iff it has at most `cap` rows, in ONE job:
     * `limit(cap+1)` returns every row when the frame is smaller than

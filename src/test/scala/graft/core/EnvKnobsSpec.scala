@@ -24,4 +24,25 @@ class EnvKnobsSpec extends AnyFunSuite {
     assert(EnvKnobs.parse(Some(" 7 "), 5L, 10L) == 7L)
     assert(EnvKnobs.parse(Some("999"), 5L, 10L) == 10L)
   }
+
+  test("raising above the default (≤ max) is honored, not clamped") {
+    // the r13 regression class: max == default silently ignored a
+    // deliberate cap raise for a bigger driver
+    assert(EnvKnobs.parse(Some("20"), 5L, 100L) == 20L)
+  }
+
+  test("malformed and clamped values emit a stderr warning naming the knob") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      EnvKnobs.parse(Some("1e0"), 5L, 10L, "GRAFT_TEST_KNOB")
+      EnvKnobs.parse(Some("999"), 5L, 10L, "GRAFT_TEST_KNOB")
+      EnvKnobs.parse(Some("7"), 5L, 10L, "GRAFT_TEST_KNOB") // clean: no warn
+    } finally System.setErr(old)
+    val out = buf.toString
+    assert(out.contains("GRAFT_TEST_KNOB='1e0' is not a number"))
+    assert(out.contains("GRAFT_TEST_KNOB=999 clamped to 10"))
+    assert(out.linesIterator.count(_.contains("WARN")) == 2)
+  }
 }

@@ -24,10 +24,11 @@ done
 PIDS=()
 cleanup() {
   # kill workers/master and any executors they left behind
-  for p in "${PIDS[@]:-}"; do kill -9 "$p" 2>/dev/null || true; done
-  pkill -9 -f CoarseGrainedExecutorBackend 2>/dev/null || true
-  pkill -9 -f org.apache.spark.deploy.worker.Worker 2>/dev/null || true
-  pkill -9 -f org.apache.spark.deploy.master.Master 2>/dev/null || true
+  # each daemon is setsid'd (its own process group, executors inherit
+  # it), so killing the tracked groups reaps master+workers+executors
+  # WITHOUT pkill patterns that would take down a concurrently running
+  # second cluster (fault smoke / bench) as collateral
+  for p in "${PIDS[@]:-}"; do kill -9 -- "-$p" 2>/dev/null || kill -9 "$p" 2>/dev/null || true; done
 }
 trap cleanup EXIT
 
@@ -37,7 +38,7 @@ trap cleanup EXIT
 # launch with "Cannot find any build directories")
 export SPARK_HOME=/opt/spark
 export SPARK_SCALA_VERSION=2.13
-java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
+setsid java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
   -Dspark.ui.enabled=false \
   org.apache.spark.deploy.master.Master \
   --host 127.0.0.1 --port 7077 --webui-port 8091 \
@@ -45,7 +46,7 @@ java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
 PIDS+=($!)
 sleep 3
 for i in 1 2; do
-  java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
+  setsid java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
     -Dspark.ui.enabled=false \
     org.apache.spark.deploy.worker.Worker spark://127.0.0.1:7077 \
     --cores 8 --memory 16g --port 0 --webui-port $((8092 + i)) \

@@ -522,10 +522,27 @@ def fan_out(oracles):
                 ).fetchall())
                 print(f"ROWS {name}: {n} rows (no oracle)")
     if JSON_OUT:
+        merge_walls()
         with open(JSON_OUT, "w") as f:
             json.dump(RECORDS, f, indent=0, sort_keys=True)
         print(f"wrote {JSON_OUT} ({len(RECORDS)} records)")
     sys.exit(1 if failures else 0)
+
+
+
+def merge_walls():
+    """Stamp graft.Verify's per-query wall (OUT_DIR/walls.json) into each
+    record as wall_sec — the sf10 gate's Spark phase runs every tier row
+    anyway, and the walls are the per-query perf evidence at rungs Bench
+    never visits (VERDICT r13 task 1)."""
+    try:
+        with open(os.path.join(OUT_DIR, "walls.json")) as fh:
+            walls = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    for name, rec in RECORDS.items():
+        if name in walls:
+            rec["wall_sec"] = walls[name]
 
 
 def main():
@@ -589,6 +606,7 @@ def main():
                 ).fetchall())
                 print(f"ROWS {name}: {n} rows (no oracle)")
     if JSON_OUT:
+        merge_walls()
         with open(JSON_OUT, "w") as f:
             json.dump(RECORDS, f, indent=0, sort_keys=True)
         print(f"wrote {JSON_OUT} ({len(RECORDS)} records)")

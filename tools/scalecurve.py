@@ -19,11 +19,22 @@ import sys
 from collections import defaultdict
 
 
+def load_queries(path):
+    """Accept either a bench JSON ({"queries": {name: sec}}) or a
+    correctness-gate JSON whose records carry wall_sec (the sf10 tier's
+    per-query walls, r13 task 1)."""
+    d = json.load(open(path))
+    if "queries" in d:
+        return d["queries"]
+    return {name: rec["wall_sec"] for name, rec in d.items()
+            if isinstance(rec, dict) and "wall_sec" in rec}
+
+
 def main():
     runs = []  # (factor, {query: sec})
     for a in sys.argv[1:]:
         f, path = a.split("=", 1)
-        runs.append((float(f.lstrip("f")), json.load(open(path))["queries"]))
+        runs.append((float(f.lstrip("f")), load_queries(path)))
     runs.sort()
     if len(runs) < 2:
         sys.exit("need at least two <factor>=<bench.json> args")
