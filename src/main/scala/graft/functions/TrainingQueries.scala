@@ -461,6 +461,34 @@ object TrainingQueries {
       Multimodal.audioWindowEnergies(assetsDs(s, d)).toDF())
       .as[Multimodal.AudioWindows]
   }
+  /** Scale-invariant pair-set checksum — the q_range_join interval-
+    * grain trick generalized to the pair families: 64 buckets keyed on
+    * `a % 64`, each carrying count, min/max of both endpoints, both
+    * endpoint sums, and a mod-p mixed second moment
+    * Σ ((a mod p)·(b mod p) + payload) mod p (p = 1e9+7; mod BEFORE
+    * multiply keeps every term < p² < 2⁶³ at any id magnitude). Output
+    * is ≤ 64 rows at ANY corpus size, so the DuckDB twin streams its
+    * identical pair derivation into a hash agg instead of
+    * materializing a pair list — the shape that makes the quadratic
+    * families sf10-gateable. A wrong pair perturbs count, an endpoint
+    * sum, AND the mixed moment; compensating-pair cancellation must
+    * satisfy all of them simultaneously in the same bucket.
+    */
+  private def pairChecksum(pairs: DataFrame, a: String, b: String,
+                           payload: org.apache.spark.sql.Column): DataFrame = {
+    val P = lit(1000000007L)
+    val ca = col(a).cast("long")
+    val cb = col(b).cast("long")
+    pairs.groupBy((ca % 64).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(ca).as("min_a"), max(ca).as("max_a"),
+        min(cb).as("min_b"), max(cb).as("max_b"),
+        sum(ca).as("sum_a"), sum(cb).as("sum_b"),
+        sum(((ca % P) * (cb % P) + payload.cast("long")) % P)
+          .as("mix_mod"))
+      .orderBy("bucket")
+  }
+
   private val imageHashMemo = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (String, DataFrame)]
   private def imageHashes(s: SparkSession, d: String): DataFrame =
@@ -850,6 +878,29 @@ object TrainingQueries {
     "dd_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 8)
         .orderBy("doc_a", "doc_b")),
+    // ── aggregate-checksum twins of the pair families (VERDICT r13
+    //    task 4): the raw pair rows' DuckDB twins are sf10-infeasible
+    //    only because they MATERIALIZE the pair list for the ORDER BY
+    //    + hash compare; these rows stream the identical pair
+    //    derivation into a 64-bucket pair-set checksum (count, min/max,
+    //    sums, and a mod-p mixed second moment over (a, b, payload)) on
+    //    BOTH engines — the q_range_join interval-grain trick — so the
+    //    families graduate from sf10 invariants to sf10 hashes while
+    //    emitting ≤ 64 rows at any SF ───────────────────────────────────
+    "dd_simhash_cksum" -> ((s, d) =>
+      pairChecksum(Dedup.simhashPairs(Tables.documents(s, d), maxDist = 8),
+        "doc_a", "doc_b", col("hamming"))),
+    "dd_winnow_cksum" -> ((s, d) =>
+      pairChecksum(Dedup.winnowPairs(Tables.documents(s, d), k = 8, w = 4),
+        "doc_a", "doc_b", col("n_common"))),
+    "mm_phash_cksum" -> ((s, d) => {
+      val ph = imageHashes(s, d).select("asset_id", "hash_hi", "hash_lo")
+      val aug = ph.unionByName(ph.filter(col("asset_id") % 30 === 0)
+        .select((col("asset_id") + 1000000).as("asset_id"),
+          col("hash_hi"), col("hash_lo")))
+      pairChecksum(Multimodal.phashStarPairs(aug),
+        "asset_a", "asset_b", col("hamming"))
+    }),
     "ann_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteTopK(e, e.filter(col("vec_id") === 0), k = 10)
@@ -1351,7 +1402,45 @@ object TrainingQueries {
         .orderBy("doc_id", "bench_id")
     }))
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val raw = rawOracles
+    raw ++ Map(
+      // checksum twins reuse the raw pair oracles' own derivations
+      // verbatim (one source of truth for the pair semantics), wrapped
+      // in the bucket aggregation — see pairCksumSql
+      "dd_simhash_cksum" ->
+        pairCksumSql(raw("dd_simhash_pairs"), "doc_a", "doc_b", "hamming"),
+      "dd_winnow_cksum" ->
+        pairCksumSql(raw("dd_winnow_pairs"), "doc_a", "doc_b", "n_common"),
+      "mm_phash_cksum" ->
+        pairCksumSql(raw("mm_phash_pairs"), "asset_a", "asset_b", "hamming"))
+  }
+
+  /** The DuckDB side of [[pairChecksum]]: the raw pair oracle minus its
+    * trailing ORDER BY, streamed into the identical 64-bucket checksum
+    * aggregation (HUGEINT sums pinned back to BIGINT). The strip is
+    * guarded: it must be the OUTER order clause, not one inside a
+    * window or subquery.
+    */
+  private def pairCksumSql(base: String, a: String, b: String,
+                           payload: String): String = {
+    val cut = base.lastIndexOf("ORDER BY")
+    require(cut > 0 && !base.substring(cut).contains(")"),
+      "pairCksumSql: expected a trailing ORDER BY to strip")
+    s"""SELECT CAST($a % 64 AS BIGINT) AS bucket,
+       |       count(*) AS n_pairs,
+       |       min($a) AS min_a, max($a) AS max_a,
+       |       min($b) AS min_b, max($b) AS max_b,
+       |       CAST(sum($a) AS BIGINT) AS sum_a,
+       |       CAST(sum($b) AS BIGINT) AS sum_b,
+       |       CAST(sum((($a % 1000000007) * ($b % 1000000007) + $payload)
+       |                % 1000000007) AS BIGINT) AS mix_mod
+       |FROM (
+       |${base.substring(0, cut)}) pairs
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  private def rawOracles: Map[String, String] = Map(
     // data-card twin: the dd_exact fp (corpus-global) feeds dup
     // exposure; the mode-lang rank mirrors the engine's (n DESC, lang
     // ASC) tie-break; HUGEINT sums pinned back to BIGINT

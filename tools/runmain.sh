@@ -15,6 +15,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 # GRAFT_JAVA_OPTS: optional extra JVM flags (e.g. a -Dspark.* conf for
 # an A/B run — SparkConf absorbs spark.-prefixed system properties)
+# GRAFT_CLASSDIR: run on a class snapshot instead of target/classes, so
+# long background runs don't race a parallel compile loop
 exec java -Xmx"$XMX" $ADD_OPENS ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "${GRAFT_CLASSDIR:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" "$@"
