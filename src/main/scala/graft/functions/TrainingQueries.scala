@@ -565,7 +565,7 @@ object TrainingQueries {
         case stale =>
           stale.foreach(p => graft.core.Scratch.deleteRecursively(
             java.nio.file.Paths.get(p._2)))
-          val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+          val root = graft.core.Scratch.fastTempDirectory("graft_annidx")
           sys.addShutdownHook {
             try graft.core.Scratch.deleteRecursively(root)
             catch { case _: Throwable => () }
@@ -1232,7 +1232,7 @@ object TrainingQueries {
       val cents = trainedCents(s, d)
       val base = e.filter(col("vec_id") % 100 =!= 0)
       val wave = e.filter(col("vec_id") % 100 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft_annappend")
+      val root = graft.core.Scratch.fastTempDirectory("graft_annappend")
       try {
         Similarity.writeIndex(base, cents, root.toString)
         Similarity.appendIndex(wave, cents, root.toString)

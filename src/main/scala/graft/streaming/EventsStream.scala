@@ -69,10 +69,11 @@ object EventsStream {
     * sets (StreamingSpec pins all three outputs).
     */
   private def drainToParquet(spark: SparkSession, out: DataFrame,
-                             queryName: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stsink")
+                             queryName: String,
+                             inputBytes: Long = 0L): DataFrame = {
+    val root = graft.core.Scratch.fastTempDirectory("graft_stsink")
     val sink = root.resolve("sink").toString
-    val q = startAt8(spark)(out.writeStream
+    val q = startAt8(spark, inputBytes)(out.writeStream
       .outputMode(OutputMode.Append())
       .format("parquet")
       .option("path", sink)
@@ -89,10 +90,11 @@ object EventsStream {
     * overwrite IS the complete-mode table.
     */
   private def drainCompleteToParquet(spark: SparkSession, agg: DataFrame,
-                                     queryName: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stsink")
+                                     queryName: String,
+                                     inputBytes: Long = 0L): DataFrame = {
+    val root = graft.core.Scratch.fastTempDirectory("graft_stsink")
     val sink = root.resolve("sink").toString
-    val q = startAt8(spark)(agg.writeStream
+    val q = startAt8(spark, inputBytes)(agg.writeStream
       .outputMode(OutputMode.Complete())
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .queryName(queryName)
@@ -117,10 +119,58 @@ object EventsStream {
     graft.core.Scratch.materializeAndDelete(read, root)
   }
 
-  private def startAt8[A](spark: SparkSession)(start: => A): A = {
+  /** Memory-sink twin of [[drainToParquet]]: start the stream with an
+    * EXPLICIT checkpoint on fast scratch ([[graft.core.Scratch
+    * .fastTempDirectory]]), drain synchronously, delete the checkpoint
+    * tree, return the in-memory sink table. Without the explicit
+    * option Spark provisions its temporary checkpoint under
+    * `java.io.tmpdir` — the durable data disk — and every offset/
+    * commit WAL write and state-store delta pays device latency for a
+    * tree whose lifetime is this one call.
+    */
+  private def drainToMemory(spark: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row],
+      queryName: String, inputBytes: Long = 0L): DataFrame = {
+    val ckpt = graft.core.Scratch.fastTempDirectory("graft_ckpt")
+    val q = startAt8(spark, inputBytes)(w
+      .option("checkpointLocation", ckpt.resolve("ckpt").toString)
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable()
+    finally { q.stop(); graft.core.Scratch.deleteRecursively(ckpt) }
+    spark.table(queryName)
+  }
+
+  /** Bytes on disk of one sf table (bare-file or directory layout) —
+    * the scale signal [[startAt8]] derives its store count from.
+    */
+  private def tableBytes(sfDir: String, table: String): Long = {
+    val f = new java.io.File(s"$sfDir/$table.parquet")
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    else f.length()
+  }
+
+  private def startAt8[A](spark: SparkSession,
+                          inputBytes: Long = 0L)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    // Scale-adaptive store count (guide §2: derive partitioning from
+    // input size, never a constant tuned for one rung): one state
+    // store per ~4 MiB of compressed source, floored at the measured
+    // sf0.1 optimum (4 — the r9/r13 sweeps: store-commit constants
+    // dominate below that) and capped at the session's core count.
+    // sf0.1 (2 MB events) stays at 4 — bench-comparable with every
+    // prior round; sf1/sf3/sf10 derive 5/15/cpus, matching the r13
+    // observation that the heavy stateful rows want parallelism at 10×
+    // (st_session 3.8 s at 4 stores vs 5.4 s at 2). The explicit conf
+    // still wins: a deployment sizes it to topic key cardinality.
     val n = spark.conf.getOption("spark.sql.graft.streamShufflePartitions")
-      .getOrElse("4")
+      .getOrElse {
+        val cpus = math.max(1L, spark.sparkContext.defaultParallelism.toLong)
+        math.max(4L, math.min(inputBytes / (4L << 20), cpus)).toString
+      }
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)
     try start finally spark.conf.set(key, prev)
@@ -170,13 +220,9 @@ object EventsStream {
       tableStream(spark, sfDir, "events", schema))
     val agg = slidingAggBatch(
       events.withWatermark("ts", "10 minutes"))
-    val q = startAt8(spark)(agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToMemory(spark,
+      agg.writeStream.outputMode(OutputMode.Complete()), queryName,
+      tableBytes(sfDir, "events"))
   }
 
   /** Streaming version: file-source stream over the same parquet, 10-min
@@ -197,13 +243,9 @@ object EventsStream {
         Money.round2(Money.moneySum(col("value"))).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val q = startAt8(spark)(agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToMemory(spark,
+      agg.writeStream.outputMode(OutputMode.Complete()), queryName,
+      tableBytes(sfDir, "events"))
   }
 
   /** CHAINED stateful streaming aggregation (two stateful operators in
@@ -243,13 +285,9 @@ object EventsStream {
         count(lit(1)).as("n_hours"))
       .select(col("d.start").as("day_start"), col("event_type"),
         col("n_events"), col("max_hourly"), col("n_hours"))
-    val q = startAt8(spark)(daily.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToMemory(spark,
+      daily.writeStream.outputMode(OutputMode.Append()), queryName,
+      tableBytes(sfDir, "events"))
   }
 
   /** Streaming CSV-drop ingest: the reference's daily sales file drop
@@ -283,7 +321,7 @@ object EventsStream {
     // cached: the three slice writes would otherwise re-run the
     // lineitem⨝orders derivation once per drop file
     val sales = graft.sources.Entities.sales(spark, sfDir).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_csv_drop")
+    val root = graft.core.Scratch.fastTempDirectory("graft_csv_drop")
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     def drop(mod: Int): Unit = {
@@ -395,7 +433,8 @@ object EventsStream {
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
-    drainCompleteToParquet(spark, agg, queryName)
+    drainCompleteToParquet(spark, agg, queryName,
+      tableBytes(sfDir, "events"))
   }
 
   /** Streaming CDC apply: a micro-batched update stream upserted into a
@@ -426,7 +465,7 @@ object EventsStream {
   def streamingUpsertReplay(spark: SparkSession,
                             events: DataFrame): DataFrame = {
     val ev = events.select("user_id", "event_id", "ts", "event_type", "value")
-    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val root = graft.core.Scratch.fastTempDirectory("graft_upsert")
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     val destDir = root.resolve("dim").toString
@@ -529,13 +568,9 @@ object EventsStream {
     // A stream-stream join keeps 4 store instances per partition (two
     // sides × key/index), making it the hottest beneficiary of the
     // shared 8-store start seam.
-    val q = startAt8(spark)(joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToMemory(spark,
+      joined.writeStream.outputMode(OutputMode.Append()), queryName,
+      tableBytes(sfDir, "events"))
   }
 
   /** LEFT-OUTER watermarked stream-stream interval join (§2.13): the
@@ -586,7 +621,7 @@ object EventsStream {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
     // parquet sink: the left join emits CLICK-grain rows (every click,
     // matched or not — ~1M+ at sf1), not the inner join's sparse pairs
-    drainToParquet(spark, joined, queryName)
+    drainToParquet(spark, joined, queryName, tableBytes(sfDir, "events"))
   }
 
   /** Batch twin of the stream-static enrichment: events left-joined to a
@@ -619,7 +654,8 @@ object EventsStream {
     val customers = graft.sources.Tables.customer(spark, sfDir)
     // parquet sink, not memory: the output is EVENT-grain (6M rows at
     // sf1) — the largest driver-side materialization the family had
-    drainToParquet(spark, enrichBatch(events, customers), queryName)
+    drainToParquet(spark, enrichBatch(events, customers), queryName,
+      tableBytes(sfDir, "events"))
   }
 
   final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
@@ -779,7 +815,7 @@ object EventsStream {
         timestamp_micros(col("session_start_us")).as("session_start"),
         timestamp_micros(col("session_end_us")).as("session_end"),
         col("n_events"), col("n_purchases"), col("end_reason"))
-    drainToParquet(spark, out, queryName)
+    drainToParquet(spark, out, queryName, tableBytes(sfDir, "events"))
   }
 
   /** Streaming exact dedup — the streaming twin of
@@ -820,7 +856,7 @@ object EventsStream {
     val events = graft.sources.Tables.microTs(
       spark.read.parquet(s"$sfDir/events.parquet")).cache()
     val cut = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
-    val root = java.nio.file.Files.createTempDirectory("graft_late")
+    val root = graft.core.Scratch.fastTempDirectory("graft_late")
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     def drop(name: String, slice: DataFrame): Unit = {
@@ -840,8 +876,9 @@ object EventsStream {
           Money.round2(Money.moneySum(col("value"))).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n_events"), col("sum_value"))
-      val q = startAt8(spark)(agg.writeStream
+      val q = startAt8(spark, tableBytes(sfDir, "events"))(agg.writeStream
         .outputMode(OutputMode.Append())
+        .option("checkpointLocation", root.resolve("ckpt").toString)
         .format("memory")
         .queryName(queryName)
         .start())
@@ -872,7 +909,7 @@ object EventsStream {
     */
   def restartReplay(spark: SparkSession, sfDir: String): DataFrame = {
     val sales = graft.sources.Entities.sales(spark, sfDir).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+    val root = graft.core.Scratch.fastTempDirectory("graft_restart")
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     val sink = root.resolve("sink").toString
@@ -942,13 +979,9 @@ object EventsStream {
     val docs = tableStream(spark, sfDir, "documents", schema)
       .withColumn("ts",
         (lit(1704067200L) + col("doc_id")).cast("timestamp"))
-    val q = startAt8(spark)(dedupStream(docs).select("fp")
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    drainToMemory(spark,
+      dedupStream(docs).select("fp")
+        .writeStream.outputMode(OutputMode.Append()), queryName,
+      tableBytes(sfDir, "documents"))
   }
 }
