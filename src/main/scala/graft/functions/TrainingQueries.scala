@@ -665,17 +665,22 @@ object TrainingQueries {
       val d2012 = org.apache.spark.sql.types.DecimalType(20, 12)
       def round9(c: org.apache.spark.sql.Column) =
         round(c.cast(d2012), 9).cast("double")
+      // ONE scan computes fp AND alpha_ratio; the dup flag is a count
+      // over Window.partitionBy(fp) instead of the old
+      // groupBy(fp)+join-back+join(doc_id) — md5(normalized(text)) now
+      // evaluates once (it ran on BOTH sides of the fp self-join), and
+      // the plan drops from 3 corpus exchanges (fp-agg, fp-probe,
+      // doc_id join) to 1 (fp window). Same rows bit-for-bit: n_fp per
+      // doc is identical whichever way it is counted. (r14, guide §2.4)
       val docs = Tables.documents(s, d)
-      val fp = docs.select(col("doc_id"),
-        md5(TextAnalysis.normalized(col("text"))).as("fp"))
-      val dupFlag = fp
-        .join(fp.groupBy("fp").agg(count(lit(1)).as("n_fp")), Seq("fp"))
-        .select(col("doc_id"),
-          (col("n_fp") >= 2).cast("long").as("is_dup"))
       val scored = docs.select(col("doc_id"),
           (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-            .cast("double") / length(col("text"))).as("alpha_ratio"))
-        .join(dupFlag, Seq("doc_id"))
+            .cast("double") / length(col("text"))).as("alpha_ratio"),
+          md5(TextAnalysis.normalized(col("text"))).as("fp"))
+        .withColumn("is_dup",
+          (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp")) >= 2).cast("long"))
+        .drop("fp")
         .withColumn("decile", ntile(10).over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("alpha_ratio").asc, col("doc_id").asc)))

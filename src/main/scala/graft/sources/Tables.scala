@@ -13,8 +13,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
+  }
+
+  /** Memoized parquet schema per (path, names+mtime+length fingerprint).
+    *
+    * A schema-less `spark.read.parquet(path)` runs a one-task
+    * footer-read JOB per fresh relation; the round-14 job telemetry
+    * attributed 5–13 such jobs (~30 ms each on local[32]) to every
+    * bench query — pure fixed overhead re-paid on every pass because
+    * queries rebuild their relations each invocation. The schema is
+    * METADATA (this memoizes no rows and no results): passing it
+    * explicitly skips the inference job and the scan plans exactly as
+    * before. The fingerprint key follows the [[registerAll]] /
+    * PlanMemo discipline — an append or in-place rewrite of the file
+    * changes mtime/length and re-infers, so stale schemas cannot be
+    * served. Size-capped defensively (clear at 512 entries; keys are
+    * one per (table, fingerprint), so steady state is tens).
+    */
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val key = (path, fileFingerprint(new java.io.File(path)))
+    if (schemaMemo.size > 512) schemaMemo.clear()
+    schemaMemo.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+  }
+
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** names+mtime+length fingerprint of one table file/dir (order-free
+    * sum over leaves — the same shape as [[dirFingerprint]]'s walk).
+    */
+  private def fileFingerprint(f: java.io.File): Long =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.map(fileFingerprint).sum
+    } else f.getPath.hashCode.toLong * 31 + f.lastModified() * 7 + f.length()
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -96,14 +131,10 @@ object Tables {
     * per-(session, sfDir) idempotence the guard always had.
     */
   private def dirFingerprint(sfDir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) {
-        val kids = f.listFiles()
-        if (kids == null) 0L else kids.map(walk).sum
-      } else f.getPath.hashCode.toLong * 31 + f.lastModified() * 7 + f.length()
     val root = new java.io.File(sfDir)
     if (!root.exists()) 0L
-    else names.map(n => walk(new java.io.File(root, s"$n.parquet"))).sum
+    else names.map(n =>
+      fileFingerprint(new java.io.File(root, s"$n.parquet"))).sum
   }
 
   private val registeredDir =

@@ -215,7 +215,7 @@ object EventsStream {
   def slidingAggStreaming(spark: SparkSession, sfDir: String,
                           queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = slidingAggBatch(
@@ -233,7 +233,7 @@ object EventsStream {
   def hourlyAggStreaming(spark: SparkSession, sfDir: String,
                          queryName: String = "graft_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = events
@@ -270,7 +270,7 @@ object EventsStream {
   def dailyOfHourlyStreaming(spark: SparkSession, sfDir: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val hourly = events
@@ -429,7 +429,7 @@ object EventsStream {
   def sessionWindowStreaming(spark: SparkSession, sfDir: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val agg = sessionWindowBatch(events.withWatermark("ts", "10 minutes"))
@@ -547,7 +547,7 @@ object EventsStream {
   def clickPurchaseStreaming(spark: SparkSession, sfDir: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     def stream(): DataFrame = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val clicks = stream().filter(col("event_type") === "click")
@@ -600,7 +600,7 @@ object EventsStream {
   def clickPurchaseLeftStreaming(spark: SparkSession, sfDir: String,
                                  queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     def stream(): DataFrame = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
     val clicks = stream().filter(col("event_type") === "click")
@@ -649,7 +649,7 @@ object EventsStream {
   def enrichStreaming(spark: SparkSession, sfDir: String,
                       queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = tableStream(spark, sfDir, "events", schema)
     val customers = graft.sources.Tables.customer(spark, sfDir)
     // parquet sink, not memory: the output is EVENT-grain (6M rows at
@@ -803,7 +803,7 @@ object EventsStream {
                          delay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/events.parquet")
     val events = graft.sources.Tables.microTs(
       tableStream(spark, sfDir, "events", schema))
       .withWatermark("ts", delay)
@@ -975,7 +975,7 @@ object EventsStream {
     */
   def dedupStreamReplay(spark: SparkSession, sfDir: String,
                         queryName: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.sources.Tables.schemaOf(spark, s"$sfDir/documents.parquet")
     val docs = tableStream(spark, sfDir, "documents", schema)
       .withColumn("ts",
         (lit(1704067200L) + col("doc_id")).cast("timestamp"))
