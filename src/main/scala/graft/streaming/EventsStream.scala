@@ -157,19 +157,26 @@ object EventsStream {
                           inputBytes: Long = 0L)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     // Scale-adaptive store count (guide §2: derive partitioning from
-    // input size, never a constant tuned for one rung): one state
-    // store per ~4 MiB of compressed source, floored at the measured
-    // sf0.1 optimum (4 — the r9/r13 sweeps: store-commit constants
-    // dominate below that) and capped at the session's core count.
-    // sf0.1 (2 MB events) stays at 4 — bench-comparable with every
-    // prior round; sf1/sf3/sf10 derive 5/15/cpus, matching the r13
-    // observation that the heavy stateful rows want parallelism at 10×
-    // (st_session 3.8 s at 4 stores vs 5.4 s at 2). The explicit conf
-    // still wins: a deployment sizes it to topic key cardinality.
+    // input size, never a constant tuned for one rung):
+    // round(sqrt(bytes/256 KiB)), floored at 4 and capped at the core
+    // count. The sqrt law is the classic fixed-cost/parallelism trade
+    // (per-batch commit cost grows ~linearly with store COUNT, per-
+    // store work shrinks ~linearly with it; the optimum sits at the
+    // geometric mean) and it passes through all three same-box sweep
+    // optima measured this round on the 4 heavy stateful rows
+    // (session/abandoned/both interval joins, min of interleaved
+    // runs): sf0.1 (2 MB events) → 4 = the r9/r13 optimum, unchanged
+    // and bench-comparable with every prior round; sf1 (17.6 MB) → 8
+    // (14.05 s at 4, 11.5 s at 8, 17.0 s at 16); sf3 (63 MB) → 16
+    // (20.3 s at 4, 18.1 s at 16, 38.4 s at 26 — oversizing is as bad
+    // as undersizing: 4 store instances per join × count). The
+    // explicit conf still wins: a deployment sizes it to topic key
+    // cardinality.
     val n = spark.conf.getOption("spark.sql.graft.streamShufflePartitions")
       .getOrElse {
         val cpus = math.max(1L, spark.sparkContext.defaultParallelism.toLong)
-        math.max(4L, math.min(inputBytes / (4L << 20), cpus)).toString
+        val derived = math.round(math.sqrt(inputBytes / (256.0 * 1024)))
+        math.max(4L, math.min(derived, cpus)).toString
       }
     val prev = spark.conf.get(key)
     spark.conf.set(key, n)
