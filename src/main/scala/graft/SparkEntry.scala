@@ -502,15 +502,25 @@ object SparkEntry {
       // identically (mod BEFORE squaring keeps every term < p² < 2⁶³
       // at any orderkey magnitude — no overflow at any SF)
       val P = lit(1000000007L)
-      operators.RangeJoin.pointInInterval(points, intervals,
-        "p_epoch", "s_epoch", "e_epoch", bandWidth = 14L)
-        .groupBy("interval_id")
-        .agg(count(lit(1)).as("n_orders"),
-          min("point_order").as("first_order"),
-          max("point_order").as("last_order"),
-          sum("point_order").as("sum_orders"),
+      // r14: every aggregate here is associative-commutative over
+      // disjoint point groups, so the pair-enumerating banded join +
+      // groupBy (O(SF²) candidates for these two densifying sides —
+      // 7.8 s at sf3, 47.7 s at sf10) collapses to the day-grain
+      // partial-aggregate form: points pre-aggregate to ≤ span-days
+      // partial rows at ANY SF, intervals explode to their 15 covered
+      // days, and the combine sums/min/maxes ≤ 15 partials per
+      // interval. Long/integer arithmetic throughout ⇒ bit-identical
+      // output (RangeJoinSpec pins equivalence to the pair form).
+      operators.RangeJoin.aggregatePointsByInterval(points, intervals,
+        "p_epoch", "s_epoch", "e_epoch", "interval_id",
+        partials = Seq(count(lit(1)).as("pc"),
+          min("point_order").as("pmin"), max("point_order").as("pmax"),
+          sum("point_order").as("psum"),
           sum((col("point_order") % P) * (col("point_order") % P) % P)
-            .as("ssq_mod"))
+            .as("pssq")),
+        combines = Seq(coalesce(sum("pc"), lit(0L)).as("n_orders"),
+          min("pmin").as("first_order"), max("pmax").as("last_order"),
+          sum("psum").as("sum_orders"), sum("pssq").as("ssq_mod")))
         .orderBy("interval_id")
     }),
 
