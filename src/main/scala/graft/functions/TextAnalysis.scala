@@ -787,9 +787,16 @@ object TextAnalysis {
     // inverted indexes over the same corpus — same rows as the previous
     // per-query explode(array_distinct(...)) construction)
     val sh = Dedup.distinctShingles(docs, n)
-    val grams = sh.groupBy("shingle")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-    sh.join(grams, "shingle")
+    // a shingle is novel iff exactly one doc carries it ⇔ min==max doc
+    // over the shingle group. Computed as a window over partitionBy(fp)
+    // instead of the former groupBy(shingle)+join-back: the join
+    // shuffled the corpus-shingle frame TWICE (agg build + probe); the
+    // window shuffles it once and keeps every row, so the doc-grain
+    // counts are unchanged bit-for-bit (r14, guide §2.4; same rewrite
+    // class as ts_quality_calibration's dup flag).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    sh.withColumn("mn", min("doc_id").over(w))
+      .withColumn("mx", max("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("mn") === col("mx"), 1L).otherwise(0L)).as("n_novel"))
