@@ -214,13 +214,33 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(warm)},"jobs":$jobsJson,"errors":$errJson,"cold_total_sec":$coldTotal,"cold_queries":${jmap(cold.map(c => c._1 -> c._2))},"excluded":$exclJson,"__calibration":$calibration,"sf":${jstr(sfDir)}}"""
+    // ATOMIC file write (temp + move): a reader (the driver's fallback
+    // path) can never observe a half-written artifact, and a crash
+    // mid-write leaves the previous artifact intact.
     try {
-      Files.writeString(Paths.get(outFile), json + "\n")
+      val dest = Paths.get(outFile)
+      val dir = Option(dest.getParent).getOrElse(Paths.get("."))
+      val tmp = Files.createTempFile(dir, ".bench_out", ".tmp")
+      Files.writeString(tmp, json + "\n")
+      try Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       System.err.println(s"[bench] wrote $outFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(json)
+    // The one-line JSON is the LAST stdout act: r13's round-over-round
+    // PERF table was erased by a driver-side stdout capture gap
+    // (BENCH_r13.json parsed:null, tail truncated mid-JSON), so nothing
+    // may print to stdout after it — spark.stop() runs first (its
+    // SparkUI/log chatter goes to the log4j sink, but ordering it
+    // before the JSON removes the risk entirely), then print + flush.
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -163,7 +163,9 @@ object SparkEntry {
     //    Excluded from Bench (it is an ETL replay, not a query; see
     //    Bench.excluded).
     "pipeline_backfill" -> ((s, d) => {
-      val root = graft.core.Scratch.fastTempDirectory("graft_backfill")
+      val root = graft.core.Scratch.fastTempDirectory("graft_backfill",
+        (graft.core.Scratch.tableBytes(d, "orders")
+          + graft.core.Scratch.tableBytes(d, "lineitem")) * 5)
       val catalog = pipeline.LayerCatalog(root.toString)
       pipeline.MetaMorphPipeline.backfill(s, d, catalog, clock, days = 5,
         idempotent = true)
@@ -323,7 +325,8 @@ object SparkEntry {
     // the old wave predates the column — the drift case every
     // long-lived 100 TB store hits (an ETL replay; Bench-excluded)
     "src_schema_evolution" -> ((s, d) => {
-      val root = graft.core.Scratch.fastTempDirectory("graft_schevo")
+      val root = graft.core.Scratch.fastTempDirectory("graft_schevo",
+        graft.core.Scratch.tableBytes(d, "orders"))
       val dest = root.resolve("t").toString
       val o = sources.Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
@@ -429,7 +432,8 @@ object SparkEntry {
     // indistinguishable from querying the parquet original (the oracle
     // runs on the parquet table). Money through the decimal pattern.
     "src_orc_roundtrip" -> ((s, d) => {
-      val root = graft.core.Scratch.fastTempDirectory("graft_orc")
+      val root = graft.core.Scratch.fastTempDirectory("graft_orc",
+        graft.core.Scratch.tableBytes(d, "orders") * 2)
       sources.Ingest.writeOrc(sources.Tables.orders(s, d), root.toString)
       val agg = sources.Ingest.readOrc(s, root.toString)
         .groupBy("o_orderpriority", "o_orderstatus")
@@ -444,7 +448,8 @@ object SparkEntry {
     // dates/integrals survive exactly; same invisibility contract (and
     // oracle) as the ORC twin — the layout must not change the answer
     "src_json_roundtrip" -> ((s, d) => {
-      val root = graft.core.Scratch.fastTempDirectory("graft_json")
+      val root = graft.core.Scratch.fastTempDirectory("graft_json",
+        graft.core.Scratch.tableBytes(d, "orders") * 6)
       val orders = sources.Tables.orders(s, d)
       sources.Ingest.writeJsonLines(orders, root.toString)
       val agg = sources.Ingest.readJsonLines(s, root.toString, orders.schema)

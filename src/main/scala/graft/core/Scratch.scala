@@ -36,13 +36,62 @@ object Scratch {
       .orElse(Some(java.nio.file.Paths.get("/dev/shm")))
       .filter(p => Files.isDirectory(p) && Files.isWritable(p))
 
-  /** `Files.createTempDirectory` on the fast-scratch root (see
-    * [[fastRoot]]); falls back to the JVM default tmpdir.
+  /** Free-space slack the fast root must retain BEYOND the estimated
+    * tree size: tmpfs is RAM — filling it competes with executor heap
+    * and fails with ENOSPC mid-stream, so the guard errs toward disk.
     */
-  def fastTempDirectory(prefix: String): Path = fastRoot match {
-    case Some(r) => Files.createTempDirectory(r, prefix)
-    case None    => Files.createTempDirectory(prefix)
+  private val SlackBytes: Long = 512L << 20
+
+  /** Does `root` have room for an `expectedBytes`-sized scratch tree?
+    * 2× the estimate (state deltas + sink + checkpoint WAL routinely
+    * exceed the input bytes they derive from) plus [[SlackBytes]]. A
+    * probe failure (exotic filesystem) reads as "no room": correctness
+    * never depends on WHERE the tree lands, only latency does.
+    */
+  private def hasRoom(root: Path, expectedBytes: Long): Boolean =
+    try {
+      val usable = Files.getFileStore(root).getUsableSpace
+      val want = 2L * math.min(math.max(0L, expectedBytes),
+        Long.MaxValue / 4) // clamp: no overflow on absurd estimates
+      usable - SlackBytes >= want
+    } catch { case _: Throwable => false }
+
+  /** `Files.createTempDirectory` on the fast-scratch root (see
+    * [[fastRoot]]); falls back to the JVM default tmpdir when no fast
+    * root exists OR the root lacks usable space for `expectedBytes`
+    * (2× + slack — see [[hasRoom]]): a replay whose staging tree
+    * outgrows `/dev/shm` must degrade to disk latency, not die on
+    * ENOSPC or squeeze the heap. `expectedBytes` is the caller's size
+    * signal (typically the source-table bytes the tree derives from);
+    * 0 = unknown-small (checkpoint/WAL-only trees), which only the
+    * slack floor guards.
+    */
+  def fastTempDirectory(prefix: String, expectedBytes: Long = 0L): Path =
+    fastRoot match {
+      case Some(r) if hasRoom(r, expectedBytes) =>
+        Files.createTempDirectory(r, prefix)
+      case _ => Files.createTempDirectory(prefix)
+    }
+
+  /** Bytes on disk under `path` (file or directory tree). Directory
+    * sizes walk RECURSIVELY to leaf files — a partitioned/nested table
+    * dir would otherwise sum ~4 KiB directory entries and silently
+    * understate the scale signal (the startAt8 store-count law and the
+    * [[fastTempDirectory]] guard both key on it).
+    */
+  def pathBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
   }
+
+  /** [[pathBytes]] of one sf-table (`<sfDir>/<table>.parquet`) — the
+    * usual size signal replay entries hand [[fastTempDirectory]].
+    */
+  def tableBytes(sfDir: String, table: String): Long =
+    pathBytes(s"$sfDir/$table.parquet")
 
   def deleteRecursively(root: Path): Unit = {
     val walk = Files.walk(root)

@@ -565,7 +565,8 @@ object TrainingQueries {
         case stale =>
           stale.foreach(p => graft.core.Scratch.deleteRecursively(
             java.nio.file.Paths.get(p._2)))
-          val root = graft.core.Scratch.fastTempDirectory("graft_annidx")
+          val root = graft.core.Scratch.fastTempDirectory("graft_annidx",
+            graft.core.Scratch.tableBytes(d, "embeddings") * 2)
           sys.addShutdownHook {
             try graft.core.Scratch.deleteRecursively(root)
             catch { case _: Throwable => () }
@@ -1237,7 +1238,8 @@ object TrainingQueries {
       val cents = trainedCents(s, d)
       val base = e.filter(col("vec_id") % 100 =!= 0)
       val wave = e.filter(col("vec_id") % 100 === 0)
-      val root = graft.core.Scratch.fastTempDirectory("graft_annappend")
+      val root = graft.core.Scratch.fastTempDirectory("graft_annappend",
+        graft.core.Scratch.tableBytes(d, "embeddings") * 2)
       try {
         Similarity.writeIndex(base, cents, root.toString)
         Similarity.appendIndex(wave, cents, root.toString)

@@ -256,7 +256,8 @@ object CoverageQueries {
         .unionByName(o.filter(col("DAY_DT") === lit(month) &&
             col("o_orderkey") % 5 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
-      val root = graft.core.Scratch.fastTempDirectory("graft_pmerge")
+      val root = graft.core.Scratch.fastTempDirectory("graft_pmerge",
+        graft.core.Scratch.tableBytes(d, "orders") * 2)
       val dest = root.resolve("t").toString
       graft.pipeline.LayerWriter.mergeIntoPartitioned(s, o, dest,
         Seq("o_orderkey"), Seq.empty, "DAY_DT")
@@ -487,7 +488,9 @@ object CoverageQueries {
     // 100 TB pipeline pays once), so the entry stays out of the warm
     // bench like the other ETL replays.
     "q_bucketed_join" -> ((s, d) => {
-      val root = graft.core.Scratch.fastTempDirectory("graft_bucket")
+      val root = graft.core.Scratch.fastTempDirectory("graft_bucket",
+        graft.core.Scratch.tableBytes(d, "orders")
+          + graft.core.Scratch.tableBytes(d, "lineitem"))
       val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("gross"))
@@ -570,7 +573,8 @@ object CoverageQueries {
     "k7_timetravel" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         col("o_totalprice").cast("double").as("price"))
-      val root = graft.core.Scratch.fastTempDirectory("graft_snap")
+      val root = graft.core.Scratch.fastTempDirectory("graft_snap",
+        graft.core.Scratch.tableBytes(d, "orders") * 2)
       val dest = root.resolve("t").toString
       graft.pipeline.SnapshotTable.commit(
         o.filter(col("o_orderkey") % 3 === 0), dest)
@@ -599,7 +603,8 @@ object CoverageQueries {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("od"),
         col("o_totalprice").cast("double").as("price"))
-      val root = graft.core.Scratch.fastTempDirectory("graft_skip")
+      val root = graft.core.Scratch.fastTempDirectory("graft_skip",
+        graft.core.Scratch.tableBytes(d, "orders"))
       val dest = root.resolve("t").toString
       graft.pipeline.SnapshotTable.commit(
         o.filter(col("o_orderkey") % 2 === 0)
@@ -634,7 +639,8 @@ object CoverageQueries {
         col("o_totalprice").cast("double").as("price"),
         date_trunc("month", col("o_orderdate").cast("date")).cast("date")
           .as("DAY_DT"))
-      val root = graft.core.Scratch.fastTempDirectory("graft_forget")
+      val root = graft.core.Scratch.fastTempDirectory("graft_forget",
+        graft.core.Scratch.tableBytes(d, "orders") * 2)
       val dest = root.resolve("t").toString
       o.write.mode("overwrite").partitionBy("DAY_DT").parquet(dest)
       val keys = Tables.customer(s, d)

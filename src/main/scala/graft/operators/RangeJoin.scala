@@ -60,6 +60,14 @@ object RangeJoin {
     * must be named; combines reference those names. Intervals with no
     * contained points are absent, exactly as in the pair-join+groupBy
     * form (inner semantics both ways).
+    *
+    * INVERTED intervals (`end < start`) contain no points under
+    * containment semantics, and [[pointInInterval]]'s residual filter
+    * matches them to nothing — but `sequence(start, end)` with
+    * `end < start` auto-steps −1 and yields a DESCENDING range, which
+    * would silently join points inside the reversed span. They are
+    * filtered out before the explode so both forms agree (pinned by
+    * RangeJoinSpec).
     */
   def aggregatePointsByInterval(points: DataFrame, intervals: DataFrame,
                                 pointCol: String, startCol: String,
@@ -68,8 +76,9 @@ object RangeJoin {
                                 combines: Seq[Column]): DataFrame = {
     val grain = points.groupBy(col(pointCol).as("__grain"))
       .agg(partials.head, partials.tail: _*)
-    val ivg = intervals.withColumn("__grain",
-      explode(sequence(col(startCol), col(endCol))))
+    val ivg = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__grain",
+        explode(sequence(col(startCol), col(endCol))))
     ivg.join(grain, Seq("__grain"))
       .groupBy(col(intervalKey))
       .agg(combines.head, combines.tail: _*)

@@ -34,7 +34,18 @@ object Tables {
     * one per (table, fingerprint), so steady state is tens).
     */
   def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val key = (path, fileFingerprint(new java.io.File(path)))
+    // Local-path contract, enforced: a non-local path (hdfs://, s3a://)
+    // fingerprints to a path-only constant (java.io.File sees nothing),
+    // which would serve a stale schema forever after a remote rewrite —
+    // so only LOCAL files that exist are memoized; anything else
+    // re-infers every call (correct, just unmemoized). Inference is
+    // also conf-dependent for TIMESTAMP(NANOS) columns, so the relevant
+    // legacy-conf value is part of the key.
+    val f = new java.io.File(path)
+    val nanosConf = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+    if (!f.exists()) return spark.read.parquet(path).schema
+    val key = (path + "#" + nanosConf, fileFingerprint(f))
     if (schemaMemo.size > 512) schemaMemo.clear()
     schemaMemo.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
   }

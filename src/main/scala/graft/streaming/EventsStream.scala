@@ -71,7 +71,8 @@ object EventsStream {
   private def drainToParquet(spark: SparkSession, out: DataFrame,
                              queryName: String,
                              inputBytes: Long = 0L): DataFrame = {
-    val root = graft.core.Scratch.fastTempDirectory("graft_stsink")
+    val root = graft.core.Scratch.fastTempDirectory("graft_stsink",
+      inputBytes)
     val sink = root.resolve("sink").toString
     val q = startAt8(spark, inputBytes)(out.writeStream
       .outputMode(OutputMode.Append())
@@ -92,7 +93,8 @@ object EventsStream {
   private def drainCompleteToParquet(spark: SparkSession, agg: DataFrame,
                                      queryName: String,
                                      inputBytes: Long = 0L): DataFrame = {
-    val root = graft.core.Scratch.fastTempDirectory("graft_stsink")
+    val root = graft.core.Scratch.fastTempDirectory("graft_stsink",
+      inputBytes)
     val sink = root.resolve("sink").toString
     val q = startAt8(spark, inputBytes)(agg.writeStream
       .outputMode(OutputMode.Complete())
@@ -145,13 +147,11 @@ object EventsStream {
 
   /** Bytes on disk of one sf table (bare-file or directory layout) —
     * the scale signal [[startAt8]] derives its store count from.
+    * Recursive to leaf files (Scratch.pathBytes): a partitioned/nested
+    * table dir must not read as a handful of 4 KiB dir entries.
     */
-  private def tableBytes(sfDir: String, table: String): Long = {
-    val f = new java.io.File(s"$sfDir/$table.parquet")
-    if (f.isDirectory)
-      Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-    else f.length()
-  }
+  private def tableBytes(sfDir: String, table: String): Long =
+    graft.core.Scratch.pathBytes(s"$sfDir/$table.parquet")
 
   private def startAt8[A](spark: SparkSession,
                           inputBytes: Long = 0L)(start: => A): A = {
@@ -328,7 +328,8 @@ object EventsStream {
     // cached: the three slice writes would otherwise re-run the
     // lineitem⨝orders derivation once per drop file
     val sales = graft.sources.Entities.sales(spark, sfDir).cache()
-    val root = graft.core.Scratch.fastTempDirectory("graft_csv_drop")
+    val root = graft.core.Scratch.fastTempDirectory("graft_csv_drop",
+      tableBytes(sfDir, "lineitem") * 3)
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     def drop(mod: Int): Unit = {
@@ -863,7 +864,8 @@ object EventsStream {
     val events = graft.sources.Tables.microTs(
       spark.read.parquet(s"$sfDir/events.parquet")).cache()
     val cut = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
-    val root = graft.core.Scratch.fastTempDirectory("graft_late")
+    val root = graft.core.Scratch.fastTempDirectory("graft_late",
+      tableBytes(sfDir, "events"))
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     def drop(name: String, slice: DataFrame): Unit = {
@@ -916,7 +918,8 @@ object EventsStream {
     */
   def restartReplay(spark: SparkSession, sfDir: String): DataFrame = {
     val sales = graft.sources.Entities.sales(spark, sfDir).cache()
-    val root = graft.core.Scratch.fastTempDirectory("graft_restart")
+    val root = graft.core.Scratch.fastTempDirectory("graft_restart",
+      tableBytes(sfDir, "lineitem") * 2)
     val dropDir = root.resolve("drop")
     java.nio.file.Files.createDirectories(dropDir)
     val sink = root.resolve("sink").toString

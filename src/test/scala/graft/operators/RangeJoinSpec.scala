@@ -61,4 +61,27 @@ class RangeJoinSpec extends AnyFunSuite {
     // sanity: schema (names and types) identical too
     assert(pairForm.schema == aggForm.schema)
   }
+
+  test("inverted interval (end < start) contains nothing in both forms") {
+    // sequence(20, 10) would auto-step -1 and yield a DESCENDING range;
+    // containment semantics say an inverted interval holds no points.
+    val points = Seq((1L, 12L), (2L, 15L), (3L, 20L), (4L, 10L))
+      .toDF("point_order", "p_epoch")
+    val intervals = Seq(
+      (1L, 20L, 10L),  // inverted: must match nothing
+      (2L, 10L, 15L))  // sane twin sharing the span
+      .toDF("interval_id", "s_epoch", "e_epoch")
+    val pairForm = RangeJoin.pointInInterval(points, intervals,
+        "p_epoch", "s_epoch", "e_epoch", bandWidth = 5L)
+      .groupBy("interval_id").agg(count(lit(1)).as("n"))
+    val aggForm = RangeJoin.aggregatePointsByInterval(points, intervals,
+        "p_epoch", "s_epoch", "e_epoch", "interval_id",
+        partials = Seq(count(lit(1)).as("pc")),
+        combines = Seq(coalesce(sum("pc"), lit(0L)).as("n")))
+    val a = pairForm.orderBy("interval_id").collect().map(_.toSeq).toSeq
+    val b = aggForm.orderBy("interval_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // only the sane interval survives, holding points 10/12/15
+    assert(a == Seq(Seq(2L, 3L)))
+  }
 }
